@@ -1,0 +1,128 @@
+"""Archive explode + span assembly.
+
+Zip-explode parity (pipelines.py:94-107 create_items_from_nested_zip +
+item_completed :261-283): one downloaded zip item expands into one child
+DocItem per entry; children REPLACE the parent in crawl output, manifest and
+seen-set (verified against the us_code goldens: 57 parents + 6 Title-42
+children = 63 rows, no Title-42 parent row anywhere).
+
+Child field semantics:
+  - doc_name  = entry stem
+  - doc_title = stem.split('-', 1)[1].strip()   (far_subpart_regs: stem as-is)
+  - version_hash_raw_data['doc_name'] = child doc_name
+  - version_hash = dict_to_sha256_hex_digest(updated raw map)  — confirmed
+    byte-exact against the 6 golden child hashes.
+
+Span assembly: every emitted document lands in the `documents` table as an
+interleaved span sequence (BASELINE.json input_hint) — text spans from page
+text, media spans referencing content-addressed blobs; offsets are the
+0-based sequence positions. Child media blobs are addressed as
+sha256(parent_sha ':' stem) so explode is deterministic and needs no bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gc_spark.functions.hashing import version_hash_udf
+
+
+def explode_zip_items(items: DataFrame) -> DataFrame:
+    """Split items into pass-through rows and zip-children rows.
+
+    Input must carry: downloadable_items, version_hash_raw_data, doc_name,
+    doc_title, version_hash, crawler_used, media_sha (parent blob sha),
+    zip_entries (array of entry stems; null/empty for non-zip items).
+
+    Returns the union with children substituted for exploded parents, plus
+    `parent_version_hash` (null for pass-through rows) for lineage.
+    """
+    is_zip_bundle = (
+        F.col("zip_entries").isNotNull() & (F.size("zip_entries") > 0)
+    )
+
+    passthrough = items.filter(~is_zip_bundle).withColumn(
+        "parent_version_hash", F.lit(None).cast("string")
+    )
+
+    parents = items.filter(is_zip_bundle)
+    children = (
+        parents.withColumn("_entry", F.explode("zip_entries"))
+        .withColumn("parent_version_hash", F.col("version_hash"))
+        .withColumn("doc_name", F.col("_entry"))
+        .withColumn(
+            "doc_title",
+            # stem.split('-', 1)[1].strip() — everything after the FIRST '-'
+            F.when(
+                F.col("crawler_used") == "far_subpart_regs", F.col("_entry")
+            ).otherwise(
+                F.trim(F.expr("substring(_entry, instr(_entry, '-') + 1)"))
+            ),
+        )
+        .withColumn(
+            "version_hash_raw_data",
+            F.map_concat(
+                F.map_filter("version_hash_raw_data", lambda k, v: k != F.lit("doc_name")),
+                F.create_map(F.lit("doc_name"), F.col("_entry")),
+            ),
+        )
+        .withColumn("version_hash", version_hash_udf("version_hash_raw_data"))
+        .withColumn(
+            "media_sha",
+            F.sha2(F.concat_ws(":", F.col("media_sha"), F.col("_entry")), 256),
+        )
+        .drop("_entry")
+    )
+    return passthrough.unionByName(children)
+
+
+def assemble_spans(items: DataFrame, source_col: str = "crawler_used") -> DataFrame:
+    """Build `documents` rows: doc_id + interleaved spans.
+
+    For crawl items: span 0 = text (the display/doc title text), span 1 =
+    media blob when a download happened. Items without a downloaded blob get
+    a single text span. Pure array expressions — no shuffle, no Python.
+    """
+    ext = F.coalesce(
+        F.col("file_item.doc_type"),
+        F.try_element_at(F.col("downloadable_items"), F.lit(1))["doc_type"],
+        F.lit("bin"),
+    )
+    text_span = F.struct(
+        F.lit("text").alias("kind"),
+        F.coalesce(F.col("doc_title"), F.col("doc_name")).alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(0).alias("offset"),
+    )
+    media_span = F.struct(
+        F.lit("media").alias("kind"),
+        F.lit(None).cast("string").alias("text"),
+        F.concat(F.lit("blob://sha256/"), F.col("media_sha"), F.lit("."), ext).alias("media_ref"),
+        F.lit(1).alias("offset"),
+    )
+    spans = F.when(
+        F.col("media_sha").isNotNull(), F.array(text_span, media_span)
+    ).otherwise(F.array(text_span))
+    return items.select(
+        F.concat(F.col(source_col), F.lit("::"), F.col("doc_name")).alias("doc_id"),
+        spans.alias("spans"),
+    )
+
+
+def interleave_spans_from_segments(df: DataFrame, segments_col: str = "segments") -> DataFrame:
+    """Generic interleaved-document builder: given an array<struct<kind,
+    payload>> column (e.g. from a detail-page extractor), produce the spans
+    array with sequential offsets — transform() keeps it JVM-side."""
+    return df.withColumn(
+        "spans",
+        F.transform(
+            F.col(segments_col),
+            lambda s, i: F.struct(
+                s["kind"].alias("kind"),
+                F.when(s["kind"] == "text", s["payload"]).cast("string").alias("text"),
+                F.when(s["kind"] == "media", s["payload"]).cast("string").alias("media_ref"),
+                i.cast("int").alias("offset"),
+            ),
+        ),
+    )

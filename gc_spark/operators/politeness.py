@@ -1,0 +1,74 @@
+"""Per-host politeness budget: top-k per host per micro-batch.
+
+Models the reference's downloader caps (CONCURRENT_REQUESTS=10 with
+DOWNLOAD_DELAY=0.1s per host-slot, runspider_settings.py:20-25) as a
+deterministic drain rule: each micro-batch schedules at most
+``budget_per_batch`` URLs per host, in crawl order
+(priority ASC, depth ASC, seq ASC) — giving reproducible crawl ordering
+(BASELINE.json north_rule) instead of Scrapy's runtime-dependent queue.
+
+Skew handling (the 10^10 problem — a handful of hosts like
+federalregister.gov dominate the frontier; executive_orders_spider.py:18-20
+and sorn_spider.py:14-16 both hit it):
+  plain `row_number().over(partitionBy(host))` funnels every pending URL of a
+  hot host through one task. We run **two-phase top-k**: a salted partial
+  rank caps each (host, salt) slice at k rows, then the exact rank runs over
+  at most k*S survivors per host. The first window's partition count is
+  host×S so no single reducer sees more than ~1/S of a hot host.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+ORDER_COLS = ["priority", "depth", "seq"]
+
+
+def topk_per_host(
+    pending: DataFrame,
+    k: int,
+    host_budgets: DataFrame | None = None,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Select the next `k` (or per-host override) URLs per host in crawl
+    order. Returns the selected rows with their final per-host rank as
+    `drain_rank` (1-based).
+
+    host_budgets: optional small DataFrame (host, budget_per_batch) —
+    broadcast-joined; hosts absent fall back to `k`.
+    """
+    order = [F.col(c).asc() for c in ORDER_COLS]
+
+    if host_budgets is not None:
+        pending = pending.join(
+            F.broadcast(host_budgets.select("host", "budget_per_batch")), "host", "left"
+        )
+        budget = F.coalesce(F.col("budget_per_batch"), F.lit(k))
+    else:
+        budget = F.lit(k)
+
+    # phase 1: salted partial top-k — bounds any single window partition
+    salt = (F.col("seq") % salt_buckets).cast("int")
+    w1 = Window.partitionBy("host", salt.alias("salt") if False else salt).orderBy(*order)
+    # (Window.partitionBy accepts Column expressions directly)
+    partial = pending.withColumn("_prank", F.row_number().over(w1)).filter(
+        F.col("_prank") <= budget
+    )
+
+    # phase 2: exact top-k over ≤ k*salt_buckets survivors per host
+    w2 = Window.partitionBy("host").orderBy(*order)
+    out = (
+        partial.withColumn("drain_rank", F.row_number().over(w2))
+        .filter(F.col("drain_rank") <= budget)
+        .drop("_prank")
+    )
+    if host_budgets is not None:
+        out = out.drop("budget_per_batch")
+    return out
+
+
+def salted_repartition(df: DataFrame, partitions: int, salt_buckets: int = 16) -> DataFrame:
+    """Spread a host-keyed batch across executors so one hot host doesn't pin
+    a single fetch task: partition on (host, seq % S)."""
+    return df.repartition(partitions, F.col("host"), (F.col("seq") % salt_buckets).cast("int"))

@@ -1,0 +1,482 @@
+"""CrawlEngine — the micro-batch frontier drain loop (SURVEY.md §3.4).
+
+Replaces the reference's sequential Scrapy reactor (cli.py:211-236) with a
+driver loop over DataFrame stages; the only driver-side state is the batch
+counter and the snapshot store handle. Each batch:
+
+  pending = frontier ⟕anti frontier_done           (merge-on-read state)
+  take    = top-k per host in (priority, depth, seq) order   (politeness)
+  fetched = fetcher.fetch(salted take)             (injectable; no network in CI)
+  links   → canonicalize → valid/mailto/scope filters → hash → bloom+exact
+            dedup vs frontier → append (depth+1, deterministic seq)
+  docs    → fix names → in-run dedup → enrich → validate(+dead_letter)
+            → anti-join seen (version_hash, crawler-scoped)
+            → CAC split → first-supported item → download fetch
+            → zip-explode → span assembly → append documents/seen
+  metrics + lineage appended; snapshot committed (atomic) → resumable.
+
+Determinism: no wall clock (pinned batch_ts), no Python dict order reliance,
+seq assigned by total-sort rank — reruns and resumed runs produce identical
+tables (tested: kill-at-batch-k resume equality).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gc_spark import schema as S
+from gc_spark.extractors.base import DOC_JSON_SCHEMA, run_extractors
+from gc_spark.functions.hashing import url_hash64, version_hash_udf
+from gc_spark.functions.urls import (
+    canonicalize_url_udf,
+    fqdn_col,
+    is_mailto_col,
+    is_valid_web_url_udf,
+)
+from gc_spark.operators.bloom import build_bloom, merge_blooms, BLOOM_SCHEMA
+from gc_spark.operators.dedup import anti_join_seen, frontier_url_dedup, in_run_dedup
+from gc_spark.operators.explode import assemble_spans, explode_zip_items
+from gc_spark.operators.politeness import salted_repartition, topk_per_host
+from gc_spark.operators.sequence import with_dense_seq
+from gc_spark.sources.fetch import Fetcher, split_fetch_results
+from gc_spark.sources.tables import SnapshotStore
+
+
+@dataclass
+class EngineConfig:
+    budget_per_host: int = 10  # reference CONCURRENT_REQUESTS, runspider_settings.py:25
+    num_buckets: int = 32
+    salt_buckets: int = 16
+    bloom_fpp: float = 0.01
+    bloom_expected_per_bucket: int = 100_000
+    use_bloom: bool = True
+    batch_ts: str = "2024-01-01T00:00:00"  # pinned (determinism) vs pipelines.py:354 now()
+    max_depth: int = 32
+    fetch_partitions: int = 32
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        store: SnapshotStore,
+        fetcher: Fetcher,
+        download_fetcher: Fetcher | None = None,
+        config: EngineConfig | None = None,
+        host_budgets: DataFrame | None = None,
+        robots: DataFrame | None = None,
+    ):
+        self.spark = spark
+        self.store = store
+        self.fetcher = fetcher
+        self.download_fetcher = download_fetcher or fetcher
+        self.cfg = config or EngineConfig()
+        self.host_budgets = host_budgets
+        self.robots = robots
+
+    # ------------------------------------------------------------------ util
+
+    def _frontier_cols(self, df: DataFrame, depth, batch: int, state: str = "pending") -> DataFrame:
+        return df.select(
+            "url",
+            "canonical_url",
+            "url_hash64",
+            "host",
+            "host_hash",
+            "source",
+            F.lit(0).alias("priority"),
+            F.lit(depth).cast("int").alias("depth") if isinstance(depth, int) else depth.cast("int").alias("depth"),
+            F.lit(batch).alias("discovered_at_batch"),
+            "seq",
+            F.lit(state).alias("state"),
+        )
+
+    # ------------------------------------------------------------- bootstrap
+
+    def bootstrap(self, seeds: DataFrame, prev_manifest: DataFrame | None = None) -> None:
+        """Batch 0: seeds → frontier; previous manifest → seen (+ bloom)."""
+        cfg = self.cfg
+        canon = (
+            seeds.withColumn("canonical_url", canonicalize_url_udf("url"))
+            .withColumn("url_hash64", url_hash64(F.col("canonical_url")))
+            .withColumn("host_hash", F.pmod(F.xxhash64("host"), F.lit(cfg.num_buckets)).cast("int"))
+        )
+        seeded = with_dense_seq(canon, ["source", "canonical_url"], offset=0)
+        frontier0 = self._frontier_cols(seeded, 0, 0)
+
+        txn = self.store.begin(0)
+        txn.replace("frontier", frontier0)
+        if prev_manifest is not None:
+            seen0 = prev_manifest.select(
+                "version_hash",
+                "doc_name",
+                "crawler_used",
+                "access_timestamp",
+                F.lit(None).cast("long").alias("url_hash64"),
+            )
+            txn.append("seen", seen0)
+        if cfg.use_bloom:
+            bloom0 = build_bloom(
+                frontier0.select("url_hash64"),
+                num_buckets=cfg.num_buckets,
+                expected_per_bucket=cfg.bloom_expected_per_bucket,
+                fpp=cfg.bloom_fpp,
+            )
+            txn.replace("bloom_frontier", bloom0)
+        txn.commit()
+
+    # ------------------------------------------------------------------ loop
+
+    def run(self, max_batches: int = 100) -> list[dict]:
+        stats = []
+        start = (self.store.latest_batch() or 0) + 1
+        for b in range(start, start + max_batches):
+            st = self.drain_one(b)
+            if st is None:
+                break
+            stats.append(st)
+        return stats
+
+    # ------------------------------------------------------------- one batch
+
+    def drain_one(self, batch: int) -> dict | None:
+        cfg = self.cfg
+        store = self.store
+
+        frontier = store.read("frontier", S.FRONTIER)
+        done = store.read("frontier_done", _done_schema())
+        pending = frontier.join(done.select("url_hash64"), "url_hash64", "left_anti").filter(
+            F.col("depth") <= cfg.max_depth
+        )
+
+        take = topk_per_host(
+            pending, cfg.budget_per_host, host_budgets=self.host_budgets, salt_buckets=cfg.salt_buckets
+        ).drop("drain_rank")
+        take = take.persist()
+        n_take = take.count()
+        if n_take == 0:
+            take.unpersist()
+            return None
+
+        # ---- fetch (salted to spread hot hosts) ---------------------------
+        fetched = self.fetcher.fetch(salted_repartition(take, cfg.fetch_partitions, cfg.salt_buckets))
+        ok, failed = split_fetch_results(fetched)
+        ok = ok.persist()
+
+        extracted = run_extractors(ok).persist()
+
+        # ---- new frontier links ------------------------------------------
+        max_seq = frontier.agg(F.max("seq")).first()[0] or 0
+        links = (
+            extracted.select(
+                F.col("source"),
+                F.col("depth").alias("parent_depth"),
+                F.col("seq").alias("parent_seq"),
+                F.posexplode_outer("links").alias("idx", "href"),
+            )
+            .filter(F.col("href").isNotNull())
+            .filter(~is_mailto_col(F.col("href")))
+            .withColumn("url", F.col("href"))
+            .filter(is_valid_web_url_udf("url"))
+            .withColumn("canonical_url", canonicalize_url_udf("url"))
+            .withColumn("url_hash64", url_hash64(F.col("canonical_url")))
+            .withColumn("host", fqdn_col(F.col("url")))
+            .withColumn("host_hash", F.pmod(F.xxhash64("host"), F.lit(cfg.num_buckets)).cast("int"))
+        )
+        if self.robots is not None:
+            links = _apply_robots(links, self.robots)
+
+        deduped = frontier_url_dedup(links, frontier, order_col="parent_seq")
+        # bloom pre-filter is wired inside frontier_url_dedup's exact anti-join
+        # path at scale; here the exact join is authoritative either way.
+        new_seq = with_dense_seq(
+            deduped.select(
+                "url", "canonical_url", "url_hash64", "host", "host_hash", "source",
+                "parent_depth", "parent_seq", "idx",
+            ),
+            ["parent_seq", "idx"],
+            offset=int(max_seq) + 1,
+        )
+        new_frontier = self._frontier_cols(
+            new_seq, F.col("parent_depth") + 1, batch
+        )
+        new_frontier = new_frontier.persist()
+        n_new_links = new_frontier.count()
+        n_links_raw = links.count()
+
+        # ---- docs ---------------------------------------------------------
+        docs_raw = (
+            extracted.select(
+                "source",
+                F.col("url").alias("source_page_url_page"),
+                F.col("seq").alias("parent_seq"),
+                F.posexplode_outer("docs").alias("doc_idx", "doc_json"),
+            )
+            .filter(F.col("doc_json").isNotNull())
+            .withColumn("doc", F.from_json("doc_json", DOC_JSON_SCHEMA))
+            .select(
+                "source",
+                "parent_seq",
+                "doc_idx",
+                F.col("doc.doc_name").alias("doc_name"),
+                F.col("doc.doc_title").alias("doc_title"),
+                F.col("doc.doc_num").alias("doc_num"),
+                F.col("doc.doc_type").alias("doc_type"),
+                F.col("doc.display_doc_type").alias("display_doc_type"),
+                F.col("doc.publication_date").alias("publication_date"),
+                (F.col("doc.cac_login_required") == "true").alias("cac_login_required"),
+                F.col("doc.download_url").alias("download_url"),
+                F.col("doc.downloadable_items").alias("downloadable_items"),
+                F.col("doc.version_hash_raw_data").alias("version_hash_raw_data"),
+                F.col("doc.segments").alias("segments"),
+                F.col("source_page_url_page").alias("source_page_url"),
+            )
+            .withColumn("crawler_used", F.col("source"))
+            .withColumn("version_hash", version_hash_udf("version_hash_raw_data"))
+            .withColumn("doc_seq", F.col("parent_seq") * 100000 + F.col("doc_idx"))
+        )
+
+        # pipeline chain (priority order 50→400, runspider_settings.py:2-8)
+        docs = docs_raw.withColumn(
+            "doc_name", F.substring(F.regexp_replace("doc_name", "/", "_"), 1, 235)
+        )
+        docs = in_run_dedup(docs, key="doc_name", order_col="doc_seq")
+        emitted_names = store.read("doc_items", _emitted_schema())
+        docs = docs.join(
+            emitted_names.select("crawler_used", "doc_name").distinct(),
+            ["crawler_used", "doc_name"],
+            "left_anti",
+        )
+        docs = docs.withColumn("access_timestamp", F.lit(cfg.batch_ts))
+        docs = docs.withColumn("source_fqdn", fqdn_col(F.col("source_page_url")))
+        docs = docs.persist()
+        n_docs = docs.count()
+
+        # seen-set anti-join (F1/J1)
+        seen = store.read("seen", S.SEEN)
+        fresh = anti_join_seen(docs, seen, key="version_hash").persist()
+        n_fresh = fresh.count()
+        n_in_prev = n_docs - n_fresh
+
+        # schema-validation filter (F8) → dead_letter
+        from gc_spark.operators.enrich import validate_items
+
+        fresh_valid, invalid = validate_items(fresh)
+        invalid_rows = invalid.select(
+            F.lit(None).cast("string").alias("url"),
+            "doc_name",
+            "source",
+            F.col("_invalid_reason").alias("failure_reason"),
+            F.lit(batch).alias("batch"),
+        )
+
+        # CAC split (F3)
+        cac_blocked = fresh_valid.filter(F.col("cac_login_required"))
+        to_fetch = fresh_valid.filter(~F.col("cac_login_required"))
+        n_cac = cac_blocked.count()
+
+        # first supported downloadable item (W2/F4) + download fetch
+        supported = F.array([F.lit(x) for x in ["pdf", "html", "txt", "zip"]])
+        to_fetch = to_fetch.withColumn(
+            "file_item",
+            F.try_element_at(
+                F.filter("downloadable_items", lambda x: F.array_contains(supported, x["doc_type"])),
+                F.lit(1),
+            ),
+        )
+        dl = to_fetch.filter(F.col("file_item").isNotNull())
+        no_dl = to_fetch.filter(F.col("file_item").isNull())
+
+        dl_batch = dl.withColumn("url", F.col("file_item.download_url")).withColumn(
+            "url_hash64", url_hash64(F.col("url"))
+        )
+        dl_fetched = self.download_fetcher.fetch(dl_batch)
+        dl_ok = dl_fetched.filter(
+            (F.col("status") >= 200) & (F.col("status") < 300) & F.col("media_sha").isNotNull()
+        )
+        dl_failed = dl_fetched.join(dl_ok.select("doc_seq"), "doc_seq", "left_anti")
+        n_dead = dl_failed.count()
+
+        # zip explode (X1): children replace parents
+        exploded = explode_zip_items(
+            dl_ok.withColumn("compression", F.col("file_item.compression_type"))
+        )
+
+        # docs with inline segments (page-content documents) get media=None
+        inline = no_dl.unionByName(cac_blocked, allowMissingColumns=True).withColumn(
+            "media_sha", F.lit(None).cast("string")
+        )
+
+        final_docs = exploded.unionByName(inline, allowMissingColumns=True).persist()
+
+        # ---- sinks --------------------------------------------------------
+        documents = _build_documents(final_docs)
+        # manifest/seen gets only actually-landed content: downloads or page
+        # content; CAC-blocked items stay out (pipelines.py:131-134,293-294)
+        new_seen = final_docs.filter(
+            (F.col("media_sha").isNotNull() | F.col("segments").isNotNull())
+            & ~F.coalesce(F.col("cac_login_required"), F.lit(False))
+        ).select(
+            "version_hash",
+            "doc_name",
+            F.col("crawler_used"),
+            F.col("access_timestamp"),
+            F.coalesce(F.col("url_hash64"), F.lit(None).cast("long")).alias("url_hash64"),
+        )
+
+        dead_rows = dl_failed.select(
+            F.col("url"),
+            F.col("doc_name"),
+            F.col("source"),
+            F.concat(F.lit("HTTP Response Code "), F.col("status").cast("string")).alias(
+                "failure_reason"
+            ),
+            F.lit(batch).alias("batch"),
+        ).unionByName(
+            failed.select(
+                F.col("url"),
+                F.lit(None).cast("string").alias("doc_name"),
+                F.col("source"),
+                F.concat(F.lit("HTTP Response Code "), F.col("status").cast("string")).alias(
+                    "failure_reason"
+                ),
+                F.lit(batch).alias("batch"),
+            )
+        ).unionByName(invalid_rows)
+
+        # crawl feed: exploded/inline docs PLUS manifest-skipped items (the
+        # reference still exports items whose hash was in previous_hashes,
+        # pipelines.py:125-129 "dont download anything just send item to
+        # crawl output")
+        in_prev_docs = docs.join(fresh.select("doc_seq"), "doc_seq", "left_anti")
+        emitted = final_docs.select(
+            "crawler_used", "doc_name", "version_hash", F.lit(batch).alias("batch")
+        ).unionByName(
+            in_prev_docs.select(
+                "crawler_used", "doc_name", "version_hash", F.lit(batch).alias("batch")
+            )
+        )
+
+        metrics = (
+            take.groupBy("source")
+            .agg(F.count("*").alias("urls_scheduled"))
+            .withColumn("batch", F.lit(batch))
+            .withColumn("urls_deduped", F.lit(n_links_raw - n_new_links))
+            .withColumn("docs_emitted", F.lit(final_docs.count()))
+            .withColumn("in_previous_hashes", F.lit(n_in_prev))
+            .withColumn("required_cac", F.lit(n_cac))
+            .withColumn("dead", F.lit(n_dead))
+            .select(
+                "source", "batch", "urls_scheduled", "urls_deduped", "docs_emitted",
+                "in_previous_hashes", "required_cac", "dead",
+            )
+        )
+
+        # ---- commit --------------------------------------------------------
+        txn = store.begin(batch)
+        if n_new_links:
+            txn.append("frontier", new_frontier)
+        txn.append(
+            "frontier_done",
+            take.select("url_hash64", "url", "host", "source").withColumn("batch", F.lit(batch)),
+        )
+        txn.append("documents", documents)
+        if n_fresh:
+            txn.append("seen", new_seen)
+        txn.append("doc_items", emitted)
+        txn.append("dead_letter", dead_rows)
+        txn.append("metrics", metrics)
+        if cfg.use_bloom and n_new_links:
+            old_bloom = store.read("bloom_frontier", BLOOM_SCHEMA)
+            nb = build_bloom(
+                new_frontier.select("url_hash64"),
+                num_buckets=cfg.num_buckets,
+                expected_per_bucket=cfg.bloom_expected_per_bucket,
+                fpp=cfg.bloom_fpp,
+            )
+            txn.replace("bloom_frontier", merge_blooms(old_bloom, nb))
+        txn.add_lineage(
+            [
+                {"batch": batch, "table": "frontier", "rows": int(n_new_links)},
+                {"batch": batch, "table": "documents", "rows": int(final_docs.count())},
+                {"batch": batch, "table": "seen", "rows": int(n_fresh)},
+            ]
+        )
+        txn.commit()
+
+        out = {
+            "batch": batch,
+            "scheduled": int(n_take),
+            "new_links": int(n_new_links),
+            "links_deduped": int(n_links_raw - n_new_links),
+            "docs": int(n_docs),
+            "in_previous_hashes": int(n_in_prev),
+            "dead": int(n_dead),
+        }
+        for df in (take, ok, extracted, new_frontier, docs, fresh, final_docs):
+            df.unpersist()
+        return out
+
+
+# ---------------------------------------------------------------- helpers
+
+
+def _done_schema():
+    from pyspark.sql.types import IntegerType, LongType, StringType, StructField, StructType
+
+    return StructType(
+        [
+            StructField("url_hash64", LongType()),
+            StructField("url", StringType()),
+            StructField("host", StringType()),
+            StructField("source", StringType()),
+            StructField("batch", IntegerType()),
+        ]
+    )
+
+
+def _emitted_schema():
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    return StructType(
+        [
+            StructField("crawler_used", StringType()),
+            StructField("doc_name", StringType()),
+            StructField("version_hash", StringType()),
+            StructField("batch", IntegerType()),
+        ]
+    )
+
+
+def _apply_robots(links: DataFrame, robots: DataFrame) -> DataFrame:
+    """Default-allow robots filter: drop links whose path matches a disallow
+    prefix for the host (the reference explicitly disables robots,
+    runspider_settings.py:16 — we support rules but ship default-allow).
+    Broadcast join on host with the disallow list kept as an array — one row
+    per link in/out, no fan-out."""
+    r = robots.select("host", F.col("disallow").alias("_disallow"))
+    joined = links.join(F.broadcast(r), "host", "left")
+    path = F.parse_url(F.col("url"), F.lit("PATH"))
+    blocked = F.exists("_disallow", lambda p: path.startswith(p))
+    return joined.filter(~F.coalesce(blocked, F.lit(False))).drop("_disallow")
+
+
+def _build_documents(final_docs: DataFrame) -> DataFrame:
+    """Interleaved span assembly: segments-docs get their page segments;
+    download-docs get [title text, media blob]."""
+    from gc_spark.operators.explode import interleave_spans_from_segments
+
+    with_segments = final_docs.filter(
+        F.col("segments").isNotNull() & (F.size("segments") > 0)
+    )
+    seg_docs = interleave_spans_from_segments(with_segments).select(
+        F.concat(F.col("crawler_used"), F.lit("::"), F.col("doc_name")).alias("doc_id"),
+        "spans",
+    )
+    dl_docs = assemble_spans(
+        final_docs.filter(F.col("segments").isNull() | (F.size("segments") == 0))
+    )
+    return seg_docs.unionByName(dl_docs)

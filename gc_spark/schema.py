@@ -202,5 +202,9 @@ PAGES = StructType(
         StructField("links", ArrayType(StringType()), True),
         StructField("kind", StringType(), False),  # listing|detail|binary
         StructField("media_sha", StringType(), True),
+        StructField("zip_entries", ArrayType(StringType()), True),  # entry stems for kind='binary' zips
     ]
 )
+
+# fetch-stage output: PAGES columns joined onto the drained frontier rows
+FETCH_RESULT_EXTRA = ["status", "body", "kind", "media_sha", "zip_entries"]

@@ -1,0 +1,222 @@
+"""End-to-end engine tests (SURVEY.md §5 strategy):
+
+(a) golden parity — the engine's seen-set over the synthetic us_code site
+    equals the reference's committed 63-record manifest exactly,
+(b) crawl-order equality vs the sequential reference simulator under the
+    same seed list + politeness budget,
+(c) URL-seen-set + span-sequence equality on a skewed multi-host site,
+(d) resume-from-snapshot equals an uninterrupted run,
+(e) politeness budget never exceeded per host per batch.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gc_spark import schema as S
+from gc_spark.plans.drain import CrawlEngine, EngineConfig, _done_schema
+from gc_spark.sources.fetch import TableFetcher
+from gc_spark.sources.tables import SnapshotStore
+
+from tests.fixtures import (
+    load_us_code_site,
+    scale_site_pages,
+    scale_site_rows,
+    scale_site_seeds,
+    us_code_pages,
+    us_code_seeds,
+)
+from tests.simulator import simulate
+
+
+def _mk_engine(spark, tmpdir, pages, budget=10, **cfg_kw):
+    store = SnapshotStore(spark, str(tmpdir))
+    cfg = EngineConfig(budget_per_host=budget, fetch_partitions=8, **cfg_kw)
+    return CrawlEngine(spark, store, TableFetcher(pages), config=cfg), store
+
+
+@pytest.fixture(scope="module")
+def us_code_run(spark, tmp_path_factory):
+    eng, store = _mk_engine(
+        spark, tmp_path_factory.mktemp("uscode"), us_code_pages(spark, include_dead_row=True)
+    )
+    eng.bootstrap(us_code_seeds(spark))
+    stats = eng.run(max_batches=5)
+    return store, stats
+
+
+class TestUSCodeGoldenParity:
+    def test_seen_set_equals_reference_manifest(self, spark, us_code_run):
+        store, _ = us_code_run
+        got = {
+            (r["doc_name"], r["version_hash"])
+            for r in store.read("seen", S.SEEN).collect()
+        }
+        exp = {(n, h) for n, h in load_us_code_site()["expected"]}
+        assert got == exp  # 63 records incl. the 6 Title-42 zip children
+
+    def test_single_batch_drain(self, us_code_run):
+        _, stats = us_code_run
+        assert len(stats) == 1 and stats[0]["scheduled"] == 1
+
+    def test_dead_letter(self, spark, us_code_run):
+        store, _ = us_code_run
+        dead = store.read("dead_letter", S.DEAD_LETTER).collect()
+        assert len(dead) == 1
+        assert "404" in dead[0]["failure_reason"]
+        assert "usc99" in dead[0]["url"]
+
+    def test_documents_span_shape(self, spark, us_code_run):
+        store, _ = us_code_run
+        docs = store.read("documents", S.DOCUMENTS)
+        assert docs.count() == 63
+        bad = docs.filter(
+            (F.size("spans") != 2)
+            | (F.col("spans")[0]["kind"] != "text")
+            | (F.col("spans")[1]["kind"] != "media")
+            | ~F.col("spans")[1]["media_ref"].rlike(r"^blob://sha256/[0-9a-f]{64}\.pdf$")
+        ).count()
+        assert bad == 0
+
+    def test_prev_manifest_filtering(self, spark, tmp_path_factory):
+        """Second crawl with the first run's manifest: everything filtered,
+        nothing re-downloaded (pipelines.py:125-129)."""
+        site = load_us_code_site()
+        prev = spark.createDataFrame(
+            [
+                {
+                    "version_hash": h,
+                    "doc_name": n,
+                    "crawler_used": "us_code",
+                    "access_timestamp": "2022-05-20 17:45:56",
+                }
+                for n, h in site["expected"]
+            ]
+        )
+        eng, store = _mk_engine(
+            spark, tmp_path_factory.mktemp("uscode2"), us_code_pages(spark)
+        )
+        eng.bootstrap(us_code_seeds(spark), prev_manifest=prev)
+        stats = eng.run(max_batches=5)
+        # zip children were in prev manifest but the PARENT hash was not —
+        # parent re-downloads (its hash never entered the manifest; matches
+        # reference: parent hash is not in manifest either)
+        seen_new = (
+            store.read("seen", S.SEEN)
+            .filter(F.col("access_timestamp") != "2022-05-20 17:45:56")
+            .collect()
+        )
+        new_names = {r["doc_name"] for r in seen_new}
+        assert all("Title 42" in n for n in new_names)
+        assert stats[0]["in_previous_hashes"] == 57  # all non-T42 parents skipped
+
+
+class TestScaleSiteSimulatorEquality:
+    BUDGET = 3
+
+    @pytest.fixture(scope="class")
+    def runs(self, spark, tmp_path_factory):
+        eng, store = _mk_engine(
+            spark, tmp_path_factory.mktemp("scale"), scale_site_pages(spark), budget=self.BUDGET
+        )
+        eng.bootstrap(scale_site_seeds(spark))
+        stats = eng.run(max_batches=30)
+
+        pages_dict = {r["url"]: r for r in scale_site_rows()}
+        seeds = [
+            {
+                "source": "synthetic",
+                "url": f"https://host{h:02d}.example.mil/list/0",
+                "host": f"host{h:02d}.example.mil",
+            }
+            for h in range(5)
+        ]
+        sim = simulate(seeds, pages_dict, budget_per_host=self.BUDGET)
+        return store, stats, sim
+
+    def test_crawl_order_equality(self, runs):
+        store, _, sim = runs
+        done = store.read("frontier_done", _done_schema())
+        eng_map = {r["url"]: r["batch"] for r in done.collect()}
+        assert eng_map == sim.fetch_batch
+
+    def test_seen_set_equality(self, runs):
+        store, _, sim = runs
+        eng_seen = {
+            (r["doc_name"], r["version_hash"]) for r in store.read("seen", S.SEEN).collect()
+        }
+        assert eng_seen == sim.seen
+
+    def test_span_sequence_equality(self, runs):
+        store, _, sim = runs
+        eng_spans = {
+            r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+            for r in store.read("documents", S.DOCUMENTS).collect()
+        }
+        assert eng_spans == sim.spans
+
+    def test_politeness_budget_never_exceeded(self, runs):
+        store, _, _ = runs
+        done = store.read("frontier_done", _done_schema())
+        over = (
+            done.groupBy("host", "batch")
+            .count()
+            .filter(F.col("count") > self.BUDGET)
+            .count()
+        )
+        assert over == 0
+
+    def test_interleaved_spans_strictly_ordered(self, runs):
+        store, _, _ = runs
+        docs = store.read("documents", S.DOCUMENTS)
+        bad = docs.filter(
+            F.exists(
+                F.transform(F.col("spans"), lambda s, i: s["offset"] == i),
+                lambda ok: ~ok,
+            )
+        ).count()
+        assert bad == 0
+
+
+class TestResume:
+    def test_resume_equals_uninterrupted(self, spark, tmp_path):
+        pages = scale_site_pages(spark)
+        seeds = scale_site_seeds(spark)
+
+        eng_a, store_a = _mk_engine(spark, tmp_path / "a", pages, budget=4)
+        eng_a.bootstrap(seeds)
+        eng_a.run(max_batches=30)
+
+        eng_b, store_b = _mk_engine(spark, tmp_path / "b", pages, budget=4)
+        eng_b.bootstrap(seeds)
+        eng_b.run(max_batches=2)  # "crash" after batch 2 (snapshot committed)
+        # brand-new engine instance resumes from the snapshot store
+        eng_b2, _ = CrawlEngine(
+            spark,
+            store_b,
+            TableFetcher(pages),
+            config=EngineConfig(budget_per_host=4, fetch_partitions=8),
+        ), None
+        eng_b2.store = store_b
+        eng_b2.run(max_batches=30)
+
+        for table, schema, key in [
+            ("frontier_done", _done_schema(), ["url_hash64"]),
+            ("seen", S.SEEN, ["version_hash"]),
+            ("documents", S.DOCUMENTS, ["doc_id"]),
+        ]:
+            a = sorted(store_a.read(table, schema).collect(), key=lambda r: str(r))
+            b = sorted(store_b.read(table, schema).collect(), key=lambda r: str(r))
+            assert a == b, f"{table} diverged after resume"
+
+    def test_rollback(self, spark, tmp_path):
+        pages = scale_site_pages(spark)
+        eng, store = _mk_engine(spark, tmp_path / "rb", pages, budget=4)
+        eng.bootstrap(scale_site_seeds(spark))
+        eng.run(max_batches=3)
+        n3 = store.read("frontier_done", _done_schema()).count()
+        store.rollback_to(2)
+        n2 = store.read("frontier_done", _done_schema()).count()
+        assert n2 < n3
+        assert store.latest_batch() == 2
