@@ -1,38 +1,421 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md §2
+through the gc_spark engine's own operator functions where possible; the
+matching ``oracle_sql()`` is the ANSI-SQL twin DuckDB runs on the same
+parquet. Column names/types are aligned on both sides (the driver's compare
+sorts columns by name before value-hashing); float aggregates are rounded on
+both sides.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: pricing-summary rollup (per-source metrics rollup analog,
+    SURVEY.md §2.4-A1) on sf0.001."""
+    return q01_rollup(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# queries — one per operator family
+# ---------------------------------------------------------------------------
+
+
+def q01_rollup(spark, sf_dir):
+    """A1: grouped counters/sums (metrics rollup)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q02_seen_anti_join(spark, sf_dir):
+    """F1/J1: seen-set anti-join — orders whose customer is in the 'seen'
+    nation set are dropped (gc_spark.operators.dedup.anti_join_seen)."""
+    from gc_spark.operators.dedup import anti_join_seen
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    seen = cust.filter(F.col("c_nationkey") < 5).select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    out = anti_join_seen(orders, seen, key="o_custkey")
+    return out.select("o_orderkey", "o_custkey", "o_orderstatus")
+
+
+def q03_in_run_dedup(spark, sf_dir):
+    """F2/J2: in-run dedup — first event per (user_id, event_type) in
+    arrival order (gc_spark.operators.dedup.in_run_dedup semantics)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "dedup_key", F.concat_ws("|", "user_id", "event_type")
+    )
+    from gc_spark.operators.dedup import in_run_dedup
+
+    out = in_run_dedup(ev, key="dedup_key", order_col="event_id")
+    return out.select("user_id", "event_type", "event_id")
+
+
+def q04_topk_per_host(spark, sf_dir):
+    """W3/O5: politeness top-k per host — top-3 events per user in
+    (ts, event_id) order via gc_spark.operators.politeness.topk_per_host."""
+    from gc_spark.operators.politeness import topk_per_host
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("host"),
+        F.lit(0).alias("priority"),
+        F.lit(0).alias("depth"),
+        F.col("event_id").alias("seq"),
+        "event_id",
+        "event_type",
+    )
+    out = topk_per_host(ev, k=3)
+    return out.select(
+        F.col("host").cast("bigint").alias("user_id"), "event_id", "drain_rank"
+    )
+
+
+def q05_lag_carry(spark, sf_dir):
+    """W1: prev-value carry (us_code prev_doc_num lag analog)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+
+
+def q06_explode(spark, sf_dir):
+    """X1/X2/X3: explode — one embedding row → 64 element rows."""
+    em = _t(spark, sf_dir, "embeddings")
+    return em.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select("vec_id", "pos", F.round(F.col("val").cast("double"), 6).alias("val"))
+
+
+def q07_version_hash(spark, sf_dir):
+    """C6: sha256 version hash of a canonical concat (str_to_sha256)."""
+    from gc_spark.functions.hashing import sha256_col
+
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        sha256_col(F.concat_ws("|", F.col("c_name"), F.col("c_nationkey"))).alias(
+            "version_hash"
+        ),
+    )
+
+
+def q08_json_extract(spark, sf_dir):
+    """C16: JSON body field pluck (API-scan parse analog)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("bigint"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
+def q09_except(spark, sf_dir):
+    """J4: EXCEPT — users who clicked but never errored."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    errs = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    return clicks.exceptAll(errs)
+
+
+def q10_dedup_exact(spark, sf_dir):
+    """Training-data op: exact text dedup via hash-groupBy — canonical
+    representative (min doc_id) + duplicate count per distinct text."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("dup_count")
+    ).select("keep_id", "dup_count")
+
+
+def q11_token_count(spark, sf_dir):
+    """Training-data op: token counting (whitespace tokenizer)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tokens"),
+        F.col("n_chars"),
+    )
+
+
+def q12_lang_id(spark, sf_dir):
+    """Training-data op: language-ID heuristic (stopword hit)."""
+    d = _t(spark, sf_dir, "documents")
+    is_en = (
+        F.col("text").like("% the %")
+        | F.col("text").like("the %")
+        | F.col("text").like("% a %")
+    )
+    return d.select(
+        "doc_id", F.when(is_en, "en").otherwise("other").alias("lang_guess")
+    )
+
+
+def q13_fingerprint(spark, sf_dir):
+    """Training-data op: document fingerprint — sha256 of the first 5
+    whitespace tokens (deterministic shingle prefix)."""
+    d = _t(spark, sf_dir, "documents")
+    first5 = F.array_join(F.slice(F.split(F.trim("text"), r"\s+"), 1, 5), " ")
+    return d.select("doc_id", F.sha2(first5, 256).alias("fingerprint"))
+
+
+def q14_quality_score(spark, sf_dir):
+    """Training-data op: quality scoring — stopword ratio + mean token len."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    stop = F.array(F.lit("the"), F.lit("a"), F.lit("and"), F.lit("of"))
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    return d.select(
+        "doc_id",
+        F.round(n_stop.cast("double") / F.size(toks), 6).alias("stopword_ratio"),
+        F.round(F.length(F.trim("text")).cast("double") / F.size(toks), 6).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+def q15_cosine_topk(spark, sf_dir):
+    """Similarity search: brute-force cosine top-10 against a fixed query
+    vector (F.aggregate/zip_with dot product, double precision)."""
+    em = _t(spark, sf_dir, "embeddings")
+    q = [((i * 37) % 13 - 6) / 10.0 for i in range(64)]  # deterministic query
+    qcol = F.array([F.lit(float(x)) for x in q])
+    emb_d = F.transform("embedding", lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(emb_d, qcol, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_a = F.sqrt(
+        F.aggregate(
+            F.transform(emb_d, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    norm_q = float(sum(x * x for x in q)) ** 0.5
+    sim = dot / (norm_a * F.lit(norm_q))
+    return (
+        em.select("vec_id", F.round(sim, 4).alias("sim"))
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+def q16_minhash_bands(spark, sf_dir):
+    """Dedup via MinHash+LSH banding (no SQL oracle — rows-only check):
+    shingle → 16 minhashes → 4 bands → candidate buckets with >1 doc."""
+    from gc_spark.operators.text_dedup import minhash_lsh_candidates
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(d, text_col="text", id_col="doc_id")
+
+
+def q17_simhash(spark, sf_dir):
+    """Dedup via SimHash (no SQL oracle — rows-only check)."""
+    from gc_spark.operators.text_dedup import simhash
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash(d, text_col="text", id_col="doc_id")
+
+
+def q18_url_canonicalize(spark, sf_dir):
+    """C2-C5: URL kernels over a synthesized URL column."""
+    from gc_spark.functions.urls import file_extension_col
+    from gc_spark.functions.hashing import url_hash64
+
+    p = _t(spark, sf_dir, "part")
+    url = F.concat(
+        F.lit("https://Example.MIL/files/"),
+        F.regexp_replace("p_name", " ", "_"),
+        F.lit(".pdf"),
+    )
+    return p.select(
+        "p_partkey",
+        F.lower(url).alias("canonical_url"),
+        file_extension_col(url).alias("ext"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q01_rollup": q01_rollup,
+        "q02_seen_anti_join": q02_seen_anti_join,
+        "q03_in_run_dedup": q03_in_run_dedup,
+        "q04_topk_per_host": q04_topk_per_host,
+        "q05_lag_carry": q05_lag_carry,
+        "q06_explode": q06_explode,
+        "q07_version_hash": q07_version_hash,
+        "q08_json_extract": q08_json_extract,
+        "q09_except": q09_except,
+        "q10_dedup_exact": q10_dedup_exact,
+        "q11_token_count": q11_token_count,
+        "q12_lang_id": q12_lang_id,
+        "q13_fingerprint": q13_fingerprint,
+        "q14_quality_score": q14_quality_score,
+        "q15_cosine_topk": q15_cosine_topk,
+        "q16_minhash_bands": q16_minhash_bands,
+        "q17_simhash": q17_simhash,
+        "q18_url_canonicalize": q18_url_canonicalize,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    return {
+        "q01_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   ROUND(AVG(l_quantity), 6) AS avg_qty,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q02_seen_anti_join": """
+            SELECT o_orderkey, o_custkey, o_orderstatus
+            FROM orders o
+            WHERE NOT EXISTS (
+                SELECT 1 FROM customer c
+                WHERE c.c_nationkey < 5 AND c.c_custkey = o.o_custkey
+            )
+        """,
+        "q03_in_run_dedup": """
+            SELECT user_id, event_type, event_id FROM (
+                SELECT user_id, event_type, event_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id, event_type ORDER BY event_id
+                       ) AS rn
+                FROM events
+            ) WHERE rn = 1
+        """,
+        "q04_topk_per_host": """
+            SELECT user_id, event_id, drain_rank FROM (
+                SELECT user_id, event_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id ORDER BY event_id
+                       ) AS drain_rank
+                FROM events
+            ) WHERE drain_rank <= 3
+        """,
+        "q05_lag_carry": """
+            SELECT event_id, user_id,
+                   LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY event_id
+                   ) AS prev_type
+            FROM events
+        """,
+        "q06_explode": """
+            SELECT vec_id,
+                   generate_subscripts(embedding, 1) - 1 AS pos,
+                   ROUND(CAST(UNNEST(embedding) AS DOUBLE), 6) AS val
+            FROM embeddings
+        """,
+        "q07_version_hash": """
+            SELECT c_custkey,
+                   sha256(c_name || '|' || CAST(c_nationkey AS VARCHAR)) AS version_hash
+            FROM customer
+        """,
+        "q08_json_extract": """
+            SELECT event_type, COUNT(*) AS n,
+                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+            FROM events
+            GROUP BY event_type
+        """,
+        "q09_except": """
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+            EXCEPT
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+        """,
+        "q10_dedup_exact": """
+            SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+            FROM documents GROUP BY text
+        """,
+        "q11_token_count": """
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                   n_chars
+            FROM documents
+        """,
+        "q12_lang_id": """
+            SELECT doc_id,
+                   CASE WHEN text LIKE '% the %' OR text LIKE 'the %'
+                             OR text LIKE '% a %'
+                        THEN 'en' ELSE 'other' END AS lang_guess
+            FROM documents
+        """,
+        "q13_fingerprint": """
+            SELECT doc_id,
+                   sha256(array_to_string(
+                       string_split_regex(trim(text), '\\s+')[1:5], ' '
+                   )) AS fingerprint
+            FROM documents
+        """,
+        "q14_quality_score": """
+            SELECT doc_id,
+                   ROUND(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                         t -> t IN ('the','a','and','of')))
+                         / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE),
+                         6) AS stopword_ratio,
+                   ROUND(length(trim(text))
+                         / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE),
+                         6) AS chars_per_token
+            FROM documents
+        """,
+        "q15_cosine_topk": _cosine_oracle(),
+        "q18_url_canonicalize": """
+            SELECT p_partkey,
+                   lower('https://Example.MIL/files/' || replace(p_name, ' ', '_') || '.pdf')
+                       AS canonical_url,
+                   'pdf' AS ext
+            FROM part
+        """,
+    }
+
+
+def _cosine_oracle() -> str:
+    q = [((i * 37) % 13 - 6) / 10.0 for i in range(64)]
+    qlit = "[" + ", ".join(f"CAST({x} AS DOUBLE)" for x in q) + "]"
+    return f"""
+        SELECT vec_id, ROUND(
+            list_dot_product(CAST(embedding AS DOUBLE[]), {qlit})
+            / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[])))
+               * sqrt(list_dot_product({qlit}, {qlit}))), 4) AS sim
+        FROM embeddings
+        ORDER BY sim DESC, vec_id
+        LIMIT 10
     """
-    return {}

@@ -1,0 +1,159 @@
+"""Benchmark harness.
+
+Headline metric (BASELINE.json): frontier drain throughput — URLs
+scheduled+deduped per second on a synthetic frontier generated as a pure
+function of row index (spark.range — never materialized driver-side), with a
+rank-skewed host distribution, run through the real kernels: vectorized
+canonicalization → xxhash64 → exact anti-join vs a seen-set → per-host
+politeness top-k.
+
+Also times every queries() entry from __spark_entry__ at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "frontier_drain_urls_per_sec", "value": <urls/sec>, "unit":
+   "urls/sec", "elapsed_sec": ..., "queries": {name: sec}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+SF_DIR = os.environ["SPARK_GRAFT_SF_DIR"]
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "4000000"))
+N_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "1024"))
+BUDGET = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "2000"))
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("gc_spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def synthetic_frontier(spark, n: int, hosts: int):
+    """Frontier as a deterministic function of row index; host assignment is
+    rank-skewed (u^3 concentrates mass on low host ids → hot hosts)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(n)
+    u = (F.pmod(F.xxhash64("id"), F.lit(1_000_000)) / 1_000_000.0)
+    host_id = F.least(
+        F.lit(hosts - 1), F.floor(F.pow(u, F.lit(3.0)) * hosts).cast("long")
+    )
+    return df.select(
+        F.col("id").alias("seq"),
+        F.concat(
+            F.lit("https://host"),
+            F.lpad(host_id.cast("string"), 6, "0"),
+            F.lit(".example.mil/docs/page"),
+            F.col("id").cast("string"),
+            F.lit(".pdf"),
+        ).alias("url"),
+        F.lit(0).alias("priority"),
+        F.lit(0).alias("depth"),
+    )
+
+
+def bench_frontier_drain(spark) -> dict:
+    """Timed section = the per-batch drain work: canonicalize (native,
+    whole-stage codegen; the pandas-UDF twin is property-tested byte-equal) →
+    xxhash64 → anti-join vs the stored seen-set → salted per-host top-k.
+    Seen-set construction is untimed setup: it's persistent state, written
+    once to parquet like the real `seen` table."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from gc_spark.functions.hashing import url_hash64
+    from gc_spark.functions.urls import canonicalize_url_col
+    from gc_spark.operators.politeness import topk_per_host
+
+    frontier = synthetic_frontier(spark, N_URLS, N_HOSTS)
+    seen_path = os.path.join(tempfile.mkdtemp(prefix="gc_bench_"), "seen")
+    (
+        synthetic_frontier(spark, N_URLS, N_HOSTS)
+        .filter(F.col("seq") % 3 == 0)
+        .select(url_hash64(canonicalize_url_col(F.col("url"))).alias("url_hash64"))
+        .write.parquet(seen_path)
+    )
+    seen = spark.read.parquet(seen_path)
+
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1"))
+    best, n_scheduled = None, 0
+    for _ in range(max(repeats, 1)):
+        t0 = time.time()
+        staged = (
+            frontier.withColumn("canonical_url", canonicalize_url_col(F.col("url")))
+            .withColumn("url_hash64", url_hash64(F.col("canonical_url")))
+            .withColumn(
+                "host", F.substring_index(F.substring_index("url", "/", 3), "//", -1)
+            )
+        )
+        fresh = staged.join(seen, "url_hash64", "left_anti")
+        scheduled = topk_per_host(fresh, BUDGET, salt_buckets=16)
+        n_scheduled = scheduled.count()
+        elapsed = time.time() - t0
+        best = elapsed if best is None else min(best, elapsed)
+    return {
+        "urls_in": N_URLS,
+        "scheduled": int(n_scheduled),
+        "elapsed_sec": round(best, 2),
+        "urls_per_sec": round(N_URLS / best, 1),
+        "repeats": repeats,
+    }
+
+
+def bench_queries(spark) -> dict:
+    import __spark_entry__ as entry
+
+    out = {}
+    for name, fn in entry.queries().items():
+        t0 = time.time()
+        try:
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            out[name] = round(time.time() - t0, 3)
+        except Exception as e:  # pragma: no cover
+            out[name] = f"ERROR: {type(e).__name__}"
+    return out
+
+
+def main():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    spark = build_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    frontier = bench_frontier_drain(spark)
+    only_frontier = os.environ.get("SPARK_GRAFT_BENCH_ONLY_FRONTIER") == "1"
+    queries = {} if only_frontier else bench_queries(spark)
+
+    result = {
+        "metric": "frontier_drain_urls_per_sec",
+        "value": frontier["urls_per_sec"],
+        "unit": "urls/sec",
+        "frontier": frontier,
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "cpus": CPUS,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -106,9 +106,36 @@ def canonicalize_url(url: str) -> str:
 # ---------------------------------------------------------------------------
 
 
+_FAST_URL_RE = (
+    r"^(?P<scheme>https?)://(?P<netloc>[A-Za-z0-9.-]+)"
+    r"(?P<path>/[^\s?#;]*)?(?P<query>\?[^\s#;]*)?$"
+)
+
+
 @pandas_udf(StringType())
 def canonicalize_url_udf(urls: pd.Series) -> pd.Series:
-    return urls.map(lambda u: canonicalize_url(u) if u is not None else None)
+    """Vectorized canonicalizer: a pandas str.extract fast path covers plain
+    http(s) URLs (no port/params/fragment/spaces — the overwhelming majority
+    of a real frontier); anything else falls back to the byte-exact scalar.
+    Equivalence fast-vs-scalar is property-tested (test_functions)."""
+    s = urls.str.strip()
+    parts = s.str.extract(_FAST_URL_RE)
+    fast = parts["scheme"].notna()
+    out = pd.Series([None] * len(s), index=s.index, dtype=object)
+    if fast.any():
+        q = parts.loc[fast, "query"].fillna("")
+        q = q.where(q != "?", "")  # bare '?' == empty query (urlparse drops it)
+        out[fast] = (
+            parts.loc[fast, "scheme"].str.lower()
+            + "://"
+            + parts.loc[fast, "netloc"].str.lower()
+            + parts.loc[fast, "path"].fillna("/")
+            + q
+        )
+    slow = (~fast) & s.notna()
+    if slow.any():
+        out[slow] = s[slow].map(canonicalize_url)
+    return out
 
 
 @pandas_udf(StringType())
@@ -148,6 +175,35 @@ def is_valid_web_url_udf(urls: pd.Series) -> pd.Series:
 def url_encode_spaces_col(col: Column) -> Column:
     """GCSpider.py:154-159 — single regexp_replace, stays in codegen."""
     return F.regexp_replace(col, " ", "%20")
+
+
+def canonicalize_url_col(col: Column) -> Column:
+    """Fully-native canonicalizer (whole-stage codegen, no Python) for URLs
+    that already passed is_valid_web_url: lower scheme+netloc, drop default
+    port, '' path → '/', %20-encode spaces, keep query/params/fragment.
+    Property-tested byte-equal to the scalar canonicalize_url on valid URLs
+    (test_functions). Use on the frontier hot path; the pandas UDF twin
+    handles arbitrary strings."""
+    u = F.regexp_replace(F.trim(col), " ", "%20")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    netloc = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    netloc_stripped = F.when(
+        (scheme == "http") & netloc.rlike(":80$"),
+        F.regexp_replace(netloc, ":80$", ""),
+    ).when(
+        (scheme == "https") & netloc.rlike(":443$"),
+        F.regexp_replace(netloc, ":443$", ""),
+    ).otherwise(netloc)
+    rest = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    path = F.regexp_extract(rest, r"^([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    tail = F.regexp_extract(rest, r"^[^?#]*([?#].*)?$", 1)
+    # urlparse drops an empty query ('?' with nothing before '#'/end);
+    # ';' params are kept verbatim in the path (byte-parity with the scalar
+    # is guaranteed — and property-tested — for ';'-free URLs; legacy
+    # multi-';' params URLs route through the pandas UDF in the engine)
+    tail = F.regexp_replace(tail, r"\?(?=#|$)", "")
+    return F.concat(scheme, F.lit("://"), netloc_stripped, path, F.coalesce(tail, F.lit("")))
 
 
 def fqdn_col(col: Column) -> Column:

@@ -183,6 +183,56 @@ class TestUrls:
         for r in rows:
             assert r["c"] == canonicalize_url(r["u"])
 
+    def test_canonicalize_native_col_parity(self, spark):
+        """The fully-native (codegen) canonicalizer must byte-match the
+        scalar on the valid ';'-free URL zoo (hot-path contract)."""
+        import itertools
+
+        from gc_spark.functions.urls import canonicalize_url_col
+
+        schemes = ["http", "https", "HTTP"]
+        hosts = ["X.MIL", "a-b.gov", "h.mil:8080", "h.mil:80", "h.mil:443"]
+        paths = ["", "/", "/a/b.PDF", "/a b/c", "/q"]
+        tails = ["", "?a=1&b=2", "?", "#frag", "?x#y", "#/?view=1", "?#z", ".pdf"]
+        urls = [
+            f"{s}://{h}{p}{t}"
+            for s, h, p, t in itertools.product(schemes, hosts, paths, tails)
+            if is_valid_web_url(f"{s}://{h}{p}{t}") and ";" not in f"{s}://{h}{p}{t}"
+        ]
+        df = spark.createDataFrame([(u,) for u in urls], ["u"]).select(
+            "u", canonicalize_url_col(F.col("u")).alias("c")
+        )
+        bad = [r for r in df.collect() if r["c"] != canonicalize_url(r["u"])]
+        assert not bad, bad[:5]
+
+    def test_canonicalize_fast_path_property(self, spark):
+        """The vectorized fast path must agree with the scalar on a broad URL
+        zoo (incl. fast-path hits and fallback rows)."""
+        from hypothesis import given, settings, strategies as st
+
+        host = st.from_regex(r"[a-zA-Z0-9.-]{1,20}\.(mil|gov|com)", fullmatch=True)
+        path = st.from_regex(r"(/[a-zA-Z0-9._ %-]{0,12}){0,3}", fullmatch=True)
+        query = st.one_of(st.just(""), st.from_regex(r"\?[a-z0-9=&]{0,10}", fullmatch=True))
+        frag = st.one_of(st.just(""), st.from_regex(r"#[a-z0-9/?=&]{0,10}", fullmatch=True))
+        scheme = st.sampled_from(["http", "https", "HTTP", "Https"])
+        port = st.sampled_from(["", ":80", ":443", ":8080"])
+        urls = st.builds(
+            lambda s, h, p, pa, q, f: f"{s}://{h}{p}{pa}{q}{f}", scheme, host, port, path, query, frag
+        )
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.lists(urls, min_size=1, max_size=50))
+        def check(batch):
+            import pandas as pd
+
+            from gc_spark.functions import urls as U
+
+            got = U.canonicalize_url_udf.func(pd.Series(batch))
+            for u, g in zip(batch, got):
+                assert g == canonicalize_url(u), u
+
+        check()
+
 
 class TestDates:
     def test_pub_date_scalar(self):
