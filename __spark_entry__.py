@@ -269,6 +269,115 @@ def q18_url_canonicalize(spark, sf_dir):
     )
 
 
+def q19_ann_lsh(spark, sf_dir):
+    """Similarity: multi-table LSH ANN (rows-only check; the exact brute
+    path is oracled by q15)."""
+    from gc_spark.operators.similarity import lsh_bucket_ann
+
+    em = _t(spark, sf_dir, "embeddings")
+    q = [((i * 37) % 13 - 6) / 10.0 for i in range(64)]
+    return lsh_bucket_ann(em, q, k=10, num_planes=8, probe_bits=2, num_tables=4)
+
+
+def q20_near_dup_embeddings(spark, sf_dir):
+    """Dedup: embedding-cosine near-dup pairs via LSH self-join (rows-only)."""
+    from gc_spark.operators.similarity import embedding_near_dup_pairs
+
+    em = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(em, threshold=0.9, num_planes=10, dim=64)
+
+
+def q21_media_metadata(spark, sf_dir):
+    """Multimodal: binary column → typed metadata via mapInPandas. Blobs are
+    the utf-8 bytes of documents.text (deterministic), so the fake decoder's
+    width/height/byte_len are SQL-expressible."""
+    from gc_spark.operators.multimodal import extract_media_metadata
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.concat(F.lit("blob://doc/"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.lit("image").alias("media_type"),
+        F.encode("text", "utf-8").alias("blob"),
+    )
+    return extract_media_metadata(media).select(
+        "media_ref", "byte_len", "width", "height"
+    )
+
+
+def q22_frame_sample(spark, sf_dir):
+    """Multimodal: video frame sampling — 1 row → ≤8 frame rows (rows-only)."""
+    from gc_spark.operators.multimodal import sample_video_frames
+
+    d = _t(spark, sf_dir, "documents")
+    vids = d.select(
+        F.concat(F.lit("blob://vid/"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.encode("text", "utf-8").alias("blob"),
+    )
+    return sample_video_frames(vids, every_n=40, max_frames=8).select(
+        "media_ref", "frame_idx", F.length("frame_blob").alias("frame_bytes")
+    )
+
+
+def q23_first_supported(spark, sf_dir):
+    """W2/F4: first-supported-downloadable pick over a built array column."""
+    from gc_spark.operators.enrich import first_supported_item
+
+    p = _t(spark, sf_dir, "part")
+    mk = lambda t: F.struct(  # noqa: E731
+        F.lit(t).alias("doc_type"),
+        F.concat(F.lit("https://x.mil/"), F.col("p_partkey").cast("string"), F.lit("." + t)).alias("download_url"),
+        F.lit(None).cast("string").alias("compression_type"),
+    )
+    items = F.when(
+        F.col("p_partkey") % 5 == 0, F.array(mk("exe"), mk("docx"))
+    ).otherwise(F.array(mk("exe"), mk("pdf"), mk("zip")))
+    out = first_supported_item(p.withColumn("downloadable_items", items))
+    return out.select(
+        "p_partkey", F.col("file_item.download_url").alias("picked_url")
+    )
+
+
+def q24_enrich_defaults(spark, sf_dir):
+    """J3: broadcast enrich join + coalesce of item-level over defaults."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    enriched = o.join(
+        F.broadcast(c.select("c_custkey", "c_name", "c_nationkey")),
+        o["o_custkey"] == c["c_custkey"],
+        "left",
+    )
+    return enriched.select(
+        "o_orderkey",
+        F.coalesce("c_name", F.lit("UNKNOWN")).alias("display_name"),
+        F.coalesce("c_nationkey", F.lit(-1)).cast("bigint").alias("nation"),
+    )
+
+
+def q25_union_sources(spark, sf_dir):
+    """§2.7: multi-source union into one feed (unionByName + distinct)."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "view").select("user_id")
+    return a.unionByName(b).distinct()
+
+
+def q26_carry_forward(spark, sf_dir):
+    """W1 variant: last non-null carry-forward (prev_doc_num semantics —
+    appendix rows inherit the preceding title's number)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.last(val, ignorenulls=True).over(w), 2).alias("last_purchase_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_rollup": q01_rollup,
@@ -289,6 +398,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_minhash_bands": q16_minhash_bands,
         "q17_simhash": q17_simhash,
         "q18_url_canonicalize": q18_url_canonicalize,
+        "q19_ann_lsh": q19_ann_lsh,
+        "q20_near_dup_embeddings": q20_near_dup_embeddings,
+        "q21_media_metadata": q21_media_metadata,
+        "q22_frame_sample": q22_frame_sample,
+        "q23_first_supported": q23_first_supported,
+        "q24_enrich_defaults": q24_enrich_defaults,
+        "q25_union_sources": q25_union_sources,
+        "q26_carry_forward": q26_carry_forward,
     }
 
 
@@ -396,6 +513,41 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "q15_cosine_topk": _cosine_oracle(),
+        "q21_media_metadata": """
+            SELECT 'blob://doc/' || CAST(doc_id AS VARCHAR) AS media_ref,
+                   octet_length(encode(text)) AS byte_len,
+                   CAST(64 + (ascii(substr(text, 1, 1)) % 64) * 16 AS INT) AS width,
+                   CAST(64 + (ascii(substr(text, length(text), 1)) % 64) * 16 AS INT) AS height
+            FROM documents
+        """,
+        "q23_first_supported": """
+            SELECT p_partkey,
+                   CASE WHEN p_partkey % 5 = 0 THEN NULL
+                        ELSE 'https://x.mil/' || CAST(p_partkey AS VARCHAR) || '.pdf'
+                   END AS picked_url
+            FROM part
+        """,
+        "q24_enrich_defaults": """
+            SELECT o_orderkey,
+                   COALESCE(c_name, 'UNKNOWN') AS display_name,
+                   CAST(COALESCE(c_nationkey, -1) AS BIGINT) AS nation
+            FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "q25_union_sources": """
+            SELECT DISTINCT user_id FROM (
+                SELECT user_id FROM events WHERE event_type = 'click'
+                UNION ALL
+                SELECT user_id FROM events WHERE event_type = 'view'
+            )
+        """,
+        "q26_carry_forward": """
+            SELECT event_id, user_id,
+                   ROUND(LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+                         OVER (PARTITION BY user_id ORDER BY event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                       AS last_purchase_value
+            FROM events
+        """,
         "q18_url_canonicalize": """
             SELECT p_partkey,
                    lower('https://Example.MIL/files/' || replace(p_name, ' ', '_') || '.pdf')

@@ -1,0 +1,116 @@
+"""Structured Streaming frontier drain (SURVEY.md §2.10).
+
+The reference is a cron-batch system; its streaming-shaped concerns map to
+Structured Streaming primitives:
+
+  trigger        cron 01:01 daily (crontab.sh:15-33)  → Trigger.AvailableNow
+  state store    cumulative manifest on S3            → checkpointLocation +
+                                                         the seen/frontier tables
+  politeness     per-host caps (runspider_settings)   → foreachBatch → the same
+                                                         batch top-k operator
+  late data      none in reference (re-crawl wins)    → watermark + windowed
+                                                         discovery-rate metrics
+
+Pattern: a file-source stream of newly-discovered frontier rows; every
+micro-batch runs the SAME batch operators (canonicalize → hash → dedup →
+top-k) inside foreachBatch — one code path for batch and streaming, which is
+exactly how a daily-crawl engine should absorb a continuous discovery feed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gc_spark import schema as S
+from gc_spark.functions.hashing import url_hash64
+from gc_spark.functions.urls import canonicalize_url_col
+from gc_spark.operators.politeness import topk_per_host
+
+
+DISCOVERY_SCHEMA = None  # built lazily to avoid mutating S.SEEDS (add() mutates)
+
+
+def discovery_schema():
+    from pyspark.sql.types import StructField, StructType, TimestampType
+
+    return StructType(
+        list(S.SEEDS.fields) + [StructField("discovered_at", TimestampType(), True)]
+    )
+
+
+def discovered_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream of frontier rows (schema: SEEDS + discovered_at)."""
+    return spark.readStream.schema(discovery_schema()).parquet(source_dir)
+
+
+def stage_urls(stream: DataFrame) -> DataFrame:
+    """Stateless staging: canonicalize → hash (pure codegen, streamable)."""
+    return (
+        stream.withColumn("canonical_url", canonicalize_url_col(F.col("url")))
+        .withColumn("url_hash64", url_hash64(F.col("canonical_url")))
+    )
+
+
+def discovery_rate_metrics(staged: DataFrame, window: str = "10 seconds",
+                           watermark: str = "30 seconds") -> DataFrame:
+    """Windowed per-host discovery counts with a watermark for late rows —
+    the streaming twin of the per-batch metrics table."""
+    return (
+        staged.withWatermark("discovered_at", watermark)
+        .groupBy(F.window("discovered_at", window).alias("w"), "host")
+        .agg(F.count("*").alias("urls_discovered"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "host",
+            "urls_discovered",
+        )
+    )
+
+
+def streaming_drain(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    budget_per_host: int = 10,
+    available_now: bool = True,
+):
+    """Drain the discovery stream: per micro-batch, dedup within the batch,
+    anti-join everything already scheduled (state = the parquet sink itself),
+    apply the per-host politeness top-k, append to the scheduled sink.
+
+    Returns the StreamingQuery (await with .awaitTermination())."""
+    staged = stage_urls(discovered_stream(spark, source_dir))
+
+    def _drain_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        fresh = batch_df.dropDuplicates(["url_hash64"])
+        try:
+            already = sess.read.parquet(out_dir).select("url_hash64")
+            fresh = fresh.join(already, "url_hash64", "left_anti")
+        except Exception:
+            pass  # first batch: sink doesn't exist yet
+        take = topk_per_host(
+            fresh.withColumn("priority", F.lit(0))
+            .withColumn("depth", F.lit(0))
+            .withColumn("seq", F.col("url_hash64")),
+            budget_per_host,
+        )
+        (
+            take.select(
+                "url", "canonical_url", "url_hash64", "host", "source",
+                "drain_rank", F.lit(batch_id).alias("batch_id"),
+            )
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    writer = (
+        staged.writeStream.foreachBatch(_drain_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

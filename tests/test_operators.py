@@ -1,0 +1,316 @@
+"""Operator unit tests: similarity search, multimodal plumbing, text dedup,
+bloom filter, streaming drain."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+QUERY = [((i * 37) % 13 - 6) / 10.0 for i in range(64)]
+
+
+class TestSimilarity:
+    def test_brute_force_matches_python(self, spark, embeddings):
+        from gc_spark.operators.similarity import brute_force_topk
+
+        got = brute_force_topk(embeddings, QUERY, k=5).collect()
+        rows = embeddings.collect()
+        qn = math.sqrt(sum(x * x for x in QUERY))
+
+        def cos(v):
+            d = sum(a * b for a, b in zip(v, QUERY))
+            n = math.sqrt(sum(a * a for a in v))
+            return d / (n * qn)
+
+        exp = sorted(
+            ((r["vec_id"], round(cos([float(x) for x in r["embedding"]]), 6)) for r in rows),
+            key=lambda t: (-t[1], t[0]),
+        )[:5]
+        assert [(r["vec_id"], r["sim"]) for r in got] == exp
+
+    def test_lsh_ann_recall(self, spark, embeddings):
+        """ANN with 8 planes + 1-bit probing should recover most of the exact
+        top-10 while scanning a fraction of the table."""
+        from gc_spark.operators.similarity import brute_force_topk, lsh_bucket_ann
+
+        exact = {r["vec_id"] for r in brute_force_topk(embeddings, QUERY, k=10).collect()}
+        ann = {
+            r["vec_id"]
+            for r in lsh_bucket_ann(
+                embeddings, QUERY, k=10, num_planes=8, probe_bits=2, num_tables=4
+            ).collect()
+        }
+        recall = len(exact & ann) / len(exact)
+        assert recall >= 0.7, f"recall {recall}"
+
+    def test_lsh_deterministic(self, spark, embeddings):
+        from gc_spark.operators.similarity import write_signatures
+
+        a = write_signatures(embeddings, 8, 64).select("vec_id", "lsh_sig").collect()
+        b = write_signatures(embeddings, 8, 64).select("vec_id", "lsh_sig").collect()
+        assert sorted(a) == sorted(b)
+
+    def test_near_dup_pairs_self(self, spark, embeddings):
+        """A table unioned with itself (shifted ids) must report each vector
+        as a near-dup of its copy at sim 1.0."""
+        from gc_spark.operators.similarity import embedding_near_dup_pairs
+
+        base = embeddings.limit(20)
+        copy = base.withColumn("vec_id", F.col("vec_id") + 1000)
+        both = base.unionByName(copy)
+        pairs = embedding_near_dup_pairs(both, threshold=0.999, dim=64).collect()
+        found = {(r["a"], r["b"]) for r in pairs}
+        expected = {(r["vec_id"], r["vec_id"] + 1000) for r in base.collect()}
+        assert expected <= found
+
+
+class TestTextDedup:
+    def test_minhash_finds_planted_dups(self, spark, documents):
+        from gc_spark.operators.text_dedup import minhash_lsh_candidates
+
+        base = documents.limit(10)
+        dup = base.withColumn("doc_id", F.col("doc_id") + 100000)
+        cands = minhash_lsh_candidates(base.unionByName(dup)).collect()
+        pairs = set()
+        for r in cands:
+            ids = r["doc_ids"]
+            for i in ids:
+                for j in ids:
+                    if i < j:
+                        pairs.add((i, j))
+        expected = {(r["doc_id"], r["doc_id"] + 100000) for r in base.collect()}
+        assert expected <= pairs  # exact copies always collide in every band
+
+    def test_jaccard_verify(self, spark, documents):
+        from gc_spark.operators.text_dedup import (
+            jaccard_verify_pairs,
+            minhash_lsh_candidates,
+        )
+
+        base = documents.limit(10)
+        dup = base.withColumn("doc_id", F.col("doc_id") + 100000)
+        both = base.unionByName(dup)
+        cands = minhash_lsh_candidates(both)
+        verified = jaccard_verify_pairs(both, cands, threshold=0.999).collect()
+        got = {(r["a"], r["b"]) for r in verified}
+        expected = {(r["doc_id"], r["doc_id"] + 100000) for r in base.collect()}
+        assert expected <= got
+        assert all(r["jaccard"] == 1.0 for r in verified if (r["a"], r["b"]) in expected)
+
+    def test_simhash_identical_texts_equal(self, spark, documents):
+        from gc_spark.operators.text_dedup import simhash
+
+        base = documents.limit(5)
+        dup = base.withColumn("doc_id", F.col("doc_id") + 100000)
+        out = {r["doc_id"]: r["simhash"] for r in simhash(base.unionByName(dup)).collect()}
+        for r in base.collect():
+            assert out[r["doc_id"]] == out[r["doc_id"] + 100000]
+
+
+class TestBloom:
+    def test_no_false_negatives(self, spark):
+        from gc_spark.operators.bloom import bloom_maybe_contains, build_bloom
+
+        data = spark.range(10000).select(F.xxhash64("id").alias("url_hash64"))
+        bloom = build_bloom(data, num_buckets=8, expected_per_bucket=2000, fpp=0.01)
+        probed = bloom_maybe_contains(data, bloom, num_buckets=8)
+        misses = probed.filter(~F.col("bloom_maybe")).count()
+        assert misses == 0  # members always pass
+
+    def test_fpp_bounded(self, spark):
+        from gc_spark.operators.bloom import bloom_maybe_contains, build_bloom
+
+        members = spark.range(10000).select(F.xxhash64("id").alias("url_hash64"))
+        bloom = build_bloom(members, num_buckets=8, expected_per_bucket=2000, fpp=0.01)
+        others = spark.range(10000, 30000).select(F.xxhash64("id").alias("url_hash64"))
+        fp = bloom_maybe_contains(others, bloom, num_buckets=8).filter("bloom_maybe").count()
+        assert fp / 20000 < 0.05
+
+    def test_merge(self, spark):
+        from gc_spark.operators.bloom import bloom_maybe_contains, build_bloom, merge_blooms
+
+        a = spark.range(0, 500).select(F.xxhash64("id").alias("url_hash64"))
+        b = spark.range(500, 1000).select(F.xxhash64("id").alias("url_hash64"))
+        merged = merge_blooms(
+            build_bloom(a, num_buckets=4, expected_per_bucket=500),
+            build_bloom(b, num_buckets=4, expected_per_bucket=500),
+        )
+        allrows = spark.range(0, 1000).select(F.xxhash64("id").alias("url_hash64"))
+        misses = bloom_maybe_contains(allrows, merged, num_buckets=4).filter(
+            ~F.col("bloom_maybe")
+        ).count()
+        assert misses == 0
+
+
+class TestMultimodal:
+    @pytest.fixture(scope="class")
+    def media(self, spark):
+        rows = [
+            ("blob://sha256/aa.png", "image", bytes([i % 251 for i in range(1000)])),
+            ("blob://sha256/bb.png", "image", b"\x89PNG fake"),
+            ("blob://sha256/cc.mp4", "video", bytes(range(200))),
+            ("blob://sha256/dd.wav", "audio", b"RIFF fake"),
+            ("blob://sha256/ee.png", "image", None),
+        ]
+        return spark.createDataFrame(rows, ["media_ref", "media_type", "blob"])
+
+    def test_metadata_extraction(self, spark, media):
+        from gc_spark.operators.multimodal import extract_media_metadata
+
+        out = {r["media_ref"]: r for r in extract_media_metadata(media).collect()}
+        assert out["blob://sha256/aa.png"]["byte_len"] == 1000
+        assert out["blob://sha256/aa.png"]["width"] is not None
+        assert out["blob://sha256/cc.mp4"]["duration_ms"] == 200 * 8
+        assert out["blob://sha256/ee.png"]["byte_len"] == 0
+
+    def test_resize_shape_and_determinism(self, spark, media):
+        from gc_spark.operators.multimodal import resize_images
+
+        imgs = media.filter(F.col("media_type") == "image")
+        a = {r["media_ref"]: bytes(r["blob"]) for r in resize_images(imgs, target=32).collect()}
+        b = {r["media_ref"]: bytes(r["blob"]) for r in resize_images(imgs, target=32).collect()}
+        assert a == b  # deterministic fake decode
+        assert all(len(v) > 0 for v in a.values())
+
+    def test_frame_sampling_expands_rows(self, spark, media):
+        from gc_spark.operators.multimodal import sample_video_frames
+
+        vids = media.filter(F.col("media_type") == "video")
+        frames = sample_video_frames(vids, every_n=10, max_frames=8).collect()
+        assert len(frames) == 8
+        assert sorted(r["frame_idx"] for r in frames) == list(range(8))
+
+    def test_documents_media_spans(self, spark, tmp_path):
+        from gc_spark.operators.multimodal import documents_media_spans
+        from tests.fixtures import scale_site_pages, scale_site_seeds
+        from gc_spark.plans.drain import CrawlEngine, EngineConfig
+        from gc_spark.sources.fetch import TableFetcher
+        from gc_spark.sources.tables import SnapshotStore
+        from gc_spark import schema as S
+
+        store = SnapshotStore(spark, str(tmp_path / "mm"))
+        eng = CrawlEngine(
+            spark, store, TableFetcher(scale_site_pages(spark, num_hosts=2)),
+            config=EngineConfig(budget_per_host=50, fetch_partitions=4),
+        )
+        eng.bootstrap(scale_site_seeds(spark, num_hosts=2))
+        eng.run(max_batches=10)
+        docs = store.read("documents", S.DOCUMENTS)
+        media = documents_media_spans(docs)
+        assert media.count() > 0
+        bad = media.filter(~F.col("media_ref").startswith("blob://sha256/")).count()
+        assert bad == 0
+
+
+class TestStreaming:
+    def test_streaming_drain_available_now(self, spark, tmp_path):
+        """File-source stream → foreachBatch drain → politeness-bounded sink;
+        second run with new files drains only the new URLs (dedup vs sink)."""
+        import datetime
+
+        from gc_spark.streaming.drain import streaming_drain
+
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        ts = datetime.datetime(2024, 1, 1)
+
+        from gc_spark.streaming.drain import discovery_schema
+
+        stream_schema = discovery_schema()
+
+        def write_batch(urls, subdir):
+            rows = [
+                {
+                    "source": "synthetic",
+                    "url": u,
+                    "host": u.split("/")[2],
+                    "allowed_domains": [],
+                    "discovered_at": ts,
+                }
+                for u in urls
+            ]
+            spark.createDataFrame(rows, schema=stream_schema).write.mode("append").parquet(src)
+
+        urls1 = [f"https://h{i % 3}.mil/p{i}" for i in range(30)]
+        write_batch(urls1, "a")
+        q = streaming_drain(spark, src, out, ckpt, budget_per_host=5)
+        q.awaitTermination(120)
+
+        got1 = spark.read.parquet(out)
+        assert got1.count() == 15  # 3 hosts x budget 5
+        over = got1.groupBy("host", "batch_id").count().filter("count > 5").count()
+        assert over == 0
+        sink1_urls = {r["url"] for r in got1.collect()}
+
+        # new discovery wave: overlapping + new urls. Already-scheduled
+        # overlaps are deduped vs the sink; overlaps that lost the budget
+        # race in wave 1 legitimately schedule now.
+        urls2 = urls1[:5] + [f"https://h9.mil/x{i}" for i in range(3)]
+        write_batch(urls2, "b")
+        q2 = streaming_drain(spark, src, out, ckpt, budget_per_host=5)
+        q2.awaitTermination(120)
+        got2 = spark.read.parquet(out)
+        expected = 15 + 3 + len(set(urls2[:5]) - sink1_urls)
+        assert got2.count() == expected
+        assert got2.filter(F.col("host") == "h9.mil").count() == 3
+        # no url scheduled twice, ever
+        assert got2.select("url").distinct().count() == got2.count()
+
+    def test_discovery_rate_metrics_plan(self, spark, tmp_path):
+        """Watermarked windowed agg compiles into a streaming plan."""
+        import datetime
+
+        from gc_spark.streaming.drain import (
+            discovered_stream,
+            discovery_rate_metrics,
+            stage_urls,
+        )
+
+        from gc_spark.streaming.drain import discovery_schema
+
+        src = str(tmp_path / "m_src")
+        spark.createDataFrame(
+            [
+                {
+                    "source": "s",
+                    "url": "https://h.mil/a",
+                    "host": "h.mil",
+                    "allowed_domains": [],
+                    "discovered_at": datetime.datetime(2024, 1, 1),
+                }
+            ],
+            schema=discovery_schema(),
+        ).write.parquet(src)
+        m = discovery_rate_metrics(stage_urls(discovered_stream(spark, src)))
+        q = (
+            m.writeStream.format("memory")
+            .queryName("rates")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "m_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # append-mode windowed agg emits only when the watermark passes the
+        # window, so zero rows is legal here — the assertion is that the
+        # streaming plan executes end-to-end
+        assert spark.table("rates").columns == [
+            "window_start",
+            "window_end",
+            "host",
+            "urls_discovered",
+        ]
