@@ -56,6 +56,9 @@ class EngineConfig:
     batch_ts: str = "2024-01-01T00:00:00"  # pinned (determinism) vs pipelines.py:354 now()
     max_depth: int = 32
     fetch_partitions: int = 32
+    # fold frontier+done segments into a compacted pending-only frontier
+    # every N batches (merge-on-read maintenance; 0 = never)
+    compact_every: int = 0
 
 
 class CrawlEngine:
@@ -138,7 +141,24 @@ class CrawlEngine:
             if st is None:
                 break
             stats.append(st)
+            if self.cfg.compact_every and b % self.cfg.compact_every == 0:
+                self.compact_frontier(b)
         return stats
+
+    def compact_frontier(self, after_batch: int) -> None:
+        """Merge-on-read maintenance (Iceberg compaction analog): rewrite the
+        frontier as pending-only in one segment; archive drained-history rows
+        to `fetch_log` (crawl-order provenance keeps accumulating there) and
+        reset frontier_done so future pending scans stay small. Crawl
+        semantics and batch numbering unchanged ('c'-suffixed snapshot)."""
+        frontier = self.store.read("frontier", S.FRONTIER)
+        done = self.store.read("frontier_done", _done_schema())
+        pending = frontier.join(done.select("url_hash64"), "url_hash64", "left_anti")
+        txn = self.store.begin(after_batch, suffix="c")
+        txn.replace("frontier", pending)
+        txn.append("fetch_log", done)
+        txn.replace("frontier_done", done.limit(0))
+        txn.commit()
 
     # ------------------------------------------------------------- one batch
 
@@ -360,18 +380,40 @@ class CrawlEngine:
             )
         )
 
+        # per-source counters (GCSpider stats parity: 'Required CAC',
+        # 'In Previous Hashes', scraped count — GCSpider.py:28-31,51-66)
+        def _cnt(df, col):
+            return df.groupBy("source").agg(F.count("*").alias(col))
+
         metrics = (
-            take.groupBy("source")
-            .agg(F.count("*").alias("urls_scheduled"))
-            .withColumn("batch", F.lit(batch))
-            .withColumn("urls_deduped", F.lit(n_links_raw - n_new_links))
-            .withColumn("docs_emitted", F.lit(final_docs.count()))
-            .withColumn("in_previous_hashes", F.lit(n_in_prev))
-            .withColumn("required_cac", F.lit(n_cac))
-            .withColumn("dead", F.lit(n_dead))
+            _cnt(take, "urls_scheduled")
+            .join(_cnt(links.select("source"), "links_found"), "source", "left")
+            .join(_cnt(new_frontier.select("source"), "links_new"), "source", "left")
+            .join(
+                _cnt(final_docs.select(F.col("crawler_used").alias("source")), "docs_emitted"),
+                "source",
+                "left",
+            )
+            .join(
+                _cnt(in_prev_docs.select(F.col("crawler_used").alias("source")), "in_previous_hashes"),
+                "source",
+                "left",
+            )
+            .join(
+                _cnt(cac_blocked.select(F.col("crawler_used").alias("source")), "required_cac"),
+                "source",
+                "left",
+            )
+            .join(_cnt(dead_rows.select("source"), "dead"), "source", "left")
             .select(
-                "source", "batch", "urls_scheduled", "urls_deduped", "docs_emitted",
-                "in_previous_hashes", "required_cac", "dead",
+                "source",
+                F.lit(batch).alias("batch"),
+                F.coalesce("urls_scheduled", F.lit(0)).alias("urls_scheduled"),
+                (F.coalesce("links_found", F.lit(0)) - F.coalesce("links_new", F.lit(0))).alias("urls_deduped"),
+                F.coalesce("docs_emitted", F.lit(0)).alias("docs_emitted"),
+                F.coalesce("in_previous_hashes", F.lit(0)).alias("in_previous_hashes"),
+                F.coalesce("required_cac", F.lit(0)).alias("required_cac"),
+                F.coalesce("dead", F.lit(0)).alias("dead"),
             )
         )
 

@@ -35,11 +35,19 @@ SNAP_DIR = "_snapshots"
 
 
 class Transaction:
-    """One micro-batch's uncommitted writes."""
+    """One micro-batch's uncommitted writes.
 
-    def __init__(self, store: "SnapshotStore", batch: int, base: dict[str, list[str]]):
+    `suffix` distinguishes auxiliary snapshots (e.g. compaction) that share a
+    logical batch number: '000007c.json' sorts after '000007.json' so it wins
+    as the latest state while latest_batch() still reports 7.
+    """
+
+    def __init__(
+        self, store: "SnapshotStore", batch: int, base: dict[str, list[str]], suffix: str = ""
+    ):
         self.store = store
         self.batch = batch
+        self.suffix = suffix
         # table -> ordered list of data dirs valid if this txn commits
         self.tables: dict[str, list[str]] = {k: list(v) for k, v in base.items()}
         self.lineage: list[dict] = []
@@ -50,11 +58,11 @@ class Transaction:
         return rel
 
     def append(self, table: str, df: DataFrame) -> None:
-        rel = self._write(df, f"{table}/b{self.batch:06d}")
+        rel = self._write(df, f"{table}/b{self.batch:06d}{self.suffix}")
         self.tables.setdefault(table, []).append(rel)
 
     def replace(self, table: str, df: DataFrame) -> None:
-        rel = self._write(df, f"{table}/v{self.batch:06d}")
+        rel = self._write(df, f"{table}/v{self.batch:06d}{self.suffix}")
         self.tables[table] = [rel]
 
     def add_lineage(self, rows: list[dict]) -> None:
@@ -72,7 +80,7 @@ class Transaction:
         fd, tmp = tempfile.mkstemp(dir=snap_dir, suffix=".tmp")
         with os.fdopen(fd, "w") as f:
             json.dump(snap, f)
-        os.rename(tmp, Path(snap_dir, f"{self.batch:06d}.json"))
+        os.rename(tmp, Path(snap_dir, f"{self.batch:06d}{self.suffix}.json"))
 
 
 class SnapshotStore:
@@ -113,8 +121,8 @@ class SnapshotStore:
 
     # -- txn / io ------------------------------------------------------------
 
-    def begin(self, batch: int) -> Transaction:
-        return Transaction(self, batch, self._latest_tables())
+    def begin(self, batch: int, suffix: str = "") -> Transaction:
+        return Transaction(self, batch, self._latest_tables(), suffix=suffix)
 
     def read(self, table: str, schema: StructType) -> DataFrame:
         rels = self._latest_tables().get(table, [])
@@ -132,3 +140,13 @@ class SnapshotStore:
 
     def segment_count(self, table: str) -> int:
         return len(self._latest_tables().get(table, []))
+
+    def compact(self, table: str, schema: StructType, batch: int, df: DataFrame | None = None) -> None:
+        """Fold a table's segments into one (Iceberg table-maintenance
+        analog): write the (optionally transformed) current contents as a
+        single replacement segment under a new snapshot. Old segments become
+        unreferenced orphans."""
+        cur = df if df is not None else self.read(table, schema)
+        txn = self.begin(batch, suffix="c")
+        txn.replace(table, cur)
+        txn.commit()

@@ -210,6 +210,37 @@ class TestResume:
             b = sorted(store_b.read(table, schema).collect(), key=lambda r: str(r))
             assert a == b, f"{table} diverged after resume"
 
+    def test_compaction_preserves_results(self, spark, tmp_path):
+        """Compacting the frontier every 2 batches must not change seen-set,
+        documents, or the union of fetch history."""
+        pages = scale_site_pages(spark)
+        seeds = scale_site_seeds(spark)
+
+        eng_a, store_a = _mk_engine(spark, tmp_path / "nc", pages, budget=4)
+        eng_a.bootstrap(seeds)
+        eng_a.run(max_batches=30)
+
+        eng_c, store_c = _mk_engine(spark, tmp_path / "cc", pages, budget=4, compact_every=2)
+        eng_c.bootstrap(seeds)
+        eng_c.run(max_batches=30)
+
+        for table, schema in [("seen", S.SEEN), ("documents", S.DOCUMENTS)]:
+            a = sorted(store_a.read(table, schema).collect(), key=lambda r: str(r))
+            c = sorted(store_c.read(table, schema).collect(), key=lambda r: str(r))
+            assert a == c, f"{table} diverged under compaction"
+
+        hist_a = {
+            (r["url"], r["batch"]) for r in store_a.read("frontier_done", _done_schema()).collect()
+        }
+        done_c = store_c.read("frontier_done", _done_schema())
+        log_c = store_c.read("fetch_log", _done_schema())
+        hist_c = {(r["url"], r["batch"]) for r in done_c.unionByName(log_c).collect()}
+        assert hist_a == hist_c
+        # and the frontier actually got smaller than the uncompacted one
+        assert store_c.read("frontier", S.FRONTIER).count() <= store_a.read(
+            "frontier", S.FRONTIER
+        ).count()
+
     def test_rollback(self, spark, tmp_path):
         pages = scale_site_pages(spark)
         eng, store = _mk_engine(spark, tmp_path / "rb", pages, budget=4)
