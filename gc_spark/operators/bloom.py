@@ -141,18 +141,13 @@ def bloom_maybe_contains(
         if len(h) == 0:
             return pd.Series(out)
         hv = h.to_numpy(dtype=np.int64, na_value=0).view(np.uint64)
-        # group rows by identical bloom blob to probe in bulk
-        mm = int(m.iloc[0]) if m.notna().any() else 0
-        kk = int(k.iloc[0]) if k.notna().any() else 0
-        if mm == 0:
-            return pd.Series(out)
-        # bits is constant within a join partition group in practice, but be
-        # safe: probe per unique blob
-        blobs = bits.fillna(b"")
-        for blob in blobs.unique():
-            mask = (blobs == blob).to_numpy()
-            if blob == b"" or blob is None:
-                continue
+        # rows may mix buckets (and null bits from the left join) within one
+        # Arrow batch — probe per unique blob with that group's own m/k
+        valid = bits.notna().to_numpy()
+        for blob in bits[valid].unique():
+            mask = (bits == blob).fillna(False).to_numpy()
+            mm = int(m[mask].iloc[0])
+            kk = int(k[mask].iloc[0])
             arr = np.frombuffer(blob, dtype=np.uint64)
             out[mask] = _test_bits(arr, _indices(hv[mask], mm, kk))
         return pd.Series(out)

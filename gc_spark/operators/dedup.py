@@ -74,9 +74,23 @@ def frontier_url_dedup(
     frontier_all: DataFrame,
     hash_col: str = "url_hash64",
     order_col: str = "seq",
+    bloom: DataFrame | None = None,
+    num_buckets: int = 32,
 ) -> DataFrame:
     """URLs never re-enter the frontier: within-batch first-wins + anti-join
-    vs everything ever discovered."""
+    vs everything ever discovered. With a bloom table (the partitioned
+    URL-seen filter), rows the bloom rejects skip the anti-join shuffle
+    entirely — at 10^10 frontier rows that's the difference between shuffling
+    the whole discovery wave and shuffling only the maybe-duplicates."""
     w = Window.partitionBy(hash_col).orderBy(F.col(order_col).asc())
-    in_batch = new_links.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
-    return in_batch.join(frontier_all.select(hash_col).distinct(), on=hash_col, how="left_anti")
+    in_batch = (
+        new_links.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+    seen_hashes = frontier_all.select(hash_col).distinct()
+    if bloom is not None:
+        probed = bloom_maybe_contains(in_batch, bloom, hash_col=hash_col, num_buckets=num_buckets)
+        definitely_new = probed.filter(~F.col("bloom_maybe")).drop("bloom_maybe")
+        maybe = probed.filter(F.col("bloom_maybe")).drop("bloom_maybe")
+        confirmed_new = maybe.join(seen_hashes, on=hash_col, how="left_anti")
+        return definitely_new.unionByName(confirmed_new)
+    return in_batch.join(seen_hashes, on=hash_col, how="left_anti")

@@ -209,9 +209,12 @@ class CrawlEngine:
         if self.robots is not None:
             links = _apply_robots(links, self.robots)
 
-        deduped = frontier_url_dedup(links, frontier, order_col="parent_seq")
-        # bloom pre-filter is wired inside frontier_url_dedup's exact anti-join
-        # path at scale; here the exact join is authoritative either way.
+        bloom = (
+            store.read("bloom_frontier", BLOOM_SCHEMA) if cfg.use_bloom else None
+        )
+        deduped = frontier_url_dedup(
+            links, frontier, order_col="parent_seq", bloom=bloom, num_buckets=cfg.num_buckets
+        )
         new_seq = with_dense_seq(
             deduped.select(
                 "url", "canonical_url", "url_hash64", "host", "host_hash", "source",

@@ -65,12 +65,23 @@ class HttpFetcher(Fetcher):
         timeout = self.timeout_s
         retries = self.retries
 
-        out_schema = (
-            batch.schema.add("status", "int")
-            .add("body", "string")
-            .add("kind", "string")
-            .add("media_sha", "string")
-            .add("zip_entries", "array<string>")
+        from pyspark.sql.types import (
+            ArrayType,
+            IntegerType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        out_schema = StructType(
+            list(batch.schema.fields)
+            + [
+                StructField("status", IntegerType()),
+                StructField("body", StringType()),
+                StructField("kind", StringType()),
+                StructField("media_sha", StringType()),
+                StructField("zip_entries", ArrayType(StringType())),
+            ]
         )
 
         def _fetch(parts: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

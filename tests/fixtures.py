@@ -168,6 +168,74 @@ def scale_site_pages(spark: SparkSession, **kw) -> DataFrame:
     return spark.createDataFrame(scale_site_rows(**kw), schema=PAGES)
 
 
+def json_api_rows(num_pages: int = 3, per_page: int = 4) -> list[dict]:
+    """Paginated JSON API site (S5: executive_orders/sorn shape)."""
+    import json as _json
+
+    rows = []
+    host = "api.example.mil"
+    for p in range(num_pages):
+        results = [
+            {
+                "document_number": f"{2024}-{p * per_page + i:05d}",
+                "title": f"Order {p * per_page + i}",
+                "publication_date": f"2024-02-{(i % 28) + 1:02d}",
+                "pdf_url": f"https://{host}/files/{p * per_page + i}.pdf",
+            }
+            for i in range(per_page)
+        ]
+        body = {
+            "count": num_pages * per_page,
+            "next_page_url": f"https://{host}/api/v1/documents.json?page={p + 1}"
+            if p + 1 < num_pages
+            else None,
+            "results": results,
+        }
+        rows.append(
+            {
+                "url": f"https://{host}/api/v1/documents.json?page={p}",
+                "status": 200,
+                "body": _json.dumps(body),
+                "links": None,
+                "kind": "api",
+                "media_sha": None,
+                "zip_entries": None,
+            }
+        )
+    for i in range(num_pages * per_page):
+        url = f"https://{host}/files/{i}.pdf"
+        rows.append(
+            {
+                "url": url,
+                "status": 200,
+                "body": None,
+                "links": None,
+                "kind": "binary",
+                "media_sha": media_sha_for(url),
+                "zip_entries": None,
+            }
+        )
+    return rows
+
+
+def json_api_pages(spark: SparkSession, **kw) -> DataFrame:
+    return spark.createDataFrame(json_api_rows(**kw), schema=PAGES)
+
+
+def json_api_seeds(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [
+            {
+                "source": "json_api",
+                "url": "https://api.example.mil/api/v1/documents.json?page=0",
+                "host": "api.example.mil",
+                "allowed_domains": [],
+            }
+        ],
+        schema=SEEDS,
+    )
+
+
 def scale_site_seeds(spark: SparkSession, num_hosts: int = 5) -> DataFrame:
     return spark.createDataFrame(
         [

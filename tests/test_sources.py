@@ -1,0 +1,159 @@
+"""Source-family tests: JSON-API pagination crawl (S5/X3), real HTTP fetch
+against a localhost server (S3), robots filtering, per-host budget overrides."""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from gc_spark import schema as S
+from gc_spark.plans.drain import CrawlEngine, EngineConfig, _done_schema
+from gc_spark.sources.fetch import HttpFetcher, TableFetcher
+from gc_spark.sources.tables import SnapshotStore
+
+from tests.fixtures import (
+    json_api_pages,
+    json_api_seeds,
+    scale_site_pages,
+    scale_site_seeds,
+)
+
+
+class TestJsonApiSource:
+    def test_paginated_api_crawl(self, spark, tmp_path):
+        store = SnapshotStore(spark, str(tmp_path / "api"))
+        eng = CrawlEngine(
+            spark,
+            store,
+            TableFetcher(json_api_pages(spark)),
+            config=EngineConfig(budget_per_host=10, fetch_partitions=4),
+        )
+        eng.bootstrap(json_api_seeds(spark))
+        stats = eng.run(max_batches=10)
+
+        # 3 api pages chained by next_page_url -> 3 batches (depth growth)
+        assert len(stats) == 3
+        done = store.read("frontier_done", _done_schema())
+        assert done.count() == 3
+
+        seen = store.read("seen", S.SEEN)
+        assert seen.count() == 12  # 3 pages x 4 docs, all downloaded
+        names = {r["doc_name"] for r in seen.collect()}
+        assert "API 2024-00000" in names and "API 2024-00011" in names
+
+        docs = store.read("documents", S.DOCUMENTS)
+        media = docs.select(F.explode("spans").alias("s")).filter(
+            F.col("s.kind") == "media"
+        )
+        assert media.count() == 12
+        assert media.filter(~F.col("s.media_ref").endswith(".pdf")).count() == 0
+
+
+class _Handler:
+    """Tiny stdlib HTTP server serving deterministic pages."""
+
+    @staticmethod
+    def make(pages: dict[str, tuple[int, str]]):
+        from http.server import BaseHTTPRequestHandler
+
+        class H(BaseHTTPRequestHandler):
+            def do_GET(self):
+                status, body = pages.get(self.path, (404, "not found"))
+                data = body.encode()
+                self.send_response(status)
+                self.send_header("Content-Type", "text/html")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def log_message(self, *a):  # silence
+                pass
+
+        return H
+
+
+class TestHttpFetcher:
+    @pytest.fixture(scope="class")
+    def server(self):
+        from http.server import ThreadingHTTPServer
+
+        pages = {
+            "/list": (200, '<ul><li><a href="/doc/1">Doc 1</a></li></ul>'),
+            "/doc/1": (200, "<h1>hello</h1><p>world</p>"),
+            "/boom": (500, "server error"),
+        }
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), _Handler.make(pages))
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        yield f"http://127.0.0.1:{srv.server_address[1]}"
+        srv.shutdown()
+
+    def test_real_http_fetch(self, spark, server):
+        """The production fetch path (mapInPandas + requests + politeness
+        delay) against a real localhost socket."""
+        batch = spark.createDataFrame(
+            [
+                (f"{server}/list", "s", 0, 0),
+                (f"{server}/doc/1", "s", 0, 1),
+                (f"{server}/missing", "s", 0, 2),
+                (f"{server}/boom", "s", 0, 3),
+            ],
+            ["url", "source", "depth", "seq"],
+        )
+        fetcher = HttpFetcher(delay_ms=10, timeout_s=2.0, retries=1)
+        out = {r["url"]: r for r in fetcher.fetch(batch).collect()}
+        assert out[f"{server}/list"]["status"] == 200
+        assert "Doc 1" in out[f"{server}/list"]["body"]
+        assert out[f"{server}/doc/1"]["media_sha"] is not None
+        assert out[f"{server}/missing"]["status"] == 404
+        assert out[f"{server}/boom"]["status"] == 500
+
+
+class TestRobotsAndBudgets:
+    def test_robots_disallow_blocks_links(self, spark, tmp_path):
+        robots = spark.createDataFrame(
+            [("host00.example.mil", [], ["/doc"])], schema=S.ROBOTS
+        )
+        store = SnapshotStore(spark, str(tmp_path / "rb"))
+        eng = CrawlEngine(
+            spark,
+            store,
+            TableFetcher(scale_site_pages(spark, num_hosts=2)),
+            config=EngineConfig(budget_per_host=50, fetch_partitions=4),
+            robots=robots,
+        )
+        eng.bootstrap(scale_site_seeds(spark, num_hosts=2))
+        eng.run(max_batches=10)
+        done = store.read("frontier_done", _done_schema())
+        # host00's /doc/* links never scheduled; its /list/* pages still are
+        h0 = [r["url"] for r in done.filter(F.col("host") == "host00.example.mil").collect()]
+        assert all("/doc/" not in u for u in h0)
+        assert any("/list/" in u for u in h0)
+        # host01 unaffected
+        h1 = [r["url"] for r in done.filter(F.col("host") == "host01.example.mil").collect()]
+        assert any("/doc/" in u for u in h1)
+
+    def test_per_host_budget_override(self, spark, tmp_path):
+        budgets = spark.createDataFrame(
+            [("host00.example.mil", 0, 2, 100)], schema=S.HOSTS
+        ).select("host", "budget_per_batch")
+        store = SnapshotStore(spark, str(tmp_path / "hb"))
+        eng = CrawlEngine(
+            spark,
+            store,
+            TableFetcher(scale_site_pages(spark, num_hosts=2)),
+            config=EngineConfig(budget_per_host=50, fetch_partitions=4),
+            host_budgets=budgets,
+        )
+        eng.bootstrap(scale_site_seeds(spark, num_hosts=2))
+        eng.run(max_batches=30)
+        done = store.read("frontier_done", _done_schema())
+        per = done.groupBy("host", "batch").count()
+        assert per.filter(
+            (F.col("host") == "host00.example.mil") & (F.col("count") > 2)
+        ).count() == 0
+        assert per.filter(
+            (F.col("host") == "host01.example.mil") & (F.col("count") > 2)
+        ).count() > 0  # default budget lets the other host go wide
