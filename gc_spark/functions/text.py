@@ -66,6 +66,17 @@ def display_title_col(doc_type: Column, doc_num: Column, doc_title: Column) -> C
     return F.concat(doc_type, F.lit(" "), doc_num, F.lit(": "), doc_title)
 
 
+def display_map_col(col: Column, mapping: dict[str, str], default: Column | None = None) -> Column:
+    """C13 display-type lookup maps (dod_issuances_spider.py:30-40,
+    jcs_pubs_spider.py:22-34): a small dict as a literal create_map lookup —
+    stays in codegen, no join."""
+    pairs = []
+    for k, v in mapping.items():
+        pairs += [F.lit(k), F.lit(v)]
+    looked = F.create_map(*pairs)[col]
+    return F.coalesce(looked, default if default is not None else col)
+
+
 def squash_spaces(text: str) -> str:
     import re
 

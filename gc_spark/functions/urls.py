@@ -206,6 +206,25 @@ def canonicalize_url_col(col: Column) -> Column:
     return F.concat(scheme, F.lit("://"), netloc_stripped, path, F.coalesce(tail, F.lit("")))
 
 
+def encode_url_params(params: dict) -> str:
+    """GCSpider.py:175-178 — dict → querystring."""
+    import urllib.parse
+
+    return urllib.parse.urlencode(params)
+
+
+def in_allowed_domains_col(host_col: Column, allowed_col: Column) -> Column:
+    """F7 domain-scope filter (Scrapy allowed_domains offsite rule): True when
+    the allowed list is empty/null, else when host equals a domain or is a
+    subdomain of one. Native expressions only."""
+    no_scope = allowed_col.isNull() | (F.size(allowed_col) == 0)
+    matches = F.exists(
+        allowed_col,
+        lambda d: (host_col == d) | host_col.endswith(F.concat(F.lit("."), d)),
+    )
+    return no_scope | matches
+
+
 def fqdn_col(col: Column) -> Column:
     """Hostname via built-in parse_url (lowercased netloc sans userinfo).
 

@@ -71,6 +71,7 @@ class CrawlEngine:
         config: EngineConfig | None = None,
         host_budgets: DataFrame | None = None,
         robots: DataFrame | None = None,
+        scope: DataFrame | None = None,
     ):
         self.spark = spark
         self.store = store
@@ -79,6 +80,9 @@ class CrawlEngine:
         self.cfg = config or EngineConfig()
         self.host_budgets = host_budgets
         self.robots = robots
+        # F7 allowed_domains offsite rule: small (source, allowed_domains)
+        # config, broadcast-joined onto discovered links
+        self.scope = scope
 
     # ------------------------------------------------------------------ util
 
@@ -206,6 +210,19 @@ class CrawlEngine:
             .withColumn("host", fqdn_col(F.col("url")))
             .withColumn("host_hash", F.pmod(F.xxhash64("host"), F.lit(cfg.num_buckets)).cast("int"))
         )
+        if self.scope is not None:
+            from gc_spark.functions.urls import in_allowed_domains_col
+
+            sc = F.broadcast(
+                self.scope.select(
+                    F.col("source").alias("_s"), F.col("allowed_domains").alias("_ad")
+                )
+            )
+            links = (
+                links.join(sc, links["source"] == F.col("_s"), "left")
+                .filter(in_allowed_domains_col(F.col("host"), F.col("_ad")))
+                .drop("_s", "_ad")
+            )
         if self.robots is not None:
             links = _apply_robots(links, self.robots)
 

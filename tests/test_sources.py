@@ -111,6 +111,110 @@ class TestHttpFetcher:
         assert out[f"{server}/boom"]["status"] == 500
 
 
+class TestScopeAndHelpers:
+    def test_allowed_domains_offsite_filter(self, spark, tmp_path):
+        """F7: a listing that links offsite — scoped source never schedules
+        the offsite URL; unscoped source would."""
+        from gc_spark.schema import PAGES, SEEDS
+
+        pages = spark.createDataFrame(
+            [
+                {
+                    "url": "https://in.mil/list/0",
+                    "status": 200,
+                    "body": '<ul><li><a href="/doc/1">a</a></li>'
+                    '<li><a href="https://offsite.com/doc/2">b</a></li></ul>',
+                    "links": None,
+                    "kind": "listing",
+                    "media_sha": None,
+                    "zip_entries": None,
+                },
+                {
+                    "url": "https://in.mil/doc/1",
+                    "status": 200,
+                    "body": "<h1>in-doc</h1><p>t</p>",
+                    "links": None,
+                    "kind": "detail",
+                    "media_sha": None,
+                    "zip_entries": None,
+                },
+                {
+                    "url": "https://offsite.com/doc/2",
+                    "status": 200,
+                    "body": "<h1>off-doc</h1><p>t</p>",
+                    "links": None,
+                    "kind": "detail",
+                    "media_sha": None,
+                    "zip_entries": None,
+                },
+            ],
+            schema=PAGES,
+        )
+        seeds = spark.createDataFrame(
+            [
+                {
+                    "source": "synthetic",
+                    "url": "https://in.mil/list/0",
+                    "host": "in.mil",
+                    "allowed_domains": ["in.mil"],
+                }
+            ],
+            schema=SEEDS,
+        )
+        store = SnapshotStore(spark, str(tmp_path / "scope"))
+        eng = CrawlEngine(
+            spark,
+            store,
+            TableFetcher(pages),
+            config=EngineConfig(budget_per_host=10, fetch_partitions=4),
+            scope=seeds.select("source", "allowed_domains"),
+        )
+        eng.bootstrap(seeds)
+        eng.run(max_batches=5)
+        fetched = {r["url"] for r in store.read("frontier_done", _done_schema()).collect()}
+        assert "https://in.mil/doc/1" in fetched
+        assert "https://offsite.com/doc/2" not in fetched
+
+    def test_manifest_jsonl_roundtrip(self, spark, tmp_path):
+        """S7/S8: JSON-lines manifest read + feed export."""
+        import json
+
+        from gc_spark.sources.manifest import read_manifest_jsonl, write_feed_jsonl
+
+        p = tmp_path / "manifest.json"
+        rows = [
+            {"version_hash": "a" * 64, "doc_name": "Doc A", "crawler_used": "x",
+             "access_timestamp": "2022-05-20 17:45:56.579087"},
+            {"version_hash": "b" * 64, "doc_name": "Doc B", "crawler_used": None,
+             "access_timestamp": "2022-05-20 17:45:57"},
+        ]
+        p.write_text("\n".join(json.dumps(r) for r in rows) + "\n\n")
+        seen = read_manifest_jsonl(spark, str(p))
+        got = {r["version_hash"]: r["crawler_used"] for r in seen.collect()}
+        assert got == {"a" * 64: "x", "b" * 64: None}
+
+        out = tmp_path / "feed"
+        write_feed_jsonl(seen.drop("url_hash64"), str(out))
+        back = spark.read.json(str(out))
+        assert back.count() == 2
+
+    def test_encode_url_params_and_display_map(self, spark):
+        from gc_spark.functions.text import display_map_col
+        from gc_spark.functions.urls import encode_url_params
+
+        assert encode_url_params({"page": 1, "per_page": 1000}) == "page=1&per_page=1000"
+        df = spark.createDataFrame([("CI",), ("CJCSI",), ("???",)], ["t"])
+        got = [
+            r["d"]
+            for r in df.select(
+                display_map_col(
+                    F.col("t"), {"CI": "Instruction", "CJCSI": "Instruction CJCS"}
+                ).alias("d")
+            ).collect()
+        ]
+        assert got == ["Instruction", "Instruction CJCS", "???"]
+
+
 class TestRobotsAndBudgets:
     def test_robots_disallow_blocks_links(self, spark, tmp_path):
         robots = spark.createDataFrame(
