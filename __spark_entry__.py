@@ -146,11 +146,20 @@ def q08_json_extract(spark, sf_dir):
 
 
 def q09_except(spark, sf_dir):
-    """J4: EXCEPT — users who clicked but never errored."""
+    """J4: EXCEPT — high-value purchasers who never triggered an error on a
+    high-value event (non-empty at every sf, unlike a bare type EXCEPT)."""
     ev = _t(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
-    errs = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
-    return clicks.exceptAll(errs)
+    buyers = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 90))
+        .select("user_id")
+        .distinct()
+    )
+    errs = (
+        ev.filter((F.col("event_type") == "error") & (F.col("value") > 90))
+        .select("user_id")
+        .distinct()
+    )
+    return buyers.exceptAll(errs)
 
 
 def q10_dedup_exact(spark, sf_dir):
@@ -473,9 +482,11 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY event_type
         """,
         "q09_except": """
-            SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'purchase' AND value > 90
             EXCEPT
-            SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'error' AND value > 90
         """,
         "q10_dedup_exact": """
             SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count

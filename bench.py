@@ -118,6 +118,83 @@ def bench_frontier_drain(spark) -> dict:
     }
 
 
+def bench_engine_drain(spark) -> dict:
+    """Full CrawlEngine drain_one over a synthetic frontier of detail pages —
+    fetch join + Arrow extract + doc pipeline + span assembly + snapshot
+    commit. Pages and frontier are built with Spark expressions (never
+    materialized driver-side)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from gc_spark import schema as S
+    from gc_spark.plans.drain import CrawlEngine, EngineConfig
+    from gc_spark.sources.fetch import TableFetcher
+    from gc_spark.sources.tables import SnapshotStore
+
+    n = int(os.environ.get("SPARK_GRAFT_BENCH_ENGINE_URLS", "200000"))
+    hosts = 512
+
+    base = spark.range(n).select(
+        F.col("id"),
+        F.concat(
+            F.lit("host"), F.lpad((F.col("id") % hosts).cast("string"), 4, "0"), F.lit(".example.mil")
+        ).alias("host"),
+    )
+    url = F.concat(F.lit("https://"), F.col("host"), F.lit("/doc/"), F.col("id").cast("string"))
+    doc_name = F.concat(F.col("host"), F.lit("-doc-"), F.col("id").cast("string"))
+    pages = base.select(
+        url.alias("url"),
+        F.lit(200).alias("status"),
+        F.concat(
+            F.lit("<h1>"), doc_name, F.lit("</h1><span class=\"date\">2024-01-02</span><p>text "),
+            doc_name, F.lit("</p>"),
+        ).alias("body"),
+        F.lit(None).cast("array<string>").alias("links"),
+        F.lit("detail").alias("kind"),
+        F.lit(None).cast("string").alias("media_sha"),
+        F.lit(None).cast("array<string>").alias("zip_entries"),
+    )
+    frontier = base.select(
+        url.alias("url"),
+        url.alias("canonical_url"),
+        F.xxhash64(url).alias("url_hash64"),
+        F.col("host"),
+        F.pmod(F.xxhash64("host"), F.lit(32)).cast("int").alias("host_hash"),
+        F.lit("synthetic").alias("source"),
+        F.lit(0).alias("priority"),
+        F.lit(0).alias("depth"),
+        F.lit(0).alias("discovered_at_batch"),
+        F.col("id").alias("seq"),
+        F.lit("pending").alias("state"),
+    )
+
+    store = SnapshotStore(spark, tempfile.mkdtemp(prefix="gc_engine_bench_"))
+    txn = store.begin(0)
+    txn.replace("frontier", frontier)
+    txn.commit()
+    eng = CrawlEngine(
+        spark,
+        store,
+        TableFetcher(pages),
+        config=EngineConfig(
+            budget_per_host=max(n // hosts + 1, 1),
+            use_bloom=False,
+            fetch_partitions=CPUS,
+            collect_stats=False,
+        ),
+    )
+    t0 = time.time()
+    st = eng.drain_one(1)
+    elapsed = time.time() - t0
+    return {
+        "urls_in": n,
+        "scheduled": st["scheduled"] if st else 0,
+        "elapsed_sec": round(elapsed, 2),
+        "urls_per_sec": round(n / elapsed, 1),
+    }
+
+
 def bench_queries(spark) -> dict:
     import __spark_entry__ as entry
 
@@ -141,12 +218,14 @@ def main():
     frontier = bench_frontier_drain(spark)
     only_frontier = os.environ.get("SPARK_GRAFT_BENCH_ONLY_FRONTIER") == "1"
     queries = {} if only_frontier else bench_queries(spark)
+    engine = {} if only_frontier else bench_engine_drain(spark)
 
     result = {
         "metric": "frontier_drain_urls_per_sec",
         "value": frontier["urls_per_sec"],
         "unit": "urls/sec",
         "frontier": frontier,
+        "engine_drain": engine,
         "queries": queries,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "cpus": CPUS,

@@ -59,6 +59,9 @@ class EngineConfig:
     # fold frontier+done segments into a compacted pending-only frontier
     # every N batches (merge-on-read maintenance; 0 = never)
     compact_every: int = 0
+    # False skips driver-side counts that exist only for the returned stats
+    # dict (the metrics TABLE is unaffected) - fewer jobs per batch
+    collect_stats: bool = True
 
 
 class CrawlEngine:
@@ -245,7 +248,7 @@ class CrawlEngine:
         )
         new_frontier = new_frontier.persist()
         n_new_links = new_frontier.count()
-        n_links_raw = links.count()
+        n_links_raw = links.count() if cfg.collect_stats else -1
 
         # ---- docs ---------------------------------------------------------
         docs_raw = (
@@ -293,13 +296,13 @@ class CrawlEngine:
         docs = docs.withColumn("access_timestamp", F.lit(cfg.batch_ts))
         docs = docs.withColumn("source_fqdn", fqdn_col(F.col("source_page_url")))
         docs = docs.persist()
-        n_docs = docs.count()
+        n_docs = docs.count() if cfg.collect_stats else -1
 
         # seen-set anti-join (F1/J1)
         seen = store.read("seen", S.SEEN)
         fresh = anti_join_seen(docs, seen, key="version_hash").persist()
         n_fresh = fresh.count()
-        n_in_prev = n_docs - n_fresh
+        n_in_prev = (n_docs - n_fresh) if cfg.collect_stats else -1
 
         # schema-validation filter (F8) → dead_letter
         from gc_spark.operators.enrich import validate_items
@@ -316,7 +319,7 @@ class CrawlEngine:
         # CAC split (F3)
         cac_blocked = fresh_valid.filter(F.col("cac_login_required"))
         to_fetch = fresh_valid.filter(~F.col("cac_login_required"))
-        n_cac = cac_blocked.count()
+        n_cac = cac_blocked.count() if cfg.collect_stats else -1
 
         # first supported downloadable item (W2/F4) + download fetch
         supported = F.array([F.lit(x) for x in ["pdf", "html", "txt", "zip"]])
@@ -338,7 +341,7 @@ class CrawlEngine:
             (F.col("status") >= 200) & (F.col("status") < 300) & F.col("media_sha").isNotNull()
         )
         dl_failed = dl_fetched.join(dl_ok.select("doc_seq"), "doc_seq", "left_anti")
-        n_dead = dl_failed.count()
+        n_dead = dl_failed.count() if cfg.collect_stats else -1
 
         # zip explode (X1): children replace parents
         exploded = explode_zip_items(
@@ -463,7 +466,7 @@ class CrawlEngine:
         txn.add_lineage(
             [
                 {"batch": batch, "table": "frontier", "rows": int(n_new_links)},
-                {"batch": batch, "table": "documents", "rows": int(final_docs.count())},
+                {"batch": batch, "table": "documents", "rows": int(final_docs.count()) if cfg.collect_stats else -1},
                 {"batch": batch, "table": "seen", "rows": int(n_fresh)},
             ]
         )
