@@ -86,6 +86,8 @@ class CrawlEngine:
         # F7 allowed_domains offsite rule: small (source, allowed_domains)
         # config, broadcast-joined onto discovered links
         self.scope = scope
+        # per-source display defaults for the 22-field feed (J3); optional
+        self.source_config: DataFrame | None = None
 
     # ------------------------------------------------------------------ util
 
@@ -390,18 +392,19 @@ class CrawlEngine:
             )
         ).unionByName(invalid_rows)
 
-        # crawl feed: exploded/inline docs PLUS manifest-skipped items (the
-        # reference still exports items whose hash was in previous_hashes,
-        # pipelines.py:125-129 "dont download anything just send item to
-        # crawl output")
+        # crawl feed membership (reference parity): exploded/inline docs PLUS
+        # manifest-skipped items (pipelines.py:125-129 "dont download anything
+        # just send item to crawl output") PLUS failed-download items
+        # (item_completed adds to dead queue but still returns the item)
         in_prev_docs = docs.join(fresh.select("doc_seq"), "doc_seq", "left_anti")
-        emitted = final_docs.select(
-            "crawler_used", "doc_name", "version_hash", F.lit(batch).alias("batch")
-        ).unionByName(
-            in_prev_docs.select(
-                "crawler_used", "doc_name", "version_hash", F.lit(batch).alias("batch")
-            )
+        feed_docs = (
+            final_docs.unionByName(in_prev_docs, allowMissingColumns=True)
+            .unionByName(dl_failed, allowMissingColumns=True)
         )
+        emitted = feed_docs.select(
+            "crawler_used", "doc_name", "version_hash", F.lit(batch).alias("batch")
+        )
+        feed = _build_feed(feed_docs, self.source_config, cfg.batch_ts)
 
         # per-source counters (GCSpider stats parity: 'Required CAC',
         # 'In Previous Hashes', scraped count — GCSpider.py:28-31,51-66)
@@ -452,6 +455,7 @@ class CrawlEngine:
         if n_fresh:
             txn.append("seen", new_seen)
         txn.append("doc_items", emitted)
+        txn.append("feed", feed)
         txn.append("dead_letter", dead_rows)
         txn.append("metrics", metrics)
         if cfg.use_bloom and n_new_links:
@@ -527,6 +531,62 @@ def _apply_robots(links: DataFrame, robots: DataFrame) -> DataFrame:
     path = F.parse_url(F.col("url"), F.lit("PATH"))
     blocked = F.exists("_disallow", lambda p: path.startswith(p))
     return joined.filter(~F.coalesce(blocked, F.lit(False))).drop("_disallow")
+
+
+def _build_feed(feed_docs: DataFrame, source_config: DataFrame | None, batch_ts: str) -> DataFrame:
+    """Full 22-field DocItem rows (output_spec.json:29-52) for the crawl
+    feed: item-level values win; source defaults / derivations fill gaps
+    (AdditionalFieldsPipeline semantics, pipelines.py:319-372)."""
+    from gc_spark.functions.text import display_title_col
+    from gc_spark.functions.urls import file_extension_col
+
+    d = feed_docs
+    if source_config is not None:
+        from gc_spark.operators.enrich import enrich_with_source_defaults
+
+        d = enrich_with_source_defaults(d, source_config, batch_ts)
+    else:
+        for col, default in [
+            ("display_org", "Unlisted Org"),
+            ("data_source", "Unlisted Source"),
+            ("source_title", "Unlisted Source"),
+        ]:
+            if col not in d.columns:
+                d = d.withColumn(col, F.lit(default))
+
+    dl_url = F.coalesce(
+        F.col("download_url"), F.col("file_item.download_url")
+    ) if "file_item" in d.columns else F.col("download_url")
+
+    return d.select(
+        F.col("doc_name"),
+        F.col("doc_title"),
+        F.col("doc_num"),
+        F.col("doc_type"),
+        F.coalesce("display_doc_type", "doc_type").alias("display_doc_type"),
+        F.coalesce("publication_date", F.lit("N/A")).alias("publication_date"),
+        F.coalesce("cac_login_required", F.lit(False)).alias("cac_login_required"),
+        F.col("crawler_used"),
+        F.col("source_page_url"),
+        F.coalesce(F.col("source_fqdn"), F.parse_url("source_page_url", F.lit("HOST"))).alias(
+            "source_fqdn"
+        ),
+        dl_url.alias("download_url"),
+        F.col("downloadable_items"),
+        F.col("version_hash_raw_data"),
+        F.col("version_hash"),
+        F.coalesce("access_timestamp", F.lit(batch_ts)).alias("access_timestamp"),
+        F.col("display_org"),
+        F.concat_ws(" - ", "data_source", "source_title").alias("display_source"),
+        F.coalesce(
+            display_title_col(F.col("doc_type"), F.col("doc_num"), F.col("doc_title")),
+            F.col("doc_title"),
+        ).alias("display_title"),
+        F.col("data_source"),
+        F.col("source_title"),
+        F.coalesce(file_extension_col(dl_url), F.lit("html")).alias("file_ext"),
+        F.lit(False).alias("is_revoked"),
+    )
 
 
 def _build_documents(final_docs: DataFrame) -> DataFrame:

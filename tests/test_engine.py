@@ -79,6 +79,27 @@ class TestUSCodeGoldenParity:
         ).count()
         assert bad == 0
 
+    def test_feed_22_fields(self, spark, us_code_run):
+        """The crawl feed carries the full 22-field DocItem record
+        (output_spec.json:29-52), including the failed-download item."""
+        store, _ = us_code_run
+        feed = store.read("feed", S.DOC_ITEMS)
+        assert set(feed.columns) == {f.name for f in S.DOC_ITEMS.fields}
+        assert feed.count() == 64  # 63 golden + 1 dead-download item
+        required_nulls = feed.filter(
+            F.col("doc_name").isNull()
+            | F.col("crawler_used").isNull()
+            | F.col("version_hash").isNull()
+            | F.col("source_page_url").isNull()
+            | F.col("access_timestamp").isNull()
+        ).count()
+        assert required_nulls == 0
+        # spot-check derived fields
+        row = feed.filter(F.col("doc_name") == "Title 1 - General Provisions").first()
+        assert row["display_title"] == "Title 1: General Provisions"
+        assert row["file_ext"] == "zip"
+        assert row["source_fqdn"] == "uscode.house.gov"
+
     def test_prev_manifest_filtering(self, spark, tmp_path_factory):
         """Second crawl with the first run's manifest: everything filtered,
         nothing re-downloaded (pipelines.py:125-129)."""
