@@ -15,6 +15,6 @@ from gc_spark.extractors.base import (
     registry,
     run_extractors,
 )
-from gc_spark.extractors import json_api, synthetic, us_code  # noqa: F401 (register on import)
+from gc_spark.extractors import issuances, json_api, synthetic, us_code  # noqa: F401 (register on import)
 
 __all__ = ["Extractor", "register", "registry", "run_extractors", "EXTRACTED_SCHEMA"]

@@ -236,6 +236,66 @@ def json_api_seeds(spark: SparkSession) -> DataFrame:
     )
 
 
+def issuances_rows(n_docs: int = 8) -> list[dict]:
+    """Table-listing site (dod_issuances shape): doc-type prefixes, dates in
+    mixed formats, OPR cells with planted phone numbers/emails, one
+    CAC-gated row."""
+    host = "issuances.example.mil"
+    trs = []
+    for i in range(n_docs):
+        prefix = ["DTMS", "DODD", "DODI"][i % 3]
+        title = f"Policy Memo {i}" + (" CAC" if i == 5 else "")
+        date = ["3/4/2024", "2024-03-05", "06 March 2024"][i % 3]
+        opr = f"Office {i} 703-555-010{i % 10} contact{i}@example.mil"
+        trs.append(
+            f'<tr><td><a href="/pdf/doc{i}.pdf">{prefix} 24-00{i}</a></td>'
+            f"<td>{title}</td><td>{date}</td><td>{opr}</td></tr>"
+        )
+    rows = [
+        {
+            "url": f"https://{host}/listing",
+            "status": 200,
+            "body": "<table>" + "".join(trs) + "</table>",
+            "links": None,
+            "kind": "listing",
+            "media_sha": None,
+            "zip_entries": None,
+        }
+    ]
+    for i in range(n_docs):
+        url = f"https://{host}/pdf/doc{i}.pdf"
+        rows.append(
+            {
+                "url": url,
+                "status": 200,
+                "body": None,
+                "links": None,
+                "kind": "binary",
+                "media_sha": media_sha_for(url),
+                "zip_entries": None,
+            }
+        )
+    return rows
+
+
+def issuances_pages(spark: SparkSession, **kw) -> DataFrame:
+    return spark.createDataFrame(issuances_rows(**kw), schema=PAGES)
+
+
+def issuances_seeds(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [
+            {
+                "source": "issuances",
+                "url": "https://issuances.example.mil/listing",
+                "host": "issuances.example.mil",
+                "allowed_domains": [],
+            }
+        ],
+        schema=SEEDS,
+    )
+
+
 def scale_site_seeds(spark: SparkSession, num_hosts: int = 5) -> DataFrame:
     return spark.createDataFrame(
         [

@@ -51,6 +51,43 @@ class TestJsonApiSource:
         assert media.filter(~F.col("s.media_ref").endswith(".pdf")).count() == 0
 
 
+class TestIssuancesSource:
+    def test_table_listing_crawl(self, spark, tmp_path):
+        """dod_issuances-style source: display maps (C13), fix_oprs (C10),
+        mixed-format dates (C8), CAC gating (F3) — all through the engine."""
+        from tests.fixtures import issuances_pages, issuances_seeds
+
+        store = SnapshotStore(spark, str(tmp_path / "iss"))
+        eng = CrawlEngine(
+            spark,
+            store,
+            TableFetcher(issuances_pages(spark)),
+            config=EngineConfig(budget_per_host=10, fetch_partitions=4),
+        )
+        eng.bootstrap(issuances_seeds(spark))
+        eng.run(max_batches=5)
+
+        feed = store.read("feed", S.DOC_ITEMS)
+        rows = {r["doc_name"]: r for r in feed.collect()}
+        assert len(rows) == 8
+        # display map applied
+        assert rows["DODD 24-001"]["doc_type"] == "Directive"
+        assert rows["DODI 24-002"]["doc_type"] == "Instruction"
+        assert rows["DTMS 24-000"]["doc_type"] == "DTM"
+        # mixed-format dates all normalized
+        assert rows["DTMS 24-000"]["publication_date"] == "2024-03-04T00:00:00"
+        assert rows["DODD 24-001"]["publication_date"] == "2024-03-05T00:00:00"
+        assert rows["DODI 24-002"]["publication_date"] == "2024-03-06T00:00:00"
+        # OPR scrubbed of phone + email in the hash raw data
+        opr = rows["DTMS 24-000"]["version_hash_raw_data"]["opr"]
+        assert "703" not in opr and "@" not in opr and opr.startswith("Office 0")
+        # CAC-gated row: in feed, NOT in seen
+        assert rows["DODI 24-005"]["cac_login_required"] is True
+        seen_names = {r["doc_name"] for r in store.read("seen", S.SEEN).collect()}
+        assert "DODI 24-005" not in seen_names
+        assert len(seen_names) == 7
+
+
 class _Handler:
     """Tiny stdlib HTTP server serving deterministic pages."""
 
