@@ -1,0 +1,53 @@
+"""Recommended Spark session configuration for gc_spark at scale.
+
+One place for the spill/skew/shuffle knobs so local tests, bench, and a real
+1000-executor `spark-submit --py-files` deployment share the same tuning
+rationale:
+
+  - AQE on, with skew-join splitting: the frontier's host distribution is
+    Zipf-like (a few .gov hosts dominate) — AQE splits oversized post-shuffle
+    partitions that salting didn't catch.
+  - shuffle partitions ~2x total cores: politeness windows + anti-joins are
+    the only wide ops; AQE coalesces the excess at small scale.
+  - 128 MB file partitions: parquet frontier/seen segments stay within
+    executor memory at 10^10 rows (each row ~100 B ⇒ ~1.3 M rows/partition).
+  - Arrow batch 10k (default) works for text; multimodal stages size their
+    own batches against blob size (operators/multimodal.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+SCALE_DEFAULTS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+}
+
+
+def build_session(
+    master: str | None = None,
+    app_name: str = "gc_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra: dict | None = None,
+) -> SparkSession:
+    """Session with the scale defaults. On a cluster, pass master=None and
+    let spark-submit own deployment; locally pass cores for local[N]."""
+    b = SparkSession.builder.appName(app_name)
+    if master:
+        b = b.master(master)
+    elif cores:
+        b = b.master(f"local[{cores}]")
+    if shuffle_partitions is None and cores:
+        shuffle_partitions = max(cores * 2, 8)
+    if shuffle_partitions:
+        b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for k, v in {**SCALE_DEFAULTS, **(extra or {})}.items():
+        b = b.config(k, v)
+    return b.getOrCreate()

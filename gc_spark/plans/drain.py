@@ -358,13 +358,15 @@ class CrawlEngine:
         final_docs = exploded.unionByName(inline, allowMissingColumns=True).persist()
 
         # ---- sinks --------------------------------------------------------
-        documents = _build_documents(final_docs)
-        # manifest/seen gets only actually-landed content: downloads or page
-        # content; CAC-blocked items stay out (pipelines.py:131-134,293-294)
-        new_seen = final_docs.filter(
+        # only actually-landed content reaches documents AND seen: downloads
+        # or page content; CAC-blocked items reach the feed only
+        # (pipelines.py:131-134,293-294)
+        landed = final_docs.filter(
             (F.col("media_sha").isNotNull() | F.col("segments").isNotNull())
             & ~F.coalesce(F.col("cac_login_required"), F.lit(False))
-        ).select(
+        ).persist()
+        documents = _build_documents(landed)
+        new_seen = landed.select(
             "version_hash",
             "doc_name",
             F.col("crawler_used"),
@@ -485,7 +487,7 @@ class CrawlEngine:
             "in_previous_hashes": int(n_in_prev),
             "dead": int(n_dead),
         }
-        for df in (take, ok, extracted, new_frontier, docs, fresh, final_docs):
+        for df in (take, ok, extracted, new_frontier, docs, fresh, final_docs, landed):
             df.unpersist()
         return out
 

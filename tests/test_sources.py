@@ -88,6 +88,61 @@ class TestIssuancesSource:
         assert len(seen_names) == 7
 
 
+class TestSubmitDriver:
+    def test_cli_driver_end_to_end(self, spark, tmp_path):
+        """The spark-submit driver file, driven exactly as a cluster user
+        would (fresh process, CLI args), crawls and reports, and a second
+        invocation resumes as a no-op."""
+        import json
+        import subprocess
+        import sys
+
+        from tests.fixtures import issuances_pages
+
+        pages_path = str(tmp_path / "pages")
+        issuances_pages(spark).write.parquet(pages_path)
+        seeds_path = tmp_path / "seeds.json"
+        seeds_path.write_text(
+            json.dumps(
+                {
+                    "source": "issuances",
+                    "url": "https://issuances.example.mil/listing",
+                    "host": "issuances.example.mil",
+                    "allowed_domains": [],
+                }
+            )
+            + "\n"
+        )
+        wh = str(tmp_path / "wh")
+
+        def run():
+            out = subprocess.run(
+                [
+                    sys.executable,
+                    "gc_spark/plans/main.py",
+                    "--warehouse", wh,
+                    "--pages", pages_path,
+                    "--seeds", str(seeds_path),
+                    "--batches", "5",
+                    "--cores", "4",
+                ],
+                capture_output=True,
+                text=True,
+                timeout=600,
+                cwd="/root/repo",
+            )
+            assert out.returncode == 0, out.stderr[-2000:]
+            return [json.loads(l) for l in out.stdout.splitlines() if l.startswith("{")]
+
+        lines = run()
+        summary = lines[-1]
+        assert summary["done"] and summary["seen"] == 7 and summary["documents"] == 7
+
+        # resume on a finished warehouse: no new batches, same totals
+        lines2 = run()
+        assert lines2[-1]["batches"] == 0 and lines2[-1]["seen"] == 7
+
+
 class _Handler:
     """Tiny stdlib HTTP server serving deterministic pages."""
 
