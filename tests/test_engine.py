@@ -202,8 +202,8 @@ class TestScaleSiteSimulatorEquality:
 
 class TestResume:
     def test_resume_equals_uninterrupted(self, spark, tmp_path):
-        pages = scale_site_pages(spark)
-        seeds = scale_site_seeds(spark)
+        pages = scale_site_pages(spark, num_hosts=3, docs_host0=12)
+        seeds = scale_site_seeds(spark, num_hosts=3)
 
         eng_a, store_a = _mk_engine(spark, tmp_path / "a", pages, budget=4)
         eng_a.bootstrap(seeds)
@@ -234,8 +234,8 @@ class TestResume:
     def test_compaction_preserves_results(self, spark, tmp_path):
         """Compacting the frontier every 2 batches must not change seen-set,
         documents, or the union of fetch history."""
-        pages = scale_site_pages(spark)
-        seeds = scale_site_seeds(spark)
+        pages = scale_site_pages(spark, num_hosts=3, docs_host0=12)
+        seeds = scale_site_seeds(spark, num_hosts=3)
 
         eng_a, store_a = _mk_engine(spark, tmp_path / "nc", pages, budget=4)
         eng_a.bootstrap(seeds)
@@ -263,9 +263,9 @@ class TestResume:
         ).count()
 
     def test_rollback(self, spark, tmp_path):
-        pages = scale_site_pages(spark)
+        pages = scale_site_pages(spark, num_hosts=3, docs_host0=12)
         eng, store = _mk_engine(spark, tmp_path / "rb", pages, budget=4)
-        eng.bootstrap(scale_site_seeds(spark))
+        eng.bootstrap(scale_site_seeds(spark, num_hosts=3))
         eng.run(max_batches=3)
         n3 = store.read("frontier_done", _done_schema()).count()
         store.rollback_to(2)
