@@ -387,6 +387,34 @@ def q26_carry_forward(spark, sf_dir):
     )
 
 
+def q27_domain_scope(spark, sf_dir):
+    """F7: allowed-domains offsite filter (subdomain-aware) over synthesized
+    hosts — gc_spark.functions.urls.in_allowed_domains_col."""
+    from gc_spark.functions.urls import in_allowed_domains_col
+
+    n = _t(spark, sf_dir, "nation")
+    host = F.concat(F.lower(F.regexp_replace("n_name", r"[^A-Za-z]", "")), F.lit(".example.mil"))
+    allowed = F.when(
+        F.col("n_nationkey") % 2 == 0, F.array(F.lit("example.mil"))
+    ).otherwise(F.array(F.lit("other.gov")))
+    df = n.select(
+        "n_nationkey",
+        host.alias("host"),
+        in_allowed_domains_col(host, allowed).alias("in_scope"),
+    )
+    return df
+
+
+def q28_robots_prefix(spark, sf_dir):
+    """Robots disallow-prefix filtering semantics as a standalone op: drop
+    rows whose synthesized path starts with a disallowed prefix."""
+    o = _t(spark, sf_dir, "orders")
+    path = F.concat(F.lit("/"), F.lower("o_orderpriority"), F.lit("/"), F.col("o_orderkey").cast("string"))
+    disallow = F.array(F.lit("/1-urgent"), F.lit("/3-medium"))
+    blocked = F.exists(disallow, lambda p: path.startswith(p))
+    return o.select("o_orderkey", path.alias("path")).filter(~blocked)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_rollup": q01_rollup,
@@ -415,6 +443,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q24_enrich_defaults": q24_enrich_defaults,
         "q25_union_sources": q25_union_sources,
         "q26_carry_forward": q26_carry_forward,
+        "q27_domain_scope": q27_domain_scope,
+        "q28_robots_prefix": q28_robots_prefix,
     }
 
 
@@ -550,6 +580,19 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT user_id FROM events WHERE event_type = 'view'
             )
+        """,
+        "q27_domain_scope": """
+            SELECT n_nationkey,
+                   lower(regexp_replace(n_name, '[^A-Za-z]', '', 'g')) || '.example.mil' AS host,
+                   (n_nationkey % 2 = 0) AS in_scope
+            FROM nation
+        """,
+        "q28_robots_prefix": """
+            SELECT o_orderkey,
+                   '/' || lower(o_orderpriority) || '/' || CAST(o_orderkey AS VARCHAR) AS path
+            FROM orders
+            WHERE lower(o_orderpriority) NOT LIKE '1-urgent%'
+              AND lower(o_orderpriority) NOT LIKE '3-medium%'
         """,
         "q26_carry_forward": """
             SELECT event_id, user_id,
