@@ -92,6 +92,11 @@ class CrawlEngine:
     # ------------------------------------------------------------------ util
 
     def _frontier_cols(self, df: DataFrame, depth, batch: int, state: str = "pending") -> DataFrame:
+        # priority queue: lower drains first (north_rule); rows may carry an
+        # explicit priority (seeds or extractor), default 0
+        priority = (
+            F.coalesce(F.col("priority"), F.lit(0)) if "priority" in df.columns else F.lit(0)
+        )
         return df.select(
             "url",
             "canonical_url",
@@ -99,7 +104,7 @@ class CrawlEngine:
             "host",
             "host_hash",
             "source",
-            F.lit(0).alias("priority"),
+            priority.cast("int").alias("priority"),
             F.lit(depth).cast("int").alias("depth") if isinstance(depth, int) else depth.cast("int").alias("depth"),
             F.lit(batch).alias("discovered_at_batch"),
             "seq",

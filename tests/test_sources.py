@@ -88,6 +88,59 @@ class TestIssuancesSource:
         assert len(seen_names) == 7
 
 
+class TestPriorityQueue:
+    def test_priority_overrides_discovery_order(self, spark, tmp_path):
+        """Seeds with explicit priorities drain low-priority-first within a
+        host budget, overriding discovery (seq) order."""
+        from gc_spark.schema import PAGES
+
+        pages = spark.createDataFrame(
+            [
+                {
+                    "url": f"https://p.mil/doc/{i}",
+                    "status": 200,
+                    "body": f"<h1>p-doc-{i}</h1><p>t</p>",
+                    "links": None,
+                    "kind": "detail",
+                    "media_sha": None,
+                    "zip_entries": None,
+                }
+                for i in range(4)
+            ],
+            schema=PAGES,
+        )
+        # seed 4 urls on ONE host, budget 2/batch; urls 2,3 get priority -1
+        seeds = spark.createDataFrame(
+            [
+                {
+                    "source": "synthetic",
+                    "url": f"https://p.mil/doc/{i}",
+                    "host": "p.mil",
+                    "allowed_domains": [],
+                    "priority": -1 if i >= 2 else 0,
+                }
+                for i in range(4)
+            ],
+            schema="source string, url string, host string, allowed_domains array<string>, priority int",
+        )
+        store = SnapshotStore(spark, str(tmp_path / "prio"))
+        eng = CrawlEngine(
+            spark,
+            store,
+            TableFetcher(pages),
+            config=EngineConfig(budget_per_host=2, fetch_partitions=4),
+        )
+        eng.bootstrap(seeds)
+        eng.run(max_batches=5)
+        done = store.read("frontier_done", _done_schema())
+        by_batch = {r["url"]: r["batch"] for r in done.collect()}
+        # priority -1 urls (2,3) drained in batch 1; 0-priority in batch 2
+        assert by_batch["https://p.mil/doc/2"] == 1
+        assert by_batch["https://p.mil/doc/3"] == 1
+        assert by_batch["https://p.mil/doc/0"] == 2
+        assert by_batch["https://p.mil/doc/1"] == 2
+
+
 class TestSubmitDriver:
     def test_cli_driver_end_to_end(self, spark, tmp_path):
         """The spark-submit driver file, driven exactly as a cluster user
