@@ -244,16 +244,19 @@ def q15_cosine_topk(spark, sf_dir):
 
 
 def q16_minhash_bands(spark, sf_dir):
-    """Dedup via MinHash+LSH banding (no SQL oracle — rows-only check):
-    shingle → 16 minhashes → 4 bands → candidate buckets with >1 doc."""
+    """Dedup via MinHash+LSH banding (portable sha256-prefix hash kernel so
+    DuckDB oracles it exactly): shingle → 16 minhashes → 4 bands →
+    candidate buckets with >1 doc."""
     from gc_spark.operators.text_dedup import minhash_lsh_candidates
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_lsh_candidates(d, text_col="text", id_col="doc_id")
+    return minhash_lsh_candidates(
+        d, text_col="text", id_col="doc_id", portable=True, ids_as_csv=True
+    )
 
 
 def q17_simhash(spark, sf_dir):
-    """Dedup via SimHash (no SQL oracle — rows-only check)."""
+    """Dedup via 60-bit SimHash — pure JVM expressions, DuckDB-oracled."""
     from gc_spark.operators.text_dedup import simhash
 
     d = _t(spark, sf_dir, "documents")
@@ -279,21 +282,34 @@ def q18_url_canonicalize(spark, sf_dir):
 
 
 def q19_ann_lsh(spark, sf_dir):
-    """Similarity: multi-table LSH ANN (rows-only check; the exact brute
-    path is oracled by q15)."""
+    """Similarity: multi-table LSH ANN. Probing is sized (8 tables × Hamming
+    ≤2) so the candidate set provably covers the exact top-10 at test scale —
+    the oracle is then the same SQL as exact brute-force cosine top-k."""
     from gc_spark.operators.similarity import lsh_bucket_ann
 
     em = _t(spark, sf_dir, "embeddings")
     q = [((i * 37) % 13 - 6) / 10.0 for i in range(64)]
-    return lsh_bucket_ann(em, q, k=10, num_planes=8, probe_bits=2, num_tables=4)
+    return lsh_bucket_ann(em, q, k=10, num_planes=8, probe_bits=2, num_tables=8)
 
 
 def q20_near_dup_embeddings(spark, sf_dir):
-    """Dedup: embedding-cosine near-dup pairs via LSH self-join (rows-only)."""
+    """Dedup: embedding-cosine near-dup pairs via LSH self-join. The base
+    fixture has no pairs ≥0.9, so plant deterministic near-dups (every 50th
+    vector rescaled by 0.5 — scaling preserves the sign-bit signature EXACTLY
+    and cosine=1.0, so the LSH path is guaranteed to recover each planted
+    pair); the oracle is the honest quadratic pair join."""
     from gc_spark.operators.similarity import embedding_near_dup_pairs
 
     em = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(em, threshold=0.9, num_planes=10, dim=64)
+    planted = em.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(0.5)).alias("embedding"),
+        "label",
+    )
+    un = em.withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    ).unionByName(planted)
+    return embedding_near_dup_pairs(un, threshold=0.9, num_planes=10, dim=64)
 
 
 def q21_media_metadata(spark, sf_dir):
@@ -314,7 +330,9 @@ def q21_media_metadata(spark, sf_dir):
 
 
 def q22_frame_sample(spark, sf_dir):
-    """Multimodal: video frame sampling — 1 row → ≤8 frame rows (rows-only)."""
+    """Multimodal: video frame sampling — 1 row → ≤8 frame rows. The fake
+    decoder is a pure function of the blob length, so the row expansion and
+    per-frame byte counts are SQL-expressible (oracled)."""
     from gc_spark.operators.multimodal import sample_video_frames
 
     d = _t(spark, sf_dir, "documents")
@@ -507,7 +525,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q08_json_extract": """
             SELECT event_type, COUNT(*) AS n,
-                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
             FROM events
             GROUP BY event_type
         """,
@@ -553,7 +571,66 @@ def oracle_sql() -> dict[str, str]:
                          6) AS chars_per_token
             FROM documents
         """,
-        "q15_cosine_topk": _cosine_oracle(),
+        "q15_cosine_topk": _cosine_oracle(round_digits=4),
+        "q16_minhash_bands": """
+            WITH sh AS (
+              SELECT doc_id,
+                     list_transform(range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) + 1),
+                                    i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), i, i + 2), ' ')) AS shingles
+              FROM documents
+            ), sig AS (
+              SELECT doc_id,
+                     list_transform(range(0, 16), i ->
+                         list_min(list_transform(shingles, s ->
+                             CAST('0x' || substr(sha256(CAST(i AS VARCHAR) || '|' || s), 1, 15) AS BIGINT)))) AS mh
+              FROM sh
+            ), bands AS (
+              SELECT doc_id, CAST(b AS INT) AS band,
+                     CAST('0x' || substr(sha256(array_to_string(list_slice(mh, b * 4 + 1, b * 4 + 4), ',')), 1, 15) AS BIGINT) AS band_hash
+              FROM (SELECT doc_id, mh, UNNEST(range(0, 4)) AS b FROM sig)
+            )
+            SELECT band, band_hash, COUNT(*) AS n_docs,
+                   array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+            FROM bands GROUP BY band, band_hash HAVING COUNT(*) > 1
+        """,
+        "q17_simhash": """
+            WITH hv AS (
+              SELECT doc_id,
+                     list_transform(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''),
+                                    t -> CAST('0x' || substr(sha256(t), 1, 15) AS BIGINT)) AS hs
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(list_sum(list_transform(range(0, 60), b ->
+                       CASE WHEN 2 * list_sum(list_transform(hs, h -> (h >> b) & 1)) > len(hs)
+                            THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+            FROM hv
+        """,
+        "q19_ann_lsh": _cosine_oracle(round_digits=6),
+        "q20_near_dup_embeddings": """
+            WITH un AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+              UNION ALL
+              SELECT vec_id + 10000000, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 0.5)
+              FROM embeddings WHERE vec_id % 50 = 0
+            )
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   ROUND(list_dot_product(a.e, b.e) /
+                         (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS sim
+            FROM un a JOIN un b ON a.vec_id < b.vec_id
+            WHERE ROUND(list_dot_product(a.e, b.e) /
+                        (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.9
+        """,
+        "q22_frame_sample": """
+            WITH v AS (
+              SELECT 'blob://vid/' || CAST(doc_id AS VARCHAR) AS media_ref,
+                     octet_length(encode(text)) AS bl
+              FROM documents
+            )
+            SELECT media_ref, CAST(i AS INT) AS frame_idx,
+                   CAST(CASE WHEN bl < 40 THEN bl ELSE 40 END AS INT) AS frame_bytes
+            FROM (SELECT media_ref, bl, UNNEST(range(0, least(8, greatest(1, bl // 40)))) AS i FROM v)
+        """,
         "q21_media_metadata": """
             SELECT 'blob://doc/' || CAST(doc_id AS VARCHAR) AS media_ref,
                    octet_length(encode(text)) AS byte_len,
@@ -612,7 +689,7 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
-def _cosine_oracle() -> str:
+def _cosine_oracle(round_digits: int = 4) -> str:
     q = [((i * 37) % 13 - 6) / 10.0 for i in range(64)]
     qlit = "[" + ", ".join(f"CAST({x} AS DOUBLE)" for x in q) + "]"
     return f"""
@@ -620,7 +697,7 @@ def _cosine_oracle() -> str:
             list_dot_product(CAST(embedding AS DOUBLE[]), {qlit})
             / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                      CAST(embedding AS DOUBLE[])))
-               * sqrt(list_dot_product({qlit}, {qlit}))), 4) AS sim
+               * sqrt(list_dot_product({qlit}, {qlit}))), {round_digits}) AS sim
         FROM embeddings
         ORDER BY sim DESC, vec_id
         LIMIT 10

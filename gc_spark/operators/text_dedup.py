@@ -4,13 +4,16 @@ Four families, each picked for its scale profile:
 
   - exact dedup: hash-groupBy (see __spark_entry__ q10) — one shuffle.
   - MinHash + LSH banding: shingle → K minhashes → B bands → bucket-join.
-    The minhash computation is a PURE JVM expression (array_min over
-    transform(xxhash64)) — zero Python, zero shuffle until the tiny band
-    bucket groupBy. At 100 TB the only shuffled payload is (doc_id,
-    band_hash), never the text.
-  - SimHash: Arrow-batched pandas UDF (bit-twiddling doesn't map to SQL
-    expressions cleanly); map-side only — no shuffle at all. Near-dup pairs
-    then come from banding the simhash bits.
+    The minhash computation is a PURE JVM expression; zero Python, zero
+    shuffle until the tiny band bucket groupBy. At 100 TB the only shuffled
+    payload is (doc_id, band_hash), never the text. Two hash kernels:
+    xxhash64 (fast, default — Spark-native) and a portable sha256-prefix
+    kernel that DuckDB/ANSI SQL can reproduce bit-for-bit (the oracle path).
+  - SimHash: 60-bit, pure JVM expressions — per-token sha256-prefix hash,
+    per-bit ±1 fold via a single aggregate over the token array. Map-side
+    only, no shuffle, no Python (replaces the round-1 Arrow UDF: ~100x less
+    per-row overhead and SQL-oracle-able). Near-dup pairs then come from
+    banding the simhash bits.
   - exact n-gram Jaccard confirm: array_intersect/array_union sizes — native
     — run only on LSH candidate pairs (the classic cheap-filter/exact-confirm
     split, same shape as the Bloom + exact anti-join in the crawl path).
@@ -18,19 +21,21 @@ Four families, each picked for its scale profile:
 
 from __future__ import annotations
 
-import hashlib
-
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import LongType
 
 NUM_HASHES = 16
 BANDS = 4
 ROWS_PER_BAND = NUM_HASHES // BANDS
 SHINGLE_WORDS = 3
+SIMHASH_BITS = 60  # fits a positive signed long with headroom (15 hex chars)
+
+
+def sha60_col(col) -> "F.Column":
+    """Portable 60-bit hash: first 15 hex chars of sha256 as a long. Exactly
+    reproducible in DuckDB as CAST('0x' || substr(sha256(x),1,15) AS BIGINT)
+    — the cross-engine twin of xxhash64 for oracle-checked queries."""
+    return F.conv(F.substring(F.sha2(col, 256), 1, 15), 16, 10).cast("long")
 
 
 def _shingles(text_col) -> "F.Column":
@@ -43,35 +48,55 @@ def _shingles(text_col) -> "F.Column":
     )
 
 
-def minhash_signature(df: DataFrame, text_col: str = "text") -> DataFrame:
+def _minhash_fn(i: int, portable: bool):
+    """Hash function #i for minhash. NOTE: must be a closure factory — a
+    `lambda s, _i=i:` default-arg would be read by PySpark as a TWO-parameter
+    higher-order-function lambda and `_i` would silently bind to the array
+    index column instead of the loop value."""
+    if portable:
+        prefix = f"{i}|"
+        return lambda s: sha60_col(F.concat(F.lit(prefix), s))
+    return lambda s: F.xxhash64(s, F.lit(i))
+
+
+def minhash_signature(
+    df: DataFrame, text_col: str = "text", portable: bool = False
+) -> DataFrame:
     """Adds `minhash` array<long> of NUM_HASHES signature values — all
-    whole-stage-codegen expressions (xxhash64 with per-function seed)."""
+    whole-stage-codegen expressions (per-function seeded hash)."""
     sh = _shingles(F.col(text_col))
     sig = F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, _i=i: F.xxhash64(s, F.lit(_i))))
-            for i in range(NUM_HASHES)
-        ]
+        *[F.array_min(F.transform(sh, _minhash_fn(i, portable))) for i in range(NUM_HASHES)]
     )
     return df.withColumn("minhash", sig)
 
 
 def minhash_lsh_candidates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+    ids_as_csv: bool = False,
 ) -> DataFrame:
     """LSH banding: bucket docs whose band signature collides.
 
     Returns one row per (band, band_hash) bucket with >1 member:
     (band, band_hash, n_docs, doc_ids sorted) — the candidate groups a
-    pair-verify stage consumes.
+    pair-verify stage consumes. `ids_as_csv` renders doc_ids as a
+    comma-joined string (sortable/hashable downstream); `portable` switches
+    both the minhash and band-hash kernels to the sha256-prefix hash so the
+    whole query is reproducible in ANSI SQL.
     """
-    sig = minhash_signature(df, text_col)
+    sig = minhash_signature(df, text_col, portable)
+    band_hash = (
+        (lambda c: sha60_col(c)) if portable else (lambda c: F.xxhash64(c))
+    )
     bands = sig.select(
         F.col(id_col),
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(
+                    band_hash(
                         F.concat_ws(
                             ",",
                             *[
@@ -85,12 +110,12 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "band_hash"),
     )
+    ids = F.sort_array(F.collect_list(id_col))
+    if ids_as_csv:
+        ids = F.array_join(F.transform(ids, lambda x: x.cast("string")), ",")
     return (
         bands.groupBy("band", "band_hash")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
-        )
+        .agg(F.count("*").alias("n_docs"), ids.alias("doc_ids"))
         .filter(F.col("n_docs") > 1)
     )
 
@@ -120,44 +145,51 @@ def jaccard_verify_pairs(df: DataFrame, candidates: DataFrame, text_col: str = "
     return j.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
-@pandas_udf(LongType())
-def simhash_udf(texts: pd.Series) -> pd.Series:
-    """63-bit SimHash per text (Arrow-batched; blake2b token hashes so the
-    value is deterministic across processes — python's hash() is not)."""
+def simhash_col(text_col) -> "F.Column":
+    """60-bit SimHash as pure JVM expressions — no UDF, no shuffle.
 
-    shifts = np.arange(63, dtype=np.uint64)
-
-    def _h(text: str) -> int:
-        if not text:
-            return 0
-        acc = np.zeros(63, dtype=np.int64)
-        for tok in text.split():
-            hv = np.uint64(
-                int.from_bytes(
-                    hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
-                )
-            )
-            bits = (hv >> shifts) & np.uint64(1)
-            acc += np.where(bits == np.uint64(1), 1, -1)
-        out = 0
-        for i in np.nonzero(acc > 0)[0]:
-            out |= 1 << int(i)
-        return out
-
-    return texts.map(_h)
+    tokens → portable 60-bit hash each → one aggregate pass accumulating the
+    per-bit ±1 counts into an array → bit b set iff ones outnumber zeros.
+    Deterministic across engines (sha256-based), so DuckDB can oracle it.
+    """
+    toks = F.filter(F.split(F.trim(text_col), r"\s+"), lambda t: t != "")
+    hvs = F.transform(toks, sha60_col)
+    counts = F.aggregate(
+        hvs,
+        F.array_repeat(F.lit(0), SIMHASH_BITS),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("int")
+                    for b in range(SIMHASH_BITS)
+                ]
+            ),
+            lambda a, x: a + x,
+        ),
+    )
+    n = F.size(hvs)
+    # pack bits by folding the REVERSED counts (bit 59 first): acc*2 + bit —
+    # exact long arithmetic, and `counts` appears once in the expression tree
+    # instead of 60 element_at copies.
+    return F.aggregate(
+        F.reverse(counts),
+        F.lit(0).cast("long"),
+        lambda acc, c: acc * 2 + F.when(c * 2 > n, F.lit(1)).otherwise(F.lit(0)),
+    ).cast("long")
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, simhash) — map-side only, no shuffle."""
-    return df.select(F.col(id_col), simhash_udf(F.col(text_col)).alias("simhash"))
+    """(id, simhash) — map-side only, no shuffle, whole-stage codegen."""
+    return df.select(F.col(id_col), simhash_col(F.col(text_col)).alias("simhash"))
 
 
 def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                      band_bits: int = 16) -> DataFrame:
-    """Near-dup candidates by banding the simhash into 63//band_bits chunks —
-    two docs within small Hamming distance share at least one band."""
+                      band_bits: int = 15) -> DataFrame:
+    """Near-dup candidates by banding the simhash into SIMHASH_BITS//band_bits
+    chunks — two docs within small Hamming distance share at least one band."""
     s = simhash(df, text_col, id_col)
-    nbands = 63 // band_bits
+    nbands = SIMHASH_BITS // band_bits
     bands = s.select(
         id_col,
         "simhash",
