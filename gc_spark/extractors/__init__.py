@@ -15,6 +15,22 @@ from gc_spark.extractors.base import (
     registry,
     run_extractors,
 )
-from gc_spark.extractors import issuances, json_api, synthetic, us_code  # noqa: F401 (register on import)
+from gc_spark.extractors import (  # noqa: F401 (register on import)
+    acquisition_hearings,
+    air_force,
+    army_navy_pubs,
+    govinfo,
+    executive_orders,
+    issuance_libraries,
+    issuances,
+    json_api,
+    marine_corp,
+    misc_sites,
+    pubs_tables,
+    reserve_guard,
+    service_pubs,
+    synthetic,
+    us_code,
+)
 
 __all__ = ["Extractor", "register", "registry", "run_extractors", "EXTRACTED_SCHEMA"]

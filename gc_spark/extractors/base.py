@@ -119,6 +119,22 @@ DOC_JSON_SCHEMA = StructType(
             ),
         ),
         StructField("version_hash_raw_data", MapType(StringType(), StringType())),
+        # two-hop items (Scrapy meta-carry twin, operators/pending.py):
+        # detail_url marks a PENDING doc awaiting its download page;
+        # detail_download_href marks a detail RECORD completing one
+        StructField("detail_url", StringType()),
+        StructField("detail_download_href", StringType()),
+        StructField("pending_hash_key", StringType()),
+        # per-doc overrides of engine-derived feed fields — set only by
+        # sources whose reference spider diverges from the defaults:
+        # source_page_url (SORN uses the row's html_url, sorn_spider.py:50),
+        # display_title (set_display_name, e.g. disa_pubs_spider.py:73),
+        # file_ext (the file_ext=doc_type quirk, fmr_spider.py:151),
+        # is_revoked ('true' when status != Active, maradmin_spider.py:50)
+        StructField("source_page_url", StringType()),
+        StructField("display_title", StringType()),
+        StructField("file_ext", StringType()),
+        StructField("is_revoked", StringType()),
         StructField(
             "segments",
             ArrayType(

@@ -86,3 +86,13 @@ class IssuancesExtractor(Extractor):
                 }
             )
         return [], docs
+
+
+# the seed list names this source by its reference crawler name
+# (dod_issuances_spider.py:13 `name = "dod_issuances"`); register the same
+# parse family under that key so seeded crawls extract
+class DodIssuancesExtractor(IssuancesExtractor):
+    source = "dod_issuances"
+
+
+register(DodIssuancesExtractor)

@@ -116,7 +116,11 @@ class USCodeExtractor(Extractor):
             doc_name = f"{self.doc_type} {doc_num}{PART}{doc_title}"
             item_currency = ascii_clean(row["currency"] or "")
 
-            version_hash_fields = {"item_currency": item_currency, "doc_name": doc_name}
+            # the reference hashes the RAW first-div text, NOT the cleaned
+            # doc_name (us_code_spider.py:80 doc_type_num_title_raw) — equal
+            # on ascii titles without ,/' but diverges otherwise, which would
+            # cause spurious re-downloads against reference-written manifests
+            version_hash_fields = {"item_currency": item_currency, "doc_name": raw}
             version_hash = dict_to_sha256_hex_digest(version_hash_fields)
 
             downloadable_items = []

@@ -32,6 +32,11 @@ UNKNOWN_FILE_EXTENSION_PLACEHOLDER = "UNKNOWN"
 # ---------------------------------------------------------------------------
 
 
+def abs_url(base: str, target: str) -> str:
+    """Scalar twin of reference utils.py:79-81 (plain urljoin)."""
+    return urljoin(base, target)
+
+
 def ensure_full_href_url(href_raw: str, url_base: str) -> str:
     if href_raw.startswith("/"):
         web_url = urljoin(url_base, href_raw)

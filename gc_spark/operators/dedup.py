@@ -73,7 +73,7 @@ def frontier_url_dedup(
     new_links: DataFrame,
     frontier_all: DataFrame,
     hash_col: str = "url_hash64",
-    order_col: str = "seq",
+    order_cols: list[str] | tuple[str, ...] = ("seq",),
     bloom: DataFrame | None = None,
     num_buckets: int = 32,
 ) -> DataFrame:
@@ -81,8 +81,13 @@ def frontier_url_dedup(
     vs everything ever discovered. With a bloom table (the partitioned
     URL-seen filter), rows the bloom rejects skip the anti-join shuffle
     entirely — at 10^10 frontier rows that's the difference between shuffling
-    the whole discovery wave and shuffling only the maybe-duplicates."""
-    w = Window.partitionBy(hash_col).orderBy(F.col(order_col).asc())
+    the whole discovery wave and shuffling only the maybe-duplicates.
+
+    `order_cols` must be a TOTAL key of new_links (e.g. (parent_seq, idx)):
+    with a partial key, two identical hrefs on one page tie arbitrarily and
+    the surviving row's other columns shift downstream seq assignment —
+    breaking the run-to-run determinism contract."""
+    w = Window.partitionBy(hash_col).orderBy(*[F.col(c).asc() for c in order_cols])
     in_batch = (
         new_links.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
     )

@@ -53,9 +53,14 @@ def enrich_with_source_defaults(
     )
     out = items.join(sc, items["crawler_used"] == sc["_src"], "left").drop("_src")
 
-    # spider-level values override when present (reference :322-332)
+    # spider-level values override when present (reference :322-332); items
+    # from the drain loop don't carry these columns at all — then the config
+    # value IS the column
     for col in ["display_org", "data_source", "source_title", "display_source"]:
-        out = out.withColumn(col, F.coalesce(F.col(f"_{col}"), F.col(col)))
+        if col in items.columns:
+            out = out.withColumn(col, F.coalesce(F.col(f"_{col}"), F.col(col)))
+        else:
+            out = out.withColumn(col, F.col(f"_{col}"))
 
     out = (
         out.withColumn("source_page_url", F.coalesce("source_page_url", "_start_url"))

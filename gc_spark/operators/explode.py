@@ -110,6 +110,27 @@ def assemble_spans(items: DataFrame, source_col: str = "crawler_used") -> DataFr
     )
 
 
+def artifact_download_path_col(output_file_name, compression_type) -> "F.Column":
+    """Relative artifact path for a downloaded binary — the file-layout rule
+    of the reference's FilePipeline (pipelines.py:235-250):
+
+      - compressed items: '<name>.<compression_type>'
+      - jbook items ('rdte;year;name' / 'procurement;year;name'): ';'→'/'
+        so artifacts land under 'type/year/name' (pipelines.py:242-247)
+      - everything else: the name as-is
+
+    Pure expressions; pair with the content-addressed blob ref for
+    dual-addressing (path for humans/S3 layout, sha for dedup)."""
+    name = output_file_name if not isinstance(output_file_name, str) else F.col(output_file_name)
+    comp = compression_type if not isinstance(compression_type, str) else F.col(compression_type)
+    is_jbook = name.contains("rdte;") | name.contains("procurement;")
+    return (
+        F.when(comp.isNotNull(), F.concat(name, F.lit("."), comp))
+        .when(is_jbook, F.regexp_replace(name, ";", "/"))
+        .otherwise(name)
+    )
+
+
 def interleave_spans_from_segments(df: DataFrame, segments_col: str = "segments") -> DataFrame:
     """Generic interleaved-document builder: given an array<struct<kind,
     payload>> column (e.g. from a detail-page extractor), produce the spans

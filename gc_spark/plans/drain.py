@@ -39,6 +39,12 @@ from gc_spark.functions.urls import (
 from gc_spark.operators.bloom import build_bloom, merge_blooms, BLOOM_SCHEMA
 from gc_spark.operators.dedup import anti_join_seen, frontier_url_dedup, in_run_dedup
 from gc_spark.operators.explode import assemble_spans, explode_zip_items
+from gc_spark.operators.pending import (
+    PENDING_COLS,
+    PENDING_DOCS,
+    PENDING_DONE,
+    resolve_pending,
+)
 from gc_spark.operators.politeness import salted_repartition, topk_per_host
 from gc_spark.operators.sequence import with_dense_seq
 from gc_spark.sources.fetch import Fetcher, split_fetch_results
@@ -57,8 +63,11 @@ class EngineConfig:
     max_depth: int = 32
     fetch_partitions: int = 32
     # fold frontier+done segments into a compacted pending-only frontier
-    # every N batches (merge-on-read maintenance; 0 = never)
-    compact_every: int = 0
+    # every N batches (merge-on-read maintenance; 0 = never). Safe to leave
+    # on: URL dedup anti-joins frontier ∪ fetch_log, so archived rows still
+    # block rediscovery, and max_seq is snapshot metadata (never recomputed
+    # from the shrunken frontier).
+    compact_every: int = 8
     # False skips driver-side counts that exist only for the returned stats
     # dict (the metrics TABLE is unaffected) - fewer jobs per batch
     collect_stats: bool = True
@@ -75,6 +84,7 @@ class CrawlEngine:
         host_budgets: DataFrame | None = None,
         robots: DataFrame | None = None,
         scope: DataFrame | None = None,
+        notifier=None,
     ):
         self.spark = spark
         self.store = store
@@ -88,6 +98,8 @@ class CrawlEngine:
         self.scope = scope
         # per-source display defaults for the 22-field feed (J3); optional
         self.source_config: DataFrame | None = None
+        # S13: pluggable end-of-run notification sink (plans/notify.py)
+        self.notifier = notifier
 
     # ------------------------------------------------------------------ util
 
@@ -126,6 +138,8 @@ class CrawlEngine:
 
         txn = self.store.begin(0)
         txn.replace("frontier", frontier0)
+        max_seq0 = frontier0.agg(F.max("seq")).first()[0]
+        txn.set_meta("max_seq", int(max_seq0) if max_seq0 is not None else -1)
         if prev_manifest is not None:
             seen0 = prev_manifest.select(
                 "version_hash",
@@ -135,6 +149,8 @@ class CrawlEngine:
                 F.lit(None).cast("long").alias("url_hash64"),
             )
             txn.append("seen", seen0)
+            if cfg.use_bloom:
+                txn.replace("bloom_seen", self._seen_bloom(seen0))
         if cfg.use_bloom:
             bloom0 = build_bloom(
                 frontier0.select("url_hash64"),
@@ -144,6 +160,17 @@ class CrawlEngine:
             )
             txn.replace("bloom_frontier", bloom0)
         txn.commit()
+
+    def _seen_bloom(self, seen_rows: DataFrame) -> DataFrame:
+        """Bloom over xxhash64(version_hash) — the prefilter for the seen-set
+        anti-join (same shape as the frontier URL bloom)."""
+        cfg = self.cfg
+        return build_bloom(
+            seen_rows.select(F.xxhash64("version_hash").alias("url_hash64")),
+            num_buckets=cfg.num_buckets,
+            expected_per_bucket=cfg.bloom_expected_per_bucket,
+            fpp=cfg.bloom_fpp,
+        )
 
     # ------------------------------------------------------------------ loop
 
@@ -157,6 +184,10 @@ class CrawlEngine:
             stats.append(st)
             if self.cfg.compact_every and b % self.cfg.compact_every == 0:
                 self.compact_frontier(b)
+        if self.notifier is not None:
+            from gc_spark.plans.notify import format_crawl_report
+
+            self.notifier.notify(format_crawl_report(stats))
         return stats
 
     def compact_frontier(self, after_batch: int) -> None:
@@ -196,14 +227,22 @@ class CrawlEngine:
             return None
 
         # ---- fetch (salted to spread hot hosts) ---------------------------
-        fetched = self.fetcher.fetch(salted_repartition(take, cfg.fetch_partitions, cfg.salt_buckets))
+        # persist BEFORE the ok/failed split: `failed` anti-joins `ok`, and
+        # without a materialized fetch result that recomputes the fetch —
+        # with a real HTTP fetcher every batch would re-GET its URLs
+        fetched = self.fetcher.fetch(
+            salted_repartition(take, cfg.fetch_partitions, cfg.salt_buckets)
+        ).persist()
         ok, failed = split_fetch_results(fetched)
-        ok = ok.persist()
 
         extracted = run_extractors(ok).persist()
 
         # ---- new frontier links ------------------------------------------
-        max_seq = frontier.agg(F.max("seq")).first()[0] or 0
+        # max_seq rides in snapshot metadata (monotonic across compactions);
+        # the aggregate fallback covers stores bootstrapped by older writers
+        max_seq = store.latest_meta().get("max_seq")
+        if max_seq is None:
+            max_seq = frontier.agg(F.max("seq")).first()[0] or 0
         links = (
             extracted.select(
                 F.col("source"),
@@ -239,8 +278,21 @@ class CrawlEngine:
         bloom = (
             store.read("bloom_frontier", BLOOM_SCHEMA) if cfg.use_bloom else None
         )
+        # dedup against everything EVER discovered: the live frontier PLUS
+        # rows compaction archived to fetch_log — without the union, a link
+        # back to an already-fetched URL re-enters after compaction and a
+        # cyclic site crawls forever
+        ever_discovered = frontier.select("url_hash64")
+        if store.segment_count("fetch_log"):
+            ever_discovered = ever_discovered.unionByName(
+                store.read("fetch_log", _done_schema()).select("url_hash64")
+            )
         deduped = frontier_url_dedup(
-            links, frontier, order_col="parent_seq", bloom=bloom, num_buckets=cfg.num_buckets
+            links,
+            ever_discovered,
+            order_cols=("parent_seq", "idx"),
+            bloom=bloom,
+            num_buckets=cfg.num_buckets,
         )
         new_seq = with_dense_seq(
             deduped.select(
@@ -258,7 +310,7 @@ class CrawlEngine:
         n_links_raw = links.count() if cfg.collect_stats else -1
 
         # ---- docs ---------------------------------------------------------
-        docs_raw = (
+        parsed = (
             extracted.select(
                 "source",
                 F.col("url").alias("source_page_url_page"),
@@ -282,8 +334,57 @@ class CrawlEngine:
                 F.col("doc.downloadable_items").alias("downloadable_items"),
                 F.col("doc.version_hash_raw_data").alias("version_hash_raw_data"),
                 F.col("doc.segments").alias("segments"),
-                F.col("source_page_url_page").alias("source_page_url"),
+                # per-doc overrides (base.py DOC_JSON_SCHEMA tail): a doc may
+                # pin its own source_page_url (SORN rows), display_title,
+                # file_ext, or is_revoked; engine derivations fill the rest
+                F.coalesce(F.col("doc.source_page_url"), F.col("source_page_url_page")).alias(
+                    "source_page_url"
+                ),
+                F.col("doc.display_title").alias("display_title"),
+                F.col("doc.file_ext").alias("file_ext"),
+                F.when(F.col("doc.is_revoked").isNotNull(), F.col("doc.is_revoked") == "true")
+                .alias("is_revoked"),
+                F.col("doc.detail_url").alias("detail_url"),
+                F.col("doc.pending_hash_key").alias("pending_hash_key"),
+                F.col("doc.detail_download_href").alias("detail_download_href"),
             )
+        )
+
+        # two-hop items (operators/pending.py): listing rows that still need
+        # their download page park in pending_docs; detail pages fetched this
+        # batch complete matching pendings via a broadcast-sized join
+        detail_records = parsed.filter(F.col("detail_download_href").isNotNull()).select(
+            url_hash64(F.col("source_page_url")).alias("detail_url_hash64"),
+            F.col("detail_download_href"),
+        )
+        regular = parsed.filter(F.col("detail_download_href").isNull()).drop(
+            "detail_download_href"
+        )
+        new_pending = (
+            regular.filter(F.col("detail_url").isNotNull())
+            .withColumn("detail_url_hash64", url_hash64(F.col("detail_url")))
+            .withColumn("discovered_at_batch", F.lit(batch))
+            .select(*PENDING_COLS)
+        )
+        new_pending = new_pending.persist()
+        n_pending_new = new_pending.count()
+        pending_open = store.read("pending_docs", PENDING_DOCS).join(
+            store.read("pending_done", PENDING_DONE).select("detail_url_hash64"),
+            "detail_url_hash64",
+            "left_anti",
+        )
+        completed_full = resolve_pending(
+            pending_open.unionByName(new_pending), detail_records
+        )
+        completed = completed_full.drop(
+            "detail_url", "detail_url_hash64", "discovered_at_batch", "pending_hash_key"
+        )
+        ready = regular.filter(F.col("detail_url").isNull()).drop(
+            "detail_url", "pending_hash_key"
+        )
+
+        docs_raw = (
+            ready.unionByName(completed)
             .withColumn("crawler_used", F.col("source"))
             .withColumn("version_hash", version_hash_udf("version_hash_raw_data"))
             .withColumn("doc_seq", F.col("parent_seq") * 100000 + F.col("doc_idx"))
@@ -305,9 +406,21 @@ class CrawlEngine:
         docs = docs.persist()
         n_docs = docs.count() if cfg.collect_stats else -1
 
-        # seen-set anti-join (F1/J1)
+        # seen-set anti-join (F1/J1) — bloom-prefiltered: rows the bloom
+        # rejects skip the shuffle; only "maybe" rows join exactly. If the
+        # store predates bloom_seen (or was written with use_bloom=False),
+        # fall back to the exact join this batch and self-heal at commit.
         seen = store.read("seen", S.SEEN)
-        fresh = anti_join_seen(docs, seen, key="version_hash").persist()
+        have_seen_bloom = cfg.use_bloom and store.segment_count("bloom_seen") > 0
+        bloom_seen = store.read("bloom_seen", BLOOM_SCHEMA) if have_seen_bloom else None
+        fresh = anti_join_seen(
+            docs.withColumn("_vh64", F.xxhash64("version_hash")),
+            seen,
+            key="version_hash",
+            bloom=bloom_seen,
+            bloom_hash_col="_vh64" if have_seen_bloom else None,
+            num_buckets=cfg.num_buckets,
+        ).drop("_vh64").persist()
         n_fresh = fresh.count()
         n_in_prev = (n_docs - n_fresh) if cfg.collect_stats else -1
 
@@ -343,7 +456,9 @@ class CrawlEngine:
         dl_batch = dl.withColumn("url", F.col("file_item.download_url")).withColumn(
             "url_hash64", url_hash64(F.col("url"))
         )
-        dl_fetched = self.download_fetcher.fetch(dl_batch)
+        # persisted for the same reason as `fetched`: dl_failed anti-joins
+        # dl_ok, which would otherwise re-run the download fetch
+        dl_fetched = self.download_fetcher.fetch(dl_batch).persist()
         dl_ok = dl_fetched.filter(
             (F.col("status") >= 200) & (F.col("status") < 300) & F.col("media_sha").isNotNull()
         )
@@ -465,6 +580,17 @@ class CrawlEngine:
         txn.append("feed", feed)
         txn.append("dead_letter", dead_rows)
         txn.append("metrics", metrics)
+        if n_pending_new:
+            txn.append("pending_docs", new_pending)
+        if n_pending_new or store.segment_count("pending_docs"):
+            done_keys = (
+                completed_full.select("detail_url_hash64")
+                .distinct()
+                .withColumn("batch", F.lit(batch))
+            )
+            if done_keys.count():
+                txn.append("pending_done", done_keys)
+        txn.set_meta("max_seq", int(max_seq) + int(n_new_links))
         if cfg.use_bloom and n_new_links:
             old_bloom = store.read("bloom_frontier", BLOOM_SCHEMA)
             nb = build_bloom(
@@ -474,6 +600,14 @@ class CrawlEngine:
                 fpp=cfg.bloom_fpp,
             )
             txn.replace("bloom_frontier", merge_blooms(old_bloom, nb))
+        if cfg.use_bloom:
+            if not have_seen_bloom:
+                # self-heal: cover the FULL seen set once, then incrementally
+                txn.replace("bloom_seen", self._seen_bloom(seen.unionByName(new_seen)))
+            elif n_fresh:
+                txn.replace(
+                    "bloom_seen", merge_blooms(bloom_seen, self._seen_bloom(new_seen))
+                )
         txn.add_lineage(
             [
                 {"batch": batch, "table": "frontier", "rows": int(n_new_links)},
@@ -492,12 +626,21 @@ class CrawlEngine:
             "in_previous_hashes": int(n_in_prev),
             "dead": int(n_dead),
         }
-        for df in (take, ok, extracted, new_frontier, docs, fresh, final_docs, landed):
+        for df in (take, fetched, dl_fetched, extracted, new_frontier, new_pending, docs, fresh, final_docs, landed):
             df.unpersist()
         return out
 
 
 # ---------------------------------------------------------------- helpers
+
+
+def fetch_history(store) -> "DataFrame":
+    """Complete fetch provenance: live done-markers PLUS rows compaction
+    archived to fetch_log. Readers of crawl history must use this union —
+    frontier_done alone only covers batches since the last compaction."""
+    return store.read("frontier_done", _done_schema()).unionByName(
+        store.read("fetch_log", _done_schema())
+    )
 
 
 def _done_schema():
@@ -548,6 +691,13 @@ def _build_feed(feed_docs: DataFrame, source_config: DataFrame | None, batch_ts:
     from gc_spark.functions.urls import file_extension_col
 
     d = feed_docs
+    # per-doc override columns may be absent when callers assemble docs
+    # outside drain_one (streaming, entry queries) — default them to null
+    for opt_col, typ in [
+        ("display_title", "string"), ("file_ext", "string"), ("is_revoked", "boolean"),
+    ]:
+        if opt_col not in d.columns:
+            d = d.withColumn(opt_col, F.lit(None).cast(typ))
     if source_config is not None:
         from gc_spark.operators.enrich import enrich_with_source_defaults
 
@@ -586,13 +736,18 @@ def _build_feed(feed_docs: DataFrame, source_config: DataFrame | None, batch_ts:
         F.col("display_org"),
         F.concat_ws(" - ", "data_source", "source_title").alias("display_source"),
         F.coalesce(
+            F.col("display_title"),  # per-doc override (set_display_name)
             display_title_col(F.col("doc_type"), F.col("doc_num"), F.col("doc_title")),
             F.col("doc_title"),
         ).alias("display_title"),
         F.col("data_source"),
         F.col("source_title"),
-        F.coalesce(file_extension_col(dl_url), F.lit("html")).alias("file_ext"),
-        F.lit(False).alias("is_revoked"),
+        F.coalesce(
+            F.col("file_ext"),  # per-doc override (file_ext=doc_type quirks)
+            file_extension_col(dl_url),
+            F.lit("html"),
+        ).alias("file_ext"),
+        F.coalesce(F.col("is_revoked"), F.lit(False)).alias("is_revoked"),
     )
 
 

@@ -122,6 +122,122 @@ class HttpFetcher(Fetcher):
         return batch.mapInPandas(_fetch, schema=out_schema)
 
 
+class RendererFetcher(Fetcher):
+    """Headed/JS fetch (SURVEY §2.1-S4) — the SeleniumMiddleware policy shape
+    behind the standard Fetcher interface.
+
+    Mirrors downloader_middlewares.py:143-201 + GCSeleniumSpider.py:23-24:
+      - wait_until: a predicate over the rendered page source; while False
+        the fetch retries, up to `retries` times, sleeping `retry_wait_s`
+        between attempts (reference defaults 5 / 30s)
+      - wait_time: per-attempt render wait budget passed to the renderer
+      - script: post-load JS hook executed before the source is captured
+
+    `render_fn(url) -> {"status", "body", "current_url"}` is injectable: the
+    real implementation drives headless Chrome (selenium is NOT in this
+    container — import-gated), tests inject a fake renderer to pin the
+    retry/wait machinery. Runs distributed via mapInPandas exactly like
+    HttpFetcher; one renderer per partition (the reference holds one driver
+    per spider process)."""
+
+    def __init__(
+        self,
+        render_fn=None,
+        wait_time: float = 5.0,
+        wait_until=None,
+        retries: int = 5,
+        retry_wait_s: float = 30.0,
+        script: str | None = None,
+    ):
+        self.render_fn = render_fn
+        self.wait_time = wait_time
+        self.wait_until = wait_until
+        self.retries = retries
+        self.retry_wait_s = retry_wait_s
+        self.script = script
+
+    def _make_renderer(self):  # pragma: no cover - needs a browser
+        try:
+            from selenium import webdriver  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "RendererFetcher needs an injected render_fn or the selenium "
+                "package + a browser (not available in this container)"
+            ) from e
+
+        def _render(url):
+            opts = webdriver.ChromeOptions()
+            opts.add_argument("--headless=new")
+            driver = webdriver.Chrome(options=opts)
+            try:
+                driver.get(url)
+                if self.script:
+                    driver.execute_script(self.script)
+                return {
+                    "status": 200,
+                    "body": driver.page_source,
+                    "current_url": driver.current_url,
+                }
+            finally:
+                driver.quit()
+
+        return _render
+
+    def fetch(self, batch: DataFrame) -> DataFrame:
+        from pyspark.sql.types import (
+            ArrayType,
+            IntegerType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        render_fn = self.render_fn or self._make_renderer()
+        wait_until = self.wait_until
+        retries = self.retries
+        retry_wait_s = self.retry_wait_s
+
+        out_schema = StructType(
+            list(batch.schema.fields)
+            + [
+                StructField("status", IntegerType()),
+                StructField("body", StringType()),
+                StructField("kind", StringType()),
+                StructField("media_sha", StringType()),
+                StructField("zip_entries", ArrayType(StringType())),
+            ]
+        )
+
+        def _fetch(parts: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import time
+
+            for pdf in parts:
+                statuses, bodies, kinds = [], [], []
+                for url in pdf["url"]:
+                    status, body = 0, None
+                    # retry-until-condition loop, downloader_middlewares.py:157-177
+                    attempts_remaining = retries + 1
+                    while attempts_remaining:
+                        r = render_fn(url)
+                        status, body = int(r.get("status", 0)), r.get("body")
+                        if wait_until is None or (body is not None and wait_until(body)):
+                            break
+                        attempts_remaining -= 1
+                        if attempts_remaining:
+                            time.sleep(retry_wait_s)
+                    else:
+                        status, body = 0, None  # condition never satisfied
+                    statuses.append(status)
+                    bodies.append(body)
+                    kinds.append("rendered" if 200 <= status < 300 else "missing")
+                pdf = pdf.assign(status=statuses, body=bodies, kind=kinds)
+                pdf["media_sha"] = None
+                pdf["zip_entries"] = None
+                yield pdf
+
+        return batch.mapInPandas(_fetch, schema=out_schema)
+
+
 def split_fetch_results(fetched: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(ok, failed) by status + empty-body rule (pipelines.py:161-170)."""
     ok = fetched.filter(

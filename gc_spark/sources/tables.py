@@ -43,7 +43,8 @@ class Transaction:
     """
 
     def __init__(
-        self, store: "SnapshotStore", batch: int, base: dict[str, list[str]], suffix: str = ""
+        self, store: "SnapshotStore", batch: int, base: dict[str, list[str]], suffix: str = "",
+        base_meta: dict | None = None,
     ):
         self.store = store
         self.batch = batch
@@ -51,6 +52,10 @@ class Transaction:
         # table -> ordered list of data dirs valid if this txn commits
         self.tables: dict[str, list[str]] = {k: list(v) for k, v in base.items()}
         self.lineage: list[dict] = []
+        # snapshot-carried scalar state (e.g. max_seq) — copied forward from
+        # the previous snapshot so readers never re-aggregate a big table for
+        # a value the writer already knew
+        self.meta: dict = dict(base_meta or {})
 
     def _write(self, df: DataFrame, rel: str) -> str:
         path = str(Path(self.store.root, rel))
@@ -68,11 +73,15 @@ class Transaction:
     def add_lineage(self, rows: list[dict]) -> None:
         self.lineage.extend(rows)
 
+    def set_meta(self, key: str, value) -> None:
+        self.meta[key] = value
+
     def commit(self) -> None:
         snap = {
             "batch": self.batch,
             "tables": self.tables,
             "lineage": self.lineage,
+            "meta": self.meta,
         }
         snap_dir = Path(self.store.root, SNAP_DIR)
         snap_dir.mkdir(parents=True, exist_ok=True)
@@ -109,6 +118,12 @@ class SnapshotStore:
             return {}
         return json.loads(snaps[-1].read_text())["tables"]
 
+    def latest_meta(self) -> dict:
+        snaps = self._snapshots()
+        if not snaps:
+            return {}
+        return json.loads(snaps[-1].read_text()).get("meta", {})
+
     def snapshot_at(self, batch: int) -> dict[str, list[str]]:
         p = Path(self.root, SNAP_DIR, f"{batch:06d}.json")
         return json.loads(p.read_text())["tables"]
@@ -122,7 +137,9 @@ class SnapshotStore:
     # -- txn / io ------------------------------------------------------------
 
     def begin(self, batch: int, suffix: str = "") -> Transaction:
-        return Transaction(self, batch, self._latest_tables(), suffix=suffix)
+        return Transaction(
+            self, batch, self._latest_tables(), suffix=suffix, base_meta=self.latest_meta()
+        )
 
     def read(self, table: str, schema: StructType) -> DataFrame:
         rels = self._latest_tables().get(table, [])

@@ -39,6 +39,15 @@ def discovery_schema():
     )
 
 
+def _sink_exists(spark: SparkSession, path: str) -> bool:
+    """Hadoop-FS existence check (works for file:/, hdfs:/, s3a:/ alike) —
+    distinguishes 'first batch, sink not created yet' from a read error."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
 def discovered_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     """File-source stream of frontier rows (schema: SEEDS + discovered_at)."""
     return spark.readStream.schema(discovery_schema()).parquet(source_dir)
@@ -87,11 +96,12 @@ def streaming_drain(
     def _drain_batch(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
         fresh = batch_df.dropDuplicates(["url_hash64"])
-        try:
+        # explicit existence check — a blanket try/except here would treat a
+        # transient read failure (corrupt file, FS hiccup) as "first batch",
+        # silently disabling dedup for the micro-batch and double-scheduling
+        if _sink_exists(sess, out_dir):
             already = sess.read.parquet(out_dir).select("url_hash64")
             fresh = fresh.join(already, "url_hash64", "left_anti")
-        except Exception:
-            pass  # first batch: sink doesn't exist yet
         take = topk_per_host(
             fresh.withColumn("priority", F.lit(0))
             .withColumn("depth", F.lit(0))

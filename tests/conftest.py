@@ -19,7 +19,12 @@ def spark():
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "4g")
+        # one JVM hosts driver AND executors for the whole session (~10k
+        # stages across the engine e2e tests): give it headroom and make the
+        # ContextCleaner sweep broadcast/shuffle state aggressively instead
+        # of waiting for the default 30min tick
+        .config("spark.driver.memory", "8g")
+        .config("spark.cleaner.periodicGC.interval", "1min")
         .getOrCreate()
     )
     yield spark

@@ -309,3 +309,313 @@ def scale_site_seeds(spark: SparkSession, num_hosts: int = 5) -> DataFrame:
         ],
         schema=SEEDS,
     )
+
+
+# ---------------------------------------------------------------------------
+# executive orders (ex_orders) — landing → bulk JSON → per-doc detail JSON
+# ---------------------------------------------------------------------------
+
+EO_HOST = "www.federalregister.gov"
+
+
+def ex_orders_rows() -> list[dict]:
+    import json as _json
+
+    base = f"https://{EO_HOST}"
+    landing = (
+        '<div class="page-summary reader-aid"><ul class="bulk-files"><li>'
+        f'<span class="links"><a href="{base}/documents.csv">CSV</a>'
+        f'<a href="{base}/documents.json">JSON</a></span></li></ul></div>'
+    )
+    details = [
+        {  # normal EO
+            "title": "Improving Analytics",
+            "publication_date": "02/09/1996",
+            "signing_date": "1996-02-05",
+            "disposition_notes": "Revokes EO 12800",
+            "executive_order_number": "12988",
+            "pdf_url": f"{base}/pdf/eo12988.pdf",
+            "full_text_xml_url": f"{base}/xml/eo12988.xml",
+            "raw_text_url": f"{base}/txt/eo12988.txt",
+        },
+        {  # the mis-numbered CHAMPUS notice: must be SKIPPED
+            "title": "CHAMPUS civilian health program notice",
+            "publication_date": "02/09/1996",
+            "signing_date": "",
+            "disposition_notes": "",
+            "executive_order_number": "12988",
+            "pdf_url": f"{base}/pdf/champus.pdf",
+        },
+        {  # numberless: doc_name falls back to title
+            "title": "Closing of departments in memory",
+            "publication_date": "1994-04-27",
+            "signing_date": "1994-04-25",
+            "disposition_notes": "",
+            "executive_order_number": None,
+            "pdf_url": f"{base}/pdf/eo-memorial.pdf",
+        },
+    ]
+    detail_urls = [f"{base}/api/v1/documents/{i}.json" for i in range(len(details))]
+    page2 = {"results": [{"json_url": detail_urls[2]}], "next_page_url": None}
+    page1 = {
+        "results": [{"json_url": detail_urls[0]}, {"json_url": detail_urls[1]}],
+        "next_page_url": f"{base}/documents.json?page=2",
+    }
+    rows = [
+        {"url": f"{base}/presidential-documents/executive-orders", "status": 200,
+         "body": landing, "links": None, "kind": "landing", "media_sha": None,
+         "zip_entries": None},
+        {"url": f"{base}/documents.json", "status": 200, "body": _json.dumps(page1),
+         "links": None, "kind": "api", "media_sha": None, "zip_entries": None},
+        {"url": f"{base}/documents.json?page=2", "status": 200, "body": _json.dumps(page2),
+         "links": None, "kind": "api", "media_sha": None, "zip_entries": None},
+    ]
+    for u, d in zip(detail_urls, details):
+        rows.append({"url": u, "status": 200, "body": _json.dumps(d), "links": None,
+                     "kind": "api", "media_sha": None, "zip_entries": None})
+    for d in details:
+        u = d["pdf_url"]
+        rows.append({"url": u, "status": 200, "body": None, "links": None,
+                     "kind": "binary", "media_sha": media_sha_for(u), "zip_entries": None})
+    return rows
+
+
+def ex_orders_pages(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(ex_orders_rows(), schema=PAGES)
+
+
+def ex_orders_seeds(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [{"source": "ex_orders",
+          "url": f"https://{EO_HOST}/presidential-documents/executive-orders",
+          "host": EO_HOST}],
+        schema=SEEDS,
+    )
+
+
+# ---------------------------------------------------------------------------
+# air force e-publishing (air_force_pubs) — five-column product-index table
+# ---------------------------------------------------------------------------
+
+AF_HOST = "www.e-publishing.af.mil"
+AF_STATIC = "https://static.e-publishing.af.mil/pubs"
+
+# (product_number, title, pub_date_raw, cert_date_raw, last_action)
+AF_ROWS = [
+    ("AFI21-101", "Maintenance, Mgmt: of Systems!", "20240102 081500", "20240103", "UpdatedRewrite"),
+    ("CFETP2A3X3", "Career Field Training", "20230601 090000", "20230601", "Update"),
+    ("2T0X1_F-35_AFJQS", "F-35 Qual Standard", "20220315 120000", "20220316", "New"),
+    ("AFHandbook1", "Airman Handbook", "20210701 000000", "20210702", "Rewrite"),
+    ("BOWFUSF", "Blue Book", "20200101 000000", "20200102", "Update"),
+    ("AFI16-1404SMALL", "Small Format Security", "20230901 070000", "20230902", "Update"),
+    ("DODI8510.01_AFI17-101", "Risk Mgmt Framework", "20231101 060000", "20231102", "Certified"),
+    ("dafgm2024-36-01", "Guidance Memo", "20240201 050000", "20240202", "New"),
+    ("AFMAN17-1301-S", "FOUO Comsec Manual", "20240301 040000", "20240302", "Update"),
+]
+
+
+def air_force_rows() -> list[dict]:
+    trs = []
+    for prod, title, pub, cert, action in AF_ROWS:
+        url = f"{AF_STATIC}/{prod.lower()}.pdf"
+        trs.append(
+            f'<tr><td><a href="{url}">{prod}</a></td><td><a>{title}</a></td>'
+            f"<td><span>{pub}</span></td><td><span>{cert}</span></td>"
+            f"<td>{action}</td></tr>"
+        )
+    rows = [
+        {"url": f"https://{AF_HOST}/Product-Index/cat-1", "status": 200,
+         "body": "<table>" + "".join(trs) + "</table>", "links": None,
+         "kind": "listing", "media_sha": None, "zip_entries": None}
+    ]
+    for prod, *_ in AF_ROWS:
+        u = f"{AF_STATIC}/{prod.lower()}.pdf"
+        rows.append({"url": u, "status": 200, "body": None, "links": None,
+                     "kind": "binary", "media_sha": media_sha_for(u), "zip_entries": None})
+    return rows
+
+
+def air_force_pages(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(air_force_rows(), schema=PAGES)
+
+
+def air_force_seeds(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [{"source": "air_force_pubs",
+          "url": f"https://{AF_HOST}/Product-Index/cat-1", "host": AF_HOST}],
+        schema=SEEDS,
+    )
+
+
+# ---------------------------------------------------------------------------
+# marine corps MCPEL (marine_pubs) — two-hop: listing → detail page → pdf
+# ---------------------------------------------------------------------------
+
+MC_HOST = "www.marines.mil"
+MC_BASE = f"https://{MC_HOST}/News/Publications/MCPEL/?Page="
+
+# (doc_type_raw, doc_type_num_raw, doc_title_raw, status, slug, has_download)
+MC_ROWS = [
+    ("MCO", "MCO 5215.1K", "Marine Corps Directives System", "Active", "mco-5215", True),
+    ("NAVMC", "NAVMC 2915", "Mess Management", "Active", "navmc-2915", True),
+    ("Historical", "Small Wars Manual", "Historic Pubs", "Active", "small-wars", True),
+    ("Navy Pubs", "SECNAV M-5210.1", "Records Management", "Active", "secnav-m", True),
+    ("Misc Pubs", "IRM-2300-05A", "IRM Standards FOUO", "Active", "irm-2300", True),
+    ("MCO", "MCO 1200.18", "Deleted MOS Manual", "Deleted", "mco-1200", True),
+    ("Weird Type", "XX 1", "Unknown", "Active", "weird", True),
+    ("MCO P", "MCO P1080.40C", "MCTFS Codes Manual", "Active", "mco-p1080", False),
+]
+
+
+def marine_rows() -> list[dict]:
+    litems = []
+    for t, num, title, status, slug, _dl in MC_ROWS:
+        litems.append(
+            f'<div class="litem"><a href="/detail/{slug}/">'
+            f'<div class="list-type"><span>{t}</span></div>'
+            f'<div class="list-title">{num}</div>'
+            f'<div class="cat"><span>{title}</span></div>'
+            f'<div class="status">{status}</div></a></div></div>'
+        )
+    rows = [
+        {"url": f"{MC_BASE}1", "status": 200,
+         "body": '<div class="alist-more-here">' + "".join(litems) + "</div>",
+         "links": None, "kind": "listing", "media_sha": None, "zip_entries": None},
+        # empty page ends the ?Page=N pagination
+        {"url": f"{MC_BASE}2", "status": 200, "body": "<div></div>", "links": None,
+         "kind": "listing", "media_sha": None, "zip_entries": None},
+    ]
+    for t, num, title, status, slug, has_dl in MC_ROWS:
+        pdf = f"https://{MC_HOST}/files/{slug}.pdf"
+        body = (
+            f'<div class="download-section"><a href="{pdf}">Download</a></div>'
+            if has_dl
+            else '<div class="body-text">no link here</div>'
+        )
+        rows.append({"url": f"https://{MC_HOST}/detail/{slug}/", "status": 200,
+                     "body": body, "links": None, "kind": "detail",
+                     "media_sha": None, "zip_entries": None})
+        if has_dl:
+            rows.append({"url": pdf, "status": 200, "body": None, "links": None,
+                         "kind": "binary", "media_sha": media_sha_for(pdf),
+                         "zip_entries": None})
+    return rows
+
+
+def marine_pages(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(marine_rows(), schema=PAGES)
+
+
+def marine_seeds(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [{"source": "marine_pubs", "url": f"{MC_BASE}1", "host": MC_HOST}],
+        schema=SEEDS,
+    )
+
+
+# ---------------------------------------------------------------------------
+# wave-2 combined site: DISA_pubs + SORN + maradmin_pubs in one crawl
+# ---------------------------------------------------------------------------
+
+SORN_QUERY_URL = (
+    "https://www.federalregister.gov/api/v1/documents.json?per_page=1000"
+    "&order=newest&conditions[term]=%22Privacy%20Act%20of%201974%22%20%7C"
+    "%20%22System%20of%20Records%22"
+    "&conditions[agencies][]=defense-department"
+    "&conditions[type][]=NOTICE"
+)
+
+
+def wave2_rows() -> list[dict]:
+    import json as _json
+
+    rows = []
+    # --- DISA: one listing, two pdf docs
+    disa_body = (
+        "<table>"
+        '<tr><td><a href="/pdfs/DISAI-100-50-3.pdf">DISAI 100-50-3</a></td>'
+        "<td>Information Technology</td><td>03/17/ 17</td></tr>"
+        '<tr><td><a href="/pdfs/DISAC-310-65-1.pdf">DISAC 310-65-1</a></td>'
+        "<td>Circuit Mgmt</td><td>04/15/13</td></tr>"
+        "</table>"
+    )
+    rows.append({"url": "https://disa.mil/About/DISA-Issuances/Instructions",
+                 "status": 200, "body": disa_body, "links": None, "kind": "listing",
+                 "media_sha": None, "zip_entries": None})
+    for p in ("DISAI-100-50-3", "DISAC-310-65-1"):
+        u = f"https://disa.mil/pdfs/{p}.pdf"
+        rows.append({"url": u, "status": 200, "body": None, "links": None,
+                     "kind": "binary", "media_sha": media_sha_for(u), "zip_entries": None})
+
+    # --- SORN: agencies api → constructed query → page 2
+    rows.append({"url": "https://www.federalregister.gov/api/v1/agencies/defense-department",
+                 "status": 200, "body": _json.dumps({"child_slugs": ["defense-department"]}),
+                 "links": None, "kind": "api", "media_sha": None, "zip_entries": None})
+    page2_url = "https://www.federalregister.gov/api/v1/documents.json?page=2"
+    sorn_docs = [
+        {"document_number": "2024-11111", "title": "Privacy Act; Records A",
+         "pdf_url": "https://www.govinfo.gov/pdf/2024-11111.pdf",
+         "html_url": "https://www.federalregister.gov/documents/2024-11111",
+         "publication_date": "2024-06-03"},
+        {"document_number": "2024-22222", "title": "Privacy Act; Records B",
+         "pdf_url": "https://www.govinfo.gov/pdf/2024-22222.pdf",
+         "html_url": "https://www.federalregister.gov/documents/2024-22222",
+         "publication_date": "2024-05-01"},
+    ]
+    rows.append({"url": SORN_QUERY_URL, "status": 200,
+                 "body": _json.dumps({"results": sorn_docs[:1], "next_page_url": page2_url}),
+                 "links": None, "kind": "api", "media_sha": None, "zip_entries": None})
+    rows.append({"url": page2_url, "status": 200,
+                 "body": _json.dumps({"results": sorn_docs[1:], "next_page_url": None}),
+                 "links": None, "kind": "api", "media_sha": None, "zip_entries": None})
+    for d in sorn_docs:
+        rows.append({"url": d["pdf_url"], "status": 200, "body": None, "links": None,
+                     "kind": "binary", "media_sha": media_sha_for(d["pdf_url"]),
+                     "zip_entries": None})
+
+    # --- maradmin: 2 board pages (header row + messages), html 'downloads'
+    def mrow(num, title, href, date, status):
+        return ('<div class="maradmin-row">'
+                f'<div class="msg-num msg-col"><a>{num}</a></div>'
+                f'<div class="msg-title msg-col"><a href="{href}">{title}</a></div>'
+                f'<div class="msg-pub-date msg-col">{date}</div>'
+                f'<div class="msg-status msg-col">{status}</div>'
+                "</div></div>")
+
+    base = "https://www.marines.mil/News/Messages/MARADMINS/"
+    msg = ["https://www.marines.mil/msg/123", "https://www.marines.mil/msg/124",
+           "https://www.marines.mil/msg/125"]
+    p1 = (mrow("hdr", "header", "#", "", "")
+          + mrow("123/24", "TRAINING GUIDANCE", msg[0], "1/5/2024", "Active")
+          + mrow("124/24", "CANCELLED THING", msg[1], "1/6/2024", "Cancelled")
+          + f'<a class="da_next_pager" href="{base}?Page=2">next</a>')
+    p2 = (mrow("hdr", "header", "#", "", "")
+          + mrow("125/24", "FY25 POLICY", msg[2], "2/1/2024", "Active"))
+    rows.append({"url": base, "status": 200, "body": p1, "links": None,
+                 "kind": "listing", "media_sha": None, "zip_entries": None})
+    rows.append({"url": f"{base}?Page=2", "status": 200, "body": p2, "links": None,
+                 "kind": "listing", "media_sha": None, "zip_entries": None})
+    for u in msg:
+        rows.append({"url": u, "status": 200, "body": None, "links": None,
+                     "kind": "binary", "media_sha": media_sha_for(u), "zip_entries": None})
+    return rows
+
+
+def wave2_pages(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(wave2_rows(), schema=PAGES)
+
+
+def wave2_seeds(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [
+            {"source": "DISA_pubs", "url": "https://disa.mil/About/DISA-Issuances/Instructions",
+             "host": "disa.mil"},
+            {"source": "SORN",
+             "url": "https://www.federalregister.gov/api/v1/agencies/defense-department",
+             "host": "www.federalregister.gov"},
+            {"source": "maradmin_pubs",
+             "url": "https://www.marines.mil/News/Messages/MARADMINS/",
+             "host": "www.marines.mil"},
+        ],
+        schema=SEEDS,
+    )

@@ -158,7 +158,10 @@ class TestScaleSiteSimulatorEquality:
 
     def test_crawl_order_equality(self, runs):
         store, _, sim = runs
-        done = store.read("frontier_done", _done_schema())
+        # full fetch history = live done-markers ∪ compaction-archived rows
+        done = store.read("frontier_done", _done_schema()).unionByName(
+            store.read("fetch_log", _done_schema())
+        )
         eng_map = {r["url"]: r["batch"] for r in done.collect()}
         assert eng_map == sim.fetch_batch
 
@@ -179,7 +182,9 @@ class TestScaleSiteSimulatorEquality:
 
     def test_politeness_budget_never_exceeded(self, runs):
         store, _, _ = runs
-        done = store.read("frontier_done", _done_schema())
+        done = store.read("frontier_done", _done_schema()).unionByName(
+            store.read("fetch_log", _done_schema())
+        )
         over = (
             done.groupBy("host", "batch")
             .count()
@@ -272,3 +277,87 @@ class TestResume:
         n2 = store.read("frontier_done", _done_schema()).count()
         assert n2 < n3
         assert store.latest_batch() == 2
+
+
+class TestCompactionCycles:
+    def test_cyclic_links_terminate_once_each(self, spark, tmp_path):
+        """Pages link BACK to earlier pages (nav/home cycles) and compaction
+        runs every batch. URL dedup must anti-join frontier ∪ fetch_log, so
+        archived rows still block rediscovery: the crawl terminates with
+        every URL fetched exactly once and max_seq stays monotonic."""
+        from gc_spark.schema import PAGES, SEEDS
+
+        host = "cyc.example.mil"
+        n = 6
+        rows = []
+        for p in range(n):
+            nxt = (p + 1) % n  # last page closes the cycle back to page 0
+            body = (
+                f'<a href="/list/{nxt}">next</a><a href="/list/0">home</a>'
+                f'<li><a href="/doc/{p}">d</a></li>'
+            )
+            rows.append(
+                {"url": f"https://{host}/list/{p}", "status": 200, "body": body,
+                 "links": None, "kind": "listing", "media_sha": None, "zip_entries": None}
+            )
+            rows.append(
+                {"url": f"https://{host}/doc/{p}", "status": 200,
+                 "body": f"<h1>{host}-doc-{p}</h1>"
+                         f'<span class="date">2022-03-01</span><p>text {p}</p>',
+                 "links": None, "kind": "detail", "media_sha": None, "zip_entries": None}
+            )
+        pages = spark.createDataFrame(rows, schema=PAGES)
+        seeds = spark.createDataFrame(
+            [{"source": "synthetic", "url": f"https://{host}/list/0", "host": host}],
+            schema=SEEDS,
+        )
+        eng, store = _mk_engine(spark, tmp_path / "cyc", pages, budget=2, compact_every=1)
+        eng.bootstrap(seeds)
+        stats = eng.run(max_batches=40)
+        assert len(stats) < 40, "cyclic site did not terminate"
+        done = store.read("frontier_done", _done_schema())
+        log = store.read("fetch_log", _done_schema())
+        hist = [r["url"] for r in done.unionByName(log).collect()]
+        assert len(hist) == len(set(hist)) == 2 * n  # each URL exactly once
+        # global seq uniqueness survived compaction (meta-carried max_seq)
+        assert store.latest_meta()["max_seq"] == 2 * n - 1
+
+
+class TestSingleNetworkPass:
+    def test_fetch_executes_once_per_url(self, spark, tmp_path):
+        """The failed-path anti-join must read the PERSISTED fetch result,
+        never re-run the fetch: count actual fetch-row executions with an
+        accumulator and require exactly one per crawled page."""
+        from gc_spark.sources.fetch import Fetcher
+
+        class AccumFetcher(Fetcher):
+            def __init__(self, sc, pages):
+                self.acc = sc.accumulator(0)
+                self.table = TableFetcher(pages)
+
+            def fetch(self, batch):
+                acc = self.acc
+                joined = self.table.fetch(batch)
+
+                def _count(parts):
+                    for pdf in parts:
+                        acc.add(len(pdf))
+                        yield pdf
+
+                return joined.mapInPandas(_count, schema=joined.schema)
+
+        rows = scale_site_rows(num_hosts=3, docs_host0=12)
+        pages = scale_site_pages(spark, num_hosts=3, docs_host0=12)
+        fetcher = AccumFetcher(spark.sparkContext, pages)
+        store = SnapshotStore(spark, str(tmp_path / "single"))
+        eng = CrawlEngine(
+            spark, store, fetcher,
+            config=EngineConfig(budget_per_host=4, fetch_partitions=8),
+        )
+        eng.bootstrap(scale_site_seeds(spark, num_hosts=3))
+        eng.run(max_batches=30)
+        crawled = store.read("frontier_done", _done_schema()).count() + store.read(
+            "fetch_log", _done_schema()
+        ).count()
+        assert crawled == len(rows)  # every page visited
+        assert fetcher.acc.value == len(rows)  # and fetched exactly once

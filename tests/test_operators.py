@@ -314,3 +314,31 @@ class TestStreaming:
             "host",
             "urls_discovered",
         ]
+
+
+class TestArtifactPaths:
+    def test_jbook_and_compression_layout(self, spark):
+        """S12 file layout (pipelines.py:235-250): compressed names get the
+        compression suffix; jbook 'type;year;name' artifacts land under
+        type/year/name; everything else passes through."""
+        from gc_spark.operators.explode import artifact_download_path_col
+
+        df = spark.createDataFrame(
+            [
+                ("rdte;2023;budget_item.pdf", None),
+                ("procurement;2022;line_42.pdf", None),
+                ("Title 1 - General Provisions", "zip"),
+                ("DODD 5000.01.pdf", None),
+            ],
+            "name string, comp string",
+        )
+        out = {
+            r["name"]: r["path"]
+            for r in df.select(
+                "name", artifact_download_path_col("name", "comp").alias("path")
+            ).collect()
+        }
+        assert out["rdte;2023;budget_item.pdf"] == "rdte/2023/budget_item.pdf"
+        assert out["procurement;2022;line_42.pdf"] == "procurement/2022/line_42.pdf"
+        assert out["Title 1 - General Provisions"] == "Title 1 - General Provisions.zip"
+        assert out["DODD 5000.01.pdf"] == "DODD 5000.01.pdf"

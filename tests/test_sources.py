@@ -9,7 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from gc_spark import schema as S
-from gc_spark.plans.drain import CrawlEngine, EngineConfig, _done_schema
+from gc_spark.plans.drain import CrawlEngine, EngineConfig, _done_schema, fetch_history
 from gc_spark.sources.fetch import HttpFetcher, TableFetcher
 from gc_spark.sources.tables import SnapshotStore
 
@@ -316,7 +316,7 @@ class TestScopeAndHelpers:
         )
         eng.bootstrap(seeds)
         eng.run(max_batches=5)
-        fetched = {r["url"] for r in store.read("frontier_done", _done_schema()).collect()}
+        fetched = {r["url"] for r in fetch_history(store).collect()}
         assert "https://in.mil/doc/1" in fetched
         assert "https://offsite.com/doc/2" not in fetched
 
@@ -375,7 +375,7 @@ class TestRobotsAndBudgets:
         )
         eng.bootstrap(scale_site_seeds(spark, num_hosts=2))
         eng.run(max_batches=10)
-        done = store.read("frontier_done", _done_schema())
+        done = fetch_history(store)
         # host00's /doc/* links never scheduled; its /list/* pages still are
         h0 = [r["url"] for r in done.filter(F.col("host") == "host00.example.mil").collect()]
         assert all("/doc/" not in u for u in h0)
@@ -398,7 +398,7 @@ class TestRobotsAndBudgets:
         )
         eng.bootstrap(scale_site_seeds(spark, num_hosts=2))
         eng.run(max_batches=30)
-        done = store.read("frontier_done", _done_schema())
+        done = fetch_history(store)
         per = done.groupBy("host", "batch").count()
         assert per.filter(
             (F.col("host") == "host00.example.mil") & (F.col("count") > 2)
@@ -406,3 +406,234 @@ class TestRobotsAndBudgets:
         assert per.filter(
             (F.col("host") == "host01.example.mil") & (F.col("count") > 2)
         ).count() > 0  # default budget lets the other host go wide
+
+
+class TestExecutiveOrdersSource:
+    def test_eo_api_crawl(self, spark, tmp_path):
+        """ex_orders family: landing → bulk JSON link → paginated results →
+        per-doc detail JSON, EO-specific hash dict, CHAMPUS skip, numberless
+        title fallback (executive_orders_spider.py:70-180)."""
+        from gc_spark.functions.hashing import dict_to_sha256_hex_digest
+        from tests.fixtures import EO_HOST, ex_orders_pages, ex_orders_seeds
+
+        store = SnapshotStore(spark, str(tmp_path / "eo"))
+        eng = CrawlEngine(
+            spark, store, TableFetcher(ex_orders_pages(spark)),
+            config=EngineConfig(budget_per_host=10, fetch_partitions=4),
+        )
+        eng.bootstrap(ex_orders_seeds(spark))
+        eng.run(max_batches=10)
+
+        feed = {r["doc_name"]: r for r in store.read("feed", S.DOC_ITEMS).collect()}
+        # CHAMPUS mis-numbered notice skipped; numberless falls back to title
+        assert set(feed) == {"EO 12988", "EO Closing of departments in memory"}
+        row = feed["EO 12988"]
+        assert row["doc_type"] == "EO"
+        assert row["display_doc_type"] == "Order"
+        assert row["publication_date"] == "1996-02-09T00:00:00"
+        assert [it["doc_type"] for it in row["downloadable_items"]] == ["pdf", "xml", "txt"]
+        expected_hash = dict_to_sha256_hex_digest(
+            {
+                "publication_date": "1996-02-09T00:00:00",
+                "signing_date": "1996-02-05",
+                "disposition_notes": "Revokes EO 12800",
+                "doc_name": "EO 12988",
+                "doc_num": "12988",
+                "download_url": f"https://{EO_HOST}/pdf/eo12988.pdf",
+                "display_title": "EO 12988: Improving Analytics",
+            }
+        )
+        assert row["version_hash"] == expected_hash
+        seen = {r["doc_name"] for r in store.read("seen", S.SEEN).collect()}
+        assert seen == {"EO 12988", "EO Closing of departments in memory"}
+
+
+class TestAirForceSource:
+    def test_carving_cascade(self):
+        """Doc-name carving parity, air_force_spider.py:156-197 — including
+        the cross-row doc_num carry the reference exhibits."""
+        from gc_spark.extractors.air_force import carve_doc_fields
+
+        assert carve_doc_fields("AFI21-101", "") == ("AFI", "21-101", "AFI 21-101")
+        assert carve_doc_fields("CFETP2A3X3", "") == ("CFETP", "2A3X3", "CFETP 2A3X3")
+        assert carve_doc_fields("2T0X1_F-35_AFJQS", "") == (
+            "AFJQS", "2T0X1_F-35", "AFJQS 2T0X1_F-35")
+        assert carve_doc_fields("AFHandbook1", "") == ("AFH", "1", "AFH 1")
+        # BOWFUSF never assigns doc_num: inherits the previous row's value
+        assert carve_doc_fields("BOWFUSF", "1") == ("AF MISC", "1", "BOWFUSF")
+        assert carve_doc_fields("AFI16-1404SMALL", "") == ("AFI", "16-1404", "AFI 16-1404")
+        assert carve_doc_fields("DODI8510.01_AFI17-101", "") == ("AFI", "17-101", "AFI 17-101")
+        assert carve_doc_fields("dafgm2024-36-01", "") == (
+            "DAFGM", "dafgm2024-36-01", "DAFGM dafgm2024-36-01")
+        assert carve_doc_fields("AFMAN17-1301-S", "") == (
+            "AFMAN", "17-1301-S", "AFMAN 17-1301-S")
+
+    def test_af_table_crawl(self, spark, tmp_path):
+        from gc_spark.functions.hashing import dict_to_sha256_hex_digest
+        from tests.fixtures import air_force_pages, air_force_seeds
+
+        store = SnapshotStore(spark, str(tmp_path / "af"))
+        eng = CrawlEngine(
+            spark, store, TableFetcher(air_force_pages(spark)),
+            config=EngineConfig(budget_per_host=10, fetch_partitions=4),
+        )
+        eng.bootstrap(air_force_seeds(spark))
+        eng.run(max_batches=5)
+
+        feed = {r["doc_name"]: r for r in store.read("feed", S.DOC_ITEMS).collect()}
+        assert set(feed) == {
+            "AFI 21-101", "CFETP 2A3X3", "AFJQS 2T0X1_F-35", "AFH 1", "BOWFUSF",
+            "AFI 16-1404", "AFI 17-101", "DAFGM dafgm2024-36-01", "AFMAN 17-1301-S",
+        }
+        row = feed["AFI 21-101"]
+        # punctuation stripped from the title (:291)
+        assert row["doc_title"] == "Maintenance Mgmt of Systems"
+        assert row["publication_date"] == "2024-01-02T00:00:00"
+        expected_hash = dict_to_sha256_hex_digest(
+            {
+                "doc_name": "AFI 21-101",
+                "doc_num": "21-101",
+                "publication_date": "2024-01-02T00:00:00",
+                "download_url": "afi21-101.pdf",  # basename only (:275)
+                "display_title": "AFI 21-101: Maintenance Mgmt of Systems",
+            }
+        )
+        assert row["version_hash"] == expected_hash
+        # '-S' product suffix gates CAC: feed yes, seen no
+        assert feed["AFMAN 17-1301-S"]["cac_login_required"] is True
+        seen = {r["doc_name"] for r in store.read("seen", S.SEEN).collect()}
+        assert "AFMAN 17-1301-S" not in seen and len(seen) == 8
+        # BOWFUSF inherited the previous row's doc_num (reference quirk)
+        assert feed["BOWFUSF"]["doc_num"] == "1"
+
+
+class TestMarineCorpSource:
+    def test_two_hop_pending_join(self, spark, tmp_path):
+        """marine_pubs family: dispatch-table transforms on the listing, the
+        download href resolved ONE BATCH LATER via the pending-docs join, and
+        the version hash computed only after completion — the distributed
+        twin of the reference's response.meta carry
+        (marine_corp_spider.py:335-395)."""
+        from gc_spark.functions.hashing import dict_to_sha256_hex_digest
+        from gc_spark.operators.pending import PENDING_DOCS, PENDING_DONE
+        from tests.fixtures import MC_HOST, marine_pages, marine_seeds
+
+        store = SnapshotStore(spark, str(tmp_path / "mc"))
+        eng = CrawlEngine(
+            spark, store, TableFetcher(marine_pages(spark)),
+            config=EngineConfig(budget_per_host=10, fetch_partitions=4),
+        )
+        eng.bootstrap(marine_seeds(spark))
+        eng.run(max_batches=10)
+
+        feed = {r["doc_name"]: r for r in store.read("feed", S.DOC_ITEMS).collect()}
+        # Deleted + unknown-type rows skipped; no-download-link row never completes
+        assert set(feed) == {
+            "MCO 5215.1K", "NAVMC 2915", "Historical: Historic Pubs",
+            "SECNAV M-5210.1", "IRM-2300-05A",
+        }
+        row = feed["MCO 5215.1K"]
+        assert row["download_url"] == f"https://{MC_HOST}/files/mco-5215.pdf"
+        expected_hash = dict_to_sha256_hex_digest(
+            {
+                "doc_num": "5215.1K",
+                "doc_name": "MCO 5215.1K",
+                "publication_date": "None",
+                "status": "Active",
+                "display_title": "MCO 5215.1K: Marine Corps Directives System",
+            }
+            | {"download_url": f"https://{MC_HOST}/files/mco-5215.pdf"}
+        )
+        assert row["version_hash"] == expected_hash
+        # FOUO title gates CAC (feed only)
+        assert feed["IRM-2300-05A"]["cac_login_required"] is True
+        seen = {r["doc_name"] for r in store.read("seen", S.SEEN).collect()}
+        assert seen == {
+            "MCO 5215.1K", "NAVMC 2915", "Historical: Historic Pubs", "SECNAV M-5210.1"
+        }
+        # the no-download row is still parked as an open pending
+        open_pending = store.read("pending_docs", PENDING_DOCS).join(
+            store.read("pending_done", PENDING_DONE).select("detail_url_hash64"),
+            "detail_url_hash64", "left_anti",
+        ).collect()
+        assert [r["doc_name"] for r in open_pending] == ["MCO P1080.40C"]
+
+
+class TestRendererFetcher:
+    def test_retry_until_condition(self, spark):
+        """S4 policy shape (downloader_middlewares.py:157-177): the renderer
+        retries while wait_until is false, then succeeds; rows whose
+        condition never holds come back as failures."""
+        from gc_spark.sources.fetch import RendererFetcher, split_fetch_results
+
+        calls: dict[str, int] = {}
+
+        def fake_render(url):
+            n = calls.get(url, 0) + 1
+            calls[url] = n
+            if "flaky" in url:
+                # JS table renders only on the 3rd attempt
+                body = "<table>loaded</table>" if n >= 3 else "<spinner/>"
+            elif "dead" in url:
+                body = "<spinner/>"  # never loads
+            else:
+                body = "<table>loaded</table>"
+            return {"status": 200, "body": body, "current_url": url}
+
+        fetcher = RendererFetcher(
+            render_fn=fake_render,
+            wait_until=lambda body: "loaded" in body,
+            retries=4,
+            retry_wait_s=0.0,
+        )
+        batch = spark.createDataFrame(
+            [
+                ("https://js.example.mil/ok", 1),
+                ("https://js.example.mil/flaky", 2),
+                ("https://js.example.mil/dead", 3),
+            ],
+            "url string, url_hash64 long",
+        ).coalesce(1)
+        out = fetcher.fetch(batch)
+        ok, failed = split_fetch_results(out)
+        assert {r["url"].rsplit("/", 1)[1] for r in ok.collect()} == {"ok", "flaky"}
+        assert [r["url"].rsplit("/", 1)[1] for r in failed.collect()] == ["dead"]
+
+    def test_real_renderer_requires_selenium(self, spark):
+        """Without an injected render_fn the real path needs selenium —
+        absent in this container, so it must raise NotImplementedError."""
+        import pytest as _pytest
+
+        from gc_spark.sources.fetch import RendererFetcher
+
+        batch = spark.createDataFrame([("https://x",)], "url string")
+        with _pytest.raises(NotImplementedError):
+            RendererFetcher().fetch(batch)
+
+
+class TestNotifier:
+    def test_run_report_via_notifier(self, spark, tmp_path):
+        """S13: the engine posts a formatted crawl report to the injected
+        notifier at end of run; the webhook transport prints instead of
+        sending when disabled (slack.py:30-31 parity)."""
+        from gc_spark.plans.notify import LogNotifier, WebhookNotifier, format_crawl_report
+        from tests.fixtures import json_api_pages, json_api_seeds
+
+        notifier = LogNotifier()
+        store = SnapshotStore(spark, str(tmp_path / "ntf"))
+        eng = CrawlEngine(
+            spark, store, TableFetcher(json_api_pages(spark)),
+            config=EngineConfig(budget_per_host=10, fetch_partitions=4),
+            notifier=notifier,
+        )
+        eng.bootstrap(json_api_seeds(spark))
+        stats = eng.run(max_batches=10)
+        assert len(notifier.messages) == 1
+        msg = notifier.messages[0]
+        assert msg.splitlines()[0] == "crawl report"
+        assert len(msg.splitlines()) == len(stats) + 1
+        assert "scheduled 1" in msg.splitlines()[1]
+
+        wh = WebhookNotifier()  # disabled: must never open a socket
+        wh.notify(format_crawl_report(stats))
+        assert wh.sent == []
