@@ -433,6 +433,33 @@ def q28_robots_prefix(spark, sf_dir):
     return o.select("o_orderkey", path.alias("path")).filter(~blocked)
 
 
+def q29_artifact_paths(spark, sf_dir):
+    """S12 binary-sink file layout (operators/explode.artifact_download_path_col,
+    reference pipelines.py:235-250): compressed items get a compression
+    suffix; jbook 'type;year;name' items become 'type/year/name' paths;
+    everything else keeps its name. Names synthesized from `part` to cover
+    all three branches."""
+    from gc_spark.operators.explode import artifact_download_path_col
+
+    p = _t(spark, sf_dir, "part")
+    shape = F.pmod("p_partkey", F.lit(3))
+    base = F.regexp_replace("p_name", " ", "_")
+    name = (
+        F.when(shape == 0,
+               F.concat(F.lit("rdte;"),
+                        (F.pmod("p_partkey", F.lit(30)) + F.lit(1995)).cast("string"),
+                        F.lit(";"), base))
+        .when(shape == 1, base)
+        .otherwise(F.concat(base, F.lit(".pdf")))
+    )
+    comp = F.when(shape == 2, F.lit("zip")).otherwise(F.lit(None).cast("string"))
+    return p.select(
+        "p_partkey",
+        name.alias("output_file_name"),
+        artifact_download_path_col(name, comp).alias("artifact_path"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_rollup": q01_rollup,
@@ -463,6 +490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_carry_forward": q26_carry_forward,
         "q27_domain_scope": q27_domain_scope,
         "q28_robots_prefix": q28_robots_prefix,
+        "q29_artifact_paths": q29_artifact_paths,
     }
 
 
@@ -670,6 +698,24 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE lower(o_orderpriority) NOT LIKE '1-urgent%'
               AND lower(o_orderpriority) NOT LIKE '3-medium%'
+        """,
+        "q29_artifact_paths": """
+            SELECT p_partkey,
+                   name AS output_file_name,
+                   CASE WHEN comp IS NOT NULL THEN name || '.' || comp
+                        WHEN name LIKE '%rdte;%' OR name LIKE '%procurement;%'
+                             THEN replace(name, ';', '/')
+                        ELSE name END AS artifact_path
+            FROM (
+                SELECT p_partkey,
+                       CASE p_partkey % 3
+                            WHEN 0 THEN 'rdte;' || CAST(p_partkey % 30 + 1995 AS VARCHAR)
+                                        || ';' || replace(p_name, ' ', '_')
+                            WHEN 1 THEN replace(p_name, ' ', '_')
+                            ELSE replace(p_name, ' ', '_') || '.pdf' END AS name,
+                       CASE WHEN p_partkey % 3 = 2 THEN 'zip' END AS comp
+                FROM part
+            )
         """,
         "q26_carry_forward": """
             SELECT event_id, user_id,

@@ -102,7 +102,10 @@ def resolve_pending(pending: DataFrame, detail_records: DataFrame) -> DataFrame:
     href = F.col("detail_download_href")
     enc = url_encode_spaces_col(href)
     return (
-        pending.join(detail_records, "detail_url_hash64")
+        # detail_records is one row per detail page fetched THIS batch —
+        # bounded by the politeness budget, so explicitly broadcast: the
+        # (possibly huge) open-pending side never shuffles
+        pending.join(F.broadcast(detail_records), "detail_url_hash64")
         .withColumn("download_url", enc)
         .withColumn(
             "downloadable_items",

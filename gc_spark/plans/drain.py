@@ -203,6 +203,20 @@ class CrawlEngine:
         txn.replace("frontier", pending)
         txn.append("fetch_log", done)
         txn.replace("frontier_done", done.limit(0))
+        # fold completed pendings out of pending_docs and truncate the
+        # done-marker table — both anti-join sides stay bounded by OPEN
+        # pendings instead of growing with crawl history
+        if self.store.segment_count("pending_docs"):
+            open_pending = self.store.read("pending_docs", PENDING_DOCS).join(
+                self.store.read("pending_done", PENDING_DONE).select("detail_url_hash64"),
+                "detail_url_hash64",
+                "left_anti",
+            )
+            txn.replace("pending_docs", open_pending)
+            txn.replace(
+                "pending_done",
+                self.store.read("pending_done", PENDING_DONE).limit(0),
+            )
         txn.commit()
 
     # ------------------------------------------------------------- one batch

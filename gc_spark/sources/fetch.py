@@ -51,19 +51,59 @@ class TableFetcher(Fetcher):
         )
 
 
+# BanEvasionMiddleware's browser-agent pool (downloader_middlewares.py:14-53;
+# the reference's commented-out entries are site-banned strings it no longer
+# sends, so they are omitted here too). Public header strings, not code.
+USER_AGENT_LIST = (
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/98.0.4758.80 Safari/537.36",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/97.0.9290.21 Safari/537.36",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/98.0.4758.82 Safari/537.36",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/97.0.4692.99 Safari/537.36",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/98.0.4758.102 Safari/537.36",
+    "Mozilla/5.0 (Windows NT 10.0; WOW64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/98.0.4758.105 Safari/537.36",
+    "Mozilla/5.0 (Windows NT 10.0) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/98.0.4758.102 Safari/537.36",
+    "Mozilla/5.0 (Windows NT 10.0; WOW64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/97.0.4674.2 Safari/537.36",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/79.0.1434.80 Safari/537.36",
+)
+
+
 class HttpFetcher(Fetcher):
     """Real HTTP fetch via mapInPandas. delay_ms/timeout/retries mirror the
-    reference downloader config."""
+    reference downloader config; ban-evasion knobs mirror
+    BanEvasionMiddleware (downloader_middlewares.py:209-233):
 
-    def __init__(self, delay_ms: int = 100, timeout_s: float = 3.5, retries: int = 2):
+      - rotate_user_agent: pick a fresh User-Agent per request; False sends
+        one stable agent chosen per partition (the reference chooses per
+        spider process)
+      - randomly_delay_request: an int range bound — sleep a DETERMINISTIC
+        pseudo-random 0..n-1 seconds derived from xxhash of the URL (the
+        reference uses random.choice(range(0,3)); determinism keeps crawls
+        replayable)
+    """
+
+    def __init__(
+        self,
+        delay_ms: int = 100,
+        timeout_s: float = 3.5,
+        retries: int = 2,
+        rotate_user_agent: bool = False,
+        randomly_delay_request: int = 0,
+        user_agents: tuple[str, ...] = USER_AGENT_LIST,
+    ):
         self.delay_ms = delay_ms
         self.timeout_s = timeout_s
         self.retries = retries
+        self.rotate_user_agent = rotate_user_agent
+        self.randomly_delay_request = randomly_delay_request
+        self.user_agents = user_agents
 
     def fetch(self, batch: DataFrame) -> DataFrame:
         delay_s = self.delay_ms / 1000.0
         timeout = self.timeout_s
         retries = self.retries
+        rotate_ua = self.rotate_user_agent
+        rand_delay = self.randomly_delay_request
+        agents = list(self.user_agents)
 
         from pyspark.sql.types import (
             ArrayType,
@@ -93,14 +133,26 @@ class HttpFetcher(Fetcher):
             except ImportError as e:  # pragma: no cover
                 raise RuntimeError("HttpFetcher requires the 'requests' package") from e
 
+            import zlib
+
             session = requests.Session()
+            # stable agent = deterministic per-partition pick (:212)
+            stable_agent = agents[0] if agents else None
             for pdf in parts:
                 statuses, bodies, kinds, shas = [], [], [], []
                 for url in pdf["url"]:
+                    headers = {}
+                    h = zlib.crc32(url.encode())
+                    if agents:
+                        headers["User-Agent"] = (
+                            agents[h % len(agents)] if rotate_ua else stable_agent
+                        )
+                    if rand_delay:
+                        time.sleep(h % rand_delay)
                     body, status = None, 0
                     for _ in range(retries + 1):
                         try:
-                            r = session.get(url, timeout=timeout)
+                            r = session.get(url, timeout=timeout, headers=headers)
                             status, body = r.status_code, r.text
                             break
                         except Exception:

@@ -342,3 +342,46 @@ class TestArtifactPaths:
         assert out["procurement;2022;line_42.pdf"] == "procurement/2022/line_42.pdf"
         assert out["Title 1 - General Provisions"] == "Title 1 - General Provisions.zip"
         assert out["DODD 5000.01.pdf"] == "DODD 5000.01.pdf"
+
+
+class TestPendingCompaction:
+    def test_compact_folds_completed_pendings(self, spark, tmp_path):
+        """compact_frontier prunes pending_docs to OPEN rows and truncates
+        pending_done — the anti-join sides stay bounded by open pendings."""
+        from pyspark.sql import functions as F
+        from gc_spark import schema as S
+        from gc_spark.operators.pending import PENDING_COLS, PENDING_DOCS, PENDING_DONE
+        from gc_spark.plans.drain import CrawlEngine, EngineConfig
+        from gc_spark.sources.fetch import TableFetcher
+        from gc_spark.sources.tables import SnapshotStore
+
+        store = SnapshotStore(spark, str(tmp_path / "pc"))
+        eng = CrawlEngine(
+            spark, store, TableFetcher(spark.createDataFrame([], S.PAGES)),
+            config=EngineConfig(),
+        )
+        base = {f: None for f in PENDING_COLS}
+        rows = [
+            {**base, "source": "s", "parent_seq": 1, "doc_idx": 0,
+             "doc_name": "open", "detail_url_hash64": 111, "discovered_at_batch": 1},
+            {**base, "source": "s", "parent_seq": 1, "doc_idx": 1,
+             "doc_name": "completed", "detail_url_hash64": 222, "discovered_at_batch": 1},
+        ]
+        txn = store.begin(1)
+        txn.append("pending_docs", spark.createDataFrame(rows, PENDING_DOCS))
+        txn.append("pending_done", spark.createDataFrame(
+            [{"detail_url_hash64": 222, "batch": 2}], PENDING_DONE))
+        txn.append("frontier_done", spark.createDataFrame([], _done_schema_op()))
+        txn.set_meta("max_seq", 0)
+        txn.commit()
+
+        eng.compact_frontier(2)
+
+        remaining = store.read("pending_docs", PENDING_DOCS)
+        assert [r["doc_name"] for r in remaining.collect()] == ["open"]
+        assert store.read("pending_done", PENDING_DONE).count() == 0
+
+
+def _done_schema_op():
+    from gc_spark.plans.drain import _done_schema
+    return _done_schema()

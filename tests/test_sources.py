@@ -204,7 +204,10 @@ class _Handler:
         from http.server import BaseHTTPRequestHandler
 
         class H(BaseHTTPRequestHandler):
+            seen_agents: list[str] = []
+
             def do_GET(self):
+                H.seen_agents.append(self.headers.get("User-Agent", ""))
                 status, body = pages.get(self.path, (404, "not found"))
                 data = body.encode()
                 self.send_response(status)
@@ -229,15 +232,17 @@ class TestHttpFetcher:
             "/doc/1": (200, "<h1>hello</h1><p>world</p>"),
             "/boom": (500, "server error"),
         }
-        srv = ThreadingHTTPServer(("127.0.0.1", 0), _Handler.make(pages))
+        handler = _Handler.make(pages)
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
         t = threading.Thread(target=srv.serve_forever, daemon=True)
         t.start()
-        yield f"http://127.0.0.1:{srv.server_address[1]}"
+        yield f"http://127.0.0.1:{srv.server_address[1]}", handler
         srv.shutdown()
 
     def test_real_http_fetch(self, spark, server):
         """The production fetch path (mapInPandas + requests + politeness
         delay) against a real localhost socket."""
+        server, _handler = server
         batch = spark.createDataFrame(
             [
                 (f"{server}/list", "s", 0, 0),
@@ -254,6 +259,24 @@ class TestHttpFetcher:
         assert out[f"{server}/doc/1"]["media_sha"] is not None
         assert out[f"{server}/missing"]["status"] == 404
         assert out[f"{server}/boom"]["status"] == 500
+
+    def test_user_agent_rotation(self, spark, server):
+        """Ban-evasion config (downloader_middlewares.py:209-233): rotating
+        fetch sends several distinct User-Agents; non-rotating sends one."""
+        server, handler = server
+        urls = [(f"{server}/doc/1?i={i}", "s", 0, i) for i in range(12)]
+        batch = spark.createDataFrame(urls, ["url", "source", "depth", "seq"]).coalesce(1)
+
+        handler.seen_agents.clear()
+        HttpFetcher(delay_ms=1, timeout_s=2.0, rotate_user_agent=True).fetch(batch).count()
+        rotated = set(handler.seen_agents)
+        assert len(rotated) > 1
+        from gc_spark.sources.fetch import USER_AGENT_LIST
+        assert rotated <= set(USER_AGENT_LIST)
+
+        handler.seen_agents.clear()
+        HttpFetcher(delay_ms=1, timeout_s=2.0, rotate_user_agent=False).fetch(batch).count()
+        assert len(set(handler.seen_agents)) == 1
 
 
 class TestScopeAndHelpers:
