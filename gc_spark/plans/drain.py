@@ -382,20 +382,27 @@ class CrawlEngine:
         )
         new_pending = new_pending.persist()
         n_pending_new = new_pending.count()
-        pending_open = store.read("pending_docs", PENDING_DOCS).join(
-            store.read("pending_done", PENDING_DONE).select("detail_url_hash64"),
-            "detail_url_hash64",
-            "left_anti",
-        )
-        completed_full = resolve_pending(
-            pending_open.unionByName(new_pending), detail_records
-        )
-        completed = completed_full.drop(
-            "detail_url", "detail_url_hash64", "discovered_at_batch", "pending_hash_key"
-        )
         ready = regular.filter(F.col("detail_url").isNull()).drop(
             "detail_url", "pending_hash_key"
         )
+        if n_pending_new or store.segment_count("pending_docs"):
+            pending_open = store.read("pending_docs", PENDING_DOCS).join(
+                store.read("pending_done", PENDING_DONE).select("detail_url_hash64"),
+                "detail_url_hash64",
+                "left_anti",
+            )
+            completed_full = resolve_pending(
+                pending_open.unionByName(new_pending), detail_records
+            )
+            completed = completed_full.drop(
+                "detail_url", "detail_url_hash64", "discovered_at_batch", "pending_hash_key"
+            )
+        else:
+            # fast path: nothing pending anywhere — skip the join entirely
+            # (most sources are single-hop; don't tax every batch for the
+            # few that aren't)
+            completed_full = None
+            completed = ready.limit(0)
 
         docs_raw = (
             ready.unionByName(completed)
