@@ -89,6 +89,7 @@ class HttpFetcher(Fetcher):
         rotate_user_agent: bool = False,
         randomly_delay_request: int = 0,
         user_agents: tuple[str, ...] = USER_AGENT_LIST,
+        response_handler=None,
     ):
         self.delay_ms = delay_ms
         self.timeout_s = timeout_s
@@ -96,6 +97,10 @@ class HttpFetcher(Fetcher):
         self.rotate_user_agent = rotate_user_agent
         self.randomly_delay_request = randomly_delay_request
         self.user_agents = user_agents
+        # download_response_handler override point (GCSpider.py:100-102):
+        # (url, status, body) -> body, applied before the body is emitted.
+        # Must be a pure picklable fn — it runs inside the Arrow batches.
+        self.response_handler = response_handler
 
     def fetch(self, batch: DataFrame) -> DataFrame:
         delay_s = self.delay_ms / 1000.0
@@ -104,6 +109,7 @@ class HttpFetcher(Fetcher):
         rotate_ua = self.rotate_user_agent
         rand_delay = self.randomly_delay_request
         agents = list(self.user_agents)
+        response_handler = self.response_handler
 
         from pyspark.sql.types import (
             ArrayType,
@@ -159,6 +165,8 @@ class HttpFetcher(Fetcher):
                             status = 0
                         time.sleep(delay_s)
                     time.sleep(delay_s)
+                    if response_handler is not None and body is not None:
+                        body = response_handler(url, status, body)
                     statuses.append(status)
                     bodies.append(body)
                     kinds.append("fetched" if 200 <= status < 300 else "missing")

@@ -660,3 +660,29 @@ class TestNotifier:
         wh = WebhookNotifier()  # disabled: must never open a socket
         wh.notify(format_crawl_report(stats))
         assert wh.sent == []
+
+
+def _strip_wrapper(url, status, body):
+    """module-level so Spark can pickle it into the Arrow batches"""
+    return body.replace("<wrapper>", "").replace("</wrapper>", "")
+
+
+class TestResponseHandler:
+    def test_response_transform_hook(self, spark):
+        """download_response_handler override point (GCSpider.py:100-102):
+        a per-fetcher pure fn rewrites the body before emission."""
+        from http.server import ThreadingHTTPServer
+
+        pages = {"/w": (200, "<wrapper><h1>x</h1></wrapper>")}
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), _Handler.make(pages))
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            base = f"http://127.0.0.1:{srv.server_address[1]}"
+            batch = spark.createDataFrame([(f"{base}/w", "s", 0, 0)],
+                                          ["url", "source", "depth", "seq"])
+            out = HttpFetcher(delay_ms=1, timeout_s=2.0,
+                              response_handler=_strip_wrapper).fetch(batch).first()
+            assert out["body"] == "<h1>x</h1>"
+        finally:
+            srv.shutdown()
