@@ -47,8 +47,25 @@ def explode_zip_items(items: DataFrame) -> DataFrame:
     )
 
     parents = items.filter(is_zip_bundle)
+    # raw entry names are sorted first (utils.py:251-252 unzipped_files.sort)
+    # then Title-42 nested pdfs get the chapter/section-range rename of
+    # extract_title_42_subfile_names (utils.py:211-227): 'usc42ch{a}to{b}…
+    # Secs{c}to{d}.pdf' → '{parent stem} - Ch{a} to Ch{b} - Sec{c} to Sec{d}'
+    ch_a = F.regexp_extract("_entry_raw", r"ch(\d+)to(\d+)", 1)
+    ch_b = F.regexp_extract("_entry_raw", r"ch(\d+)to(\d+)", 2)
+    sc_a = F.regexp_extract("_entry_raw", r"Secs(\d+)to(\d+)", 1)
+    sc_b = F.regexp_extract("_entry_raw", r"Secs(\d+)to(\d+)", 2)
+    is_t42 = (
+        F.col("_entry_raw").startswith("usc42") & (ch_a != "") & (sc_a != "")
+    )
+    derived_stem = F.concat(
+        F.col("doc_name"),
+        F.lit(" - Ch"), ch_a, F.lit(" to Ch"), ch_b,
+        F.lit(" - Sec"), sc_a, F.lit(" to Sec"), sc_b,
+    )
     children = (
-        parents.withColumn("_entry", F.explode("zip_entries"))
+        parents.withColumn("_entry_raw", F.explode(F.sort_array("zip_entries")))
+        .withColumn("_entry", F.when(is_t42, derived_stem).otherwise(F.col("_entry_raw")))
         .withColumn("parent_version_hash", F.col("version_hash"))
         .withColumn("doc_name", F.col("_entry"))
         .withColumn(
@@ -72,7 +89,7 @@ def explode_zip_items(items: DataFrame) -> DataFrame:
             "media_sha",
             F.sha2(F.concat_ws(":", F.col("media_sha"), F.col("_entry")), 256),
         )
-        .drop("_entry")
+        .drop("_entry", "_entry_raw")
     )
     return passthrough.unionByName(children)
 

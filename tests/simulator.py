@@ -121,9 +121,10 @@ def simulate(
                         res.feed.append((doc_name, vh))
                         continue
                     parent_sha = dl_page["media_sha"]
-                    entries = dl_page.get("zip_entries") or []
+                    entries = sorted(dl_page.get("zip_entries") or [])
                     if entries:
-                        for stem in entries:
+                        for raw_entry in entries:
+                            stem = _title42_stem(raw_entry, doc_name)
                             c_raw = dict(doc["version_hash_raw_data"])
                             c_raw["doc_name"] = stem
                             c_vh = dict_to_sha256_hex_digest(c_raw)
@@ -170,3 +171,19 @@ def simulate(
             seq += 1
 
     return res
+
+
+def _title42_stem(raw_entry: str, parent_doc_name: str) -> str:
+    """Scalar twin of the engine's Title-42 rename (reference
+    utils.py:211-227): raw 'usc42ch{a}to{b}Secs{c}to{d}.pdf' entries become
+    '{parent} - Ch{a} to Ch{b} - Sec{c} to Sec{d}'; others pass through."""
+    import re as _re
+
+    ch = _re.search(r"ch(\d+)to(\d+)", raw_entry)
+    sc = _re.search(r"Secs(\d+)to(\d+)", raw_entry)
+    if raw_entry.startswith("usc42") and ch and sc:
+        return (
+            f"{parent_doc_name} - Ch{ch.group(1)} to Ch{ch.group(2)}"
+            f" - Sec{sc.group(1)} to Sec{sc.group(2)}"
+        )
+    return raw_entry
