@@ -21,6 +21,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan for COMPUTE-heavy queries (per-token/shingle hashing, embedding
+    FMAs): the bench tables are single-row-group parquet files, which Spark
+    reads as ONE task regardless of cores — expression cost then runs
+    single-threaded. Round-robin to defaultParallelism only when the scan
+    has fewer partitions; at production scale the scan already has thousands
+    of splits and this is a no-op."""
+    df = _t(spark, sf_dir, name)
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -113,7 +127,7 @@ def q05_lag_carry(spark, sf_dir):
 
 def q06_explode(spark, sf_dir):
     """X1/X2/X3: explode — one embedding row → 64 element rows."""
-    em = _t(spark, sf_dir, "embeddings")
+    em = _t_wide(spark, sf_dir, "embeddings")
     return em.select(
         "vec_id", F.posexplode("embedding").alias("pos", "val")
     ).select("vec_id", "pos", F.round(F.col("val").cast("double"), 6).alias("val"))
@@ -165,7 +179,7 @@ def q09_except(spark, sf_dir):
 def q10_dedup_exact(spark, sf_dir):
     """Training-data op: exact text dedup via hash-groupBy — canonical
     representative (min doc_id) + duplicate count per distinct text."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     return d.groupBy("text").agg(
         F.min("doc_id").alias("keep_id"), F.count("*").alias("dup_count")
     ).select("keep_id", "dup_count")
@@ -173,7 +187,7 @@ def q10_dedup_exact(spark, sf_dir):
 
 def q11_token_count(spark, sf_dir):
     """Training-data op: token counting (whitespace tokenizer)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tokens"),
@@ -183,7 +197,7 @@ def q11_token_count(spark, sf_dir):
 
 def q12_lang_id(spark, sf_dir):
     """Training-data op: language-ID heuristic (stopword hit)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     is_en = (
         F.col("text").like("% the %")
         | F.col("text").like("the %")
@@ -197,14 +211,14 @@ def q12_lang_id(spark, sf_dir):
 def q13_fingerprint(spark, sf_dir):
     """Training-data op: document fingerprint — sha256 of the first 5
     whitespace tokens (deterministic shingle prefix)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     first5 = F.array_join(F.slice(F.split(F.trim("text"), r"\s+"), 1, 5), " ")
     return d.select("doc_id", F.sha2(first5, 256).alias("fingerprint"))
 
 
 def q14_quality_score(spark, sf_dir):
     """Training-data op: quality scoring — stopword ratio + mean token len."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     toks = F.split(F.trim("text"), r"\s+")
     stop = F.array(F.lit("the"), F.lit("a"), F.lit("and"), F.lit("of"))
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
@@ -220,7 +234,7 @@ def q14_quality_score(spark, sf_dir):
 def q15_cosine_topk(spark, sf_dir):
     """Similarity search: brute-force cosine top-10 against a fixed query
     vector (F.aggregate/zip_with dot product, double precision)."""
-    em = _t(spark, sf_dir, "embeddings")
+    em = _t_wide(spark, sf_dir, "embeddings")
     q = [((i * 37) % 13 - 6) / 10.0 for i in range(64)]  # deterministic query
     qcol = F.array([F.lit(float(x)) for x in q])
     emb_d = F.transform("embedding", lambda x: x.cast("double"))
@@ -249,7 +263,7 @@ def q16_minhash_bands(spark, sf_dir):
     candidate buckets with >1 doc."""
     from gc_spark.operators.text_dedup import minhash_lsh_candidates
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     return minhash_lsh_candidates(
         d, text_col="text", id_col="doc_id", portable=True, ids_as_csv=True
     )
@@ -259,7 +273,7 @@ def q17_simhash(spark, sf_dir):
     """Dedup via 60-bit SimHash — pure JVM expressions, DuckDB-oracled."""
     from gc_spark.operators.text_dedup import simhash
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     return simhash(d, text_col="text", id_col="doc_id")
 
 
@@ -287,7 +301,7 @@ def q19_ann_lsh(spark, sf_dir):
     the oracle is then the same SQL as exact brute-force cosine top-k."""
     from gc_spark.operators.similarity import lsh_bucket_ann
 
-    em = _t(spark, sf_dir, "embeddings")
+    em = _t_wide(spark, sf_dir, "embeddings")
     q = [((i * 37) % 13 - 6) / 10.0 for i in range(64)]
     return lsh_bucket_ann(em, q, k=10, num_planes=8, probe_bits=2, num_tables=8)
 
@@ -300,7 +314,7 @@ def q20_near_dup_embeddings(spark, sf_dir):
     pair); the oracle is the honest quadratic pair join."""
     from gc_spark.operators.similarity import embedding_near_dup_pairs
 
-    em = _t(spark, sf_dir, "embeddings")
+    em = _t_wide(spark, sf_dir, "embeddings")
     planted = em.filter(F.col("vec_id") % 50 == 0).select(
         (F.col("vec_id") + 10_000_000).alias("vec_id"),
         F.transform("embedding", lambda x: x * F.lit(0.5)).alias("embedding"),
@@ -318,7 +332,7 @@ def q21_media_metadata(spark, sf_dir):
     width/height/byte_len are SQL-expressible."""
     from gc_spark.operators.multimodal import extract_media_metadata
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     media = d.select(
         F.concat(F.lit("blob://doc/"), F.col("doc_id").cast("string")).alias("media_ref"),
         F.lit("image").alias("media_type"),
@@ -335,7 +349,7 @@ def q22_frame_sample(spark, sf_dir):
     per-frame byte counts are SQL-expressible (oracled)."""
     from gc_spark.operators.multimodal import sample_video_frames
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t_wide(spark, sf_dir, "documents")
     vids = d.select(
         F.concat(F.lit("blob://vid/"), F.col("doc_id").cast("string")).alias("media_ref"),
         F.encode("text", "utf-8").alias("blob"),
@@ -606,12 +620,17 @@ def oracle_sql() -> dict[str, str]:
                      list_transform(range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) + 1),
                                     i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), i, i + 2), ' ')) AS shingles
               FROM documents
+            ), pairs AS (
+              SELECT doc_id,
+                     list_transform(shingles, s -> struct_pack(
+                         a := CAST('0x' || substr(sha256(s), 1, 14) AS BIGINT),
+                         b := CAST('0x' || substr(sha256(s), 15, 14) AS BIGINT))) AS ab
+              FROM sh
             ), sig AS (
               SELECT doc_id,
                      list_transform(range(0, 16), i ->
-                         list_min(list_transform(shingles, s ->
-                             CAST('0x' || substr(sha256(CAST(i AS VARCHAR) || '|' || s), 1, 15) AS BIGINT)))) AS mh
-              FROM sh
+                         list_min(list_transform(ab, p -> p.a + i * p.b))) AS mh
+              FROM pairs
             ), bands AS (
               SELECT doc_id, CAST(b AS INT) AS band,
                      CAST('0x' || substr(sha256(array_to_string(list_slice(mh, b * 4 + 1, b * 4 + 4), ',')), 1, 15) AS BIGINT) AS band_hash

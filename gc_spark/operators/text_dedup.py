@@ -48,25 +48,52 @@ def _shingles(text_col) -> "F.Column":
     )
 
 
-def _minhash_fn(i: int, portable: bool):
-    """Hash function #i for minhash. NOTE: must be a closure factory — a
-    `lambda s, _i=i:` default-arg would be read by PySpark as a TWO-parameter
-    higher-order-function lambda and `_i` would silently bind to the array
-    index column instead of the loop value."""
-    if portable:
-        prefix = f"{i}|"
-        return lambda s: sha60_col(F.concat(F.lit(prefix), s))
+def sha_pair_col(col) -> "F.Column":
+    """(a, b) 56-bit pair from ONE sha256 — seed material for the affine
+    minhash family h_i(x) = a + i·b. Exact in signed-64 arithmetic on both
+    engines: a, b < 2^56 so a + 15·b < 2^60. One sha256 per shingle instead
+    of NUM_HASHES of them — the portable kernel's hot-path cost drops 16x."""
+    x = F.sha2(col, 256)
+    return F.struct(
+        F.conv(F.substring(x, 1, 14), 16, 10).cast("long").alias("a"),
+        F.conv(F.substring(x, 15, 14), 16, 10).cast("long").alias("b"),
+    )
+
+
+def _minhash_fn(i: int):
+    """xxhash64 function #i for the fast kernel. NOTE: must be a closure
+    factory — a `lambda s, _i=i:` default-arg would be read by PySpark as a
+    TWO-parameter higher-order-function lambda and `_i` would silently bind
+    to the array index column instead of the loop value."""
     return lambda s: F.xxhash64(s, F.lit(i))
+
+
+def _affine_min(i: int):
+    """min over shingles of h_i = a + i·b (closure factory, see above)."""
+    return lambda p: p["a"] + F.lit(i) * p["b"]
 
 
 def minhash_signature(
     df: DataFrame, text_col: str = "text", portable: bool = False
 ) -> DataFrame:
     """Adds `minhash` array<long> of NUM_HASHES signature values — all
-    whole-stage-codegen expressions (per-function seeded hash)."""
+    whole-stage-codegen expressions. Fast kernel: per-seed xxhash64.
+    Portable kernel: one sha256 per shingle → (a,b) pair → affine family
+    a + i·b, bit-for-bit reproducible in ANSI SQL/DuckDB."""
     sh = _shingles(F.col(text_col))
+    if portable:
+        # materialize the pairs once per row; the 16 array_min passes then
+        # traverse cheap arithmetic, not 16 sha256 recomputations
+        df = df.withColumn("_mh_pairs", F.transform(sh, sha_pair_col))
+        sig = F.array(
+            *[
+                F.array_min(F.transform(F.col("_mh_pairs"), _affine_min(i)))
+                for i in range(NUM_HASHES)
+            ]
+        )
+        return df.withColumn("minhash", sig).drop("_mh_pairs")
     sig = F.array(
-        *[F.array_min(F.transform(sh, _minhash_fn(i, portable))) for i in range(NUM_HASHES)]
+        *[F.array_min(F.transform(sh, _minhash_fn(i))) for i in range(NUM_HASHES)]
     )
     return df.withColumn("minhash", sig)
 
