@@ -1,0 +1,126 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+The batch engine's seen-set and metrics live in snapshot tables; a
+continuously-fed deployment also wants PER-KEY running state inside the
+stream itself — the classic applyInPandasWithState shape. Two operators:
+
+  - host_discovery_totals: per-host cumulative discovered-URL counters that
+    survive query restarts via the checkpointed state store (the streaming
+    twin of the reference's per-spider `item_scraped_count`,
+    GCSpider.py:28-31, which lives in driver memory and dies with the
+    process).
+  - host_session_stats: per-host crawl-session windows with an idle
+    timeout — when a host goes quiet for `idle_ms`, its session row
+    (url count, first/last event time) is emitted and state cleared
+    (sessionization over the discovery feed).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+TOTALS_OUTPUT = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("urls_total", LongType()),
+        StructField("batches_seen", LongType()),
+    ]
+)
+TOTALS_STATE = StructType(
+    [StructField("total", LongType()), StructField("batches", LongType())]
+)
+
+
+def _update_totals(key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    (total, batches) = state.get if state.exists else (0, 0)
+    n = 0
+    for pdf in pdfs:
+        n += len(pdf)
+    total += n
+    batches += 1
+    state.update((total, batches))
+    yield pd.DataFrame({"host": [key[0]], "urls_total": [total], "batches_seen": [batches]})
+
+
+def host_discovery_totals(stream: DataFrame) -> DataFrame:
+    """Per-host cumulative URL counters with checkpoint-durable state:
+    restart the query on the same checkpoint and totals CONTINUE instead of
+    resetting — state lives in the state store, not driver memory."""
+    return stream.groupBy("host").applyInPandasWithState(
+        _update_totals,
+        outputStructType=TOTALS_OUTPUT,
+        stateStructType=TOTALS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+SESSION_OUTPUT = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("urls_in_session", LongType()),
+        StructField("first_seen", TimestampType()),
+        StructField("last_seen", TimestampType()),
+        StructField("closed", StringType()),  # 'timeout' | 'open'
+    ]
+)
+SESSION_STATE = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("first_seen", TimestampType()),
+        StructField("last_seen", TimestampType()),
+    ]
+)
+
+
+def _session_factory(idle_ms: int):
+    def _update(key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            (n, first, last) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"host": [key[0]], "urls_in_session": [n],
+                 "first_seen": [first], "last_seen": [last], "closed": ["timeout"]}
+            )
+            return
+        n, first, last = (state.get if state.exists else (0, None, None))
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            ts = pd.to_datetime(pdf["discovered_at"])
+            n += len(pdf)
+            mn, mx = ts.min(), ts.max()
+            first = mn if first is None or mn < first else first
+            last = mx if last is None or mx > last else last
+        state.update((n, first, last))
+        state.setTimeoutDuration(idle_ms)
+        yield pd.DataFrame(
+            {"host": [key[0]], "urls_in_session": [n],
+             "first_seen": [first], "last_seen": [last], "closed": ["open"]}
+        )
+
+    return _update
+
+
+def host_session_stats(stream: DataFrame, idle_ms: int = 60_000) -> DataFrame:
+    """Per-host crawl sessions with an idle timeout (processing-time): a
+    quiet host's session row is emitted with closed='timeout' and its state
+    cleared; active hosts report closed='open' rows each batch."""
+    return stream.groupBy("host").applyInPandasWithState(
+        _session_factory(idle_ms),
+        outputStructType=SESSION_OUTPUT,
+        stateStructType=SESSION_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
