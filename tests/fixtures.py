@@ -619,3 +619,111 @@ def wave2_seeds(spark: SparkSession) -> DataFrame:
         ],
         schema=SEEDS,
     )
+
+
+# ---------------------------------------------------------------------------
+# wave-3 combined site: CNSS + secnav_pubs + SASC in one crawl
+# ---------------------------------------------------------------------------
+
+
+def wave3_rows() -> list[dict]:
+    import json as _json
+
+    rows = []
+    # --- CNSS: landing fans out to 9 issuance pages; two have docs
+    rows.append({"url": "https://www.cnss.gov/CNSS/index.cfm", "status": 200,
+                 "body": "<html>landing</html>", "links": None, "kind": "landing",
+                 "media_sha": None, "zip_entries": None})
+    def cnss_item(name, desc, date, href):
+        return (f'<tr><td>i</td><td><a href="{href}">dl</a>'
+                f'<p class="documentTitle"><span itemprop="name">{name}</span>'
+                f'<span itemprop="description">{desc}</span></p>'
+                f'<p class="documentInfo"><span itemprop="dateCreated">{date}</span></p>'
+                "</td></tr>")
+    pages = {
+        "Policies.cfm": "<table>" + cnss_item("CNSSP 22", "IA Risk Policy", "2016-01-04", "/l/p22") + "</table>",
+        "Instructions.cfm": "<table>" + cnss_item("CNSS-041-15", "Advisory Memo", "2015-06-01", "/l/i41") + "</table>",
+    }
+    for page in ("Policies.cfm", "Directives.cfm", "Instructions.cfm", "Memoranda.cfm",
+                 "TSG_Standards.cfm", "TSG_Information.cfm", "CNSS_Reports.cfm",
+                 "Supplemental.cfm", "historicalIndex.cfm"):
+        rows.append({"url": f"https://www.cnss.gov/CNSS/issuances/{page}", "status": 200,
+                     "body": pages.get(page, "<table></table>"), "links": None,
+                     "kind": "listing", "media_sha": None, "zip_entries": None})
+    for path in ("/l/p22", "/l/i41"):
+        u = f"https://www.cnss.gov{path}"
+        rows.append({"url": u, "status": 200, "body": None, "links": None,
+                     "kind": "binary", "media_sha": media_sha_for(u), "zip_entries": None})
+
+    # --- secnav: default.aspx -> two boards; one page of each, no NextHref
+    rows.append({"url": "https://www.secnav.navy.mil/doni/default.aspx", "status": 200,
+                 "body": "<html/>", "links": None, "kind": "landing",
+                 "media_sha": None, "zip_entries": None})
+    blob = {"Row": [
+        {"Echelon": "SECNAV", "FileLeafRef": "5215.1E.pdf",
+         "FileRef": "/doni/Directives/5215.1E.pdf", "Subject": "Directives Policy",
+         "Status": "Active", "Sponsor": "DNS", "Cancelled_x0020_Date": "",
+         "File_x0020_Type": "pdf", "Effective_x0020_Date": "2016-03-01"}]}
+    rows.append({"url": "https://www.secnav.navy.mil/doni/allinstructions.aspx",
+                 "status": 200, "body": f"<script>var WPQ3ListData = {_json.dumps(blob)};</script>",
+                 "links": None, "kind": "listing", "media_sha": None, "zip_entries": None})
+    rows.append({"url": "https://www.secnav.navy.mil/doni/notices.aspx", "status": 200,
+                 "body": "<script>var WPQ3ListData = {\"Row\": []};</script>",
+                 "links": None, "kind": "listing", "media_sha": None, "zip_entries": None})
+    u = "https://www.secnav.navy.mil/doni/Directives/5215.1E.pdf"
+    rows.append({"url": u, "status": 200, "body": None, "links": None,
+                 "kind": "binary", "media_sha": media_sha_for(u), "zip_entries": None})
+
+    # --- SASC: hearings root -> 1 page -> 1 hearing -> witness pdf redirect
+    rows.append({"url": "https://www.armed-services.senate.gov/hearings", "status": 200,
+                 "body": '<select id="showing-page"><option>1</option></select>',
+                 "links": None, "kind": "landing", "media_sha": None, "zip_entries": None})
+    rows.append({"url": "https://www.armed-services.senate.gov/hearings?pagenum_rs=1",
+                 "status": 200,
+                 "body": ('<div class="LegislationList__item">'
+                          '<a href="https://www.armed-services.senate.gov/hearings/posture">x</a>'
+                          '<div class="LegislationList__typeCol col-12 col-xl-3">'
+                          "<span>t</span>Full Committee Hearing</div>"),
+                 "links": None, "kind": "listing", "media_sha": None, "zip_entries": None})
+    hearing = (
+        '<div class="SiteLayout__main">'
+        '<h1 class="Heading__title">Posture of the Department</h1>'
+        '<div class="Hearing__type">Full Committee Hearing</div>'
+        '<div class="Hearing__detail"><time datetime="2024-04-09">Apr 9</time></div>'
+        '<li class="col-12 col-md-6 p-2"><h3 class="Heading__title">'
+        "<span>General</span><span>Jane Doe</span></h3>"
+        '<div class="mt-3"><a href="https://www.armed-services.senate.gov/r/apq1">'
+        "<span>APQ Responses</span></a></div></li></div>"
+    )
+    # the hearing page is BOTH a parse target and its own html download
+    # (downloadable item doc_type 'html' pointing at the page), so the row
+    # carries a media_sha alongside its body
+    rows.append({"url": "https://www.armed-services.senate.gov/hearings/posture",
+                 "status": 200, "body": hearing, "links": None, "kind": "detail",
+                 "media_sha": media_sha_for("https://www.armed-services.senate.gov/hearings/posture"),
+                 "zip_entries": None})
+    rows.append({"url": "https://www.armed-services.senate.gov/r/apq1", "status": 200,
+                 "body": '<p><a href="https://www.armed-services.senate.gov/dl/doe-apq.pdf">f</a></p>',
+                 "links": None, "kind": "detail", "media_sha": None, "zip_entries": None})
+    for u in ("https://www.armed-services.senate.gov/dl/doe-apq.pdf",):
+        rows.append({"url": u, "status": 200, "body": None, "links": None,
+                     "kind": "binary", "media_sha": media_sha_for(u), "zip_entries": None})
+    return rows
+
+
+def wave3_pages(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(wave3_rows(), schema=PAGES)
+
+
+def wave3_seeds(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [
+            {"source": "CNSS", "url": "https://www.cnss.gov/CNSS/index.cfm",
+             "host": "www.cnss.gov"},
+            {"source": "secnav_pubs", "url": "https://www.secnav.navy.mil/doni/default.aspx",
+             "host": "www.secnav.navy.mil"},
+            {"source": "SASC", "url": "https://www.armed-services.senate.gov/hearings",
+             "host": "www.armed-services.senate.gov"},
+        ],
+        schema=SEEDS,
+    )

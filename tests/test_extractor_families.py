@@ -1574,3 +1574,44 @@ class TestCoronavirusPendingE2E:
             completed["version_hash_raw_data"].get("download_url") != ""
         )
         assert completed["downloadable_items"][0]["download_url"].endswith("real%20guide.pdf")
+
+
+class TestWave3EngineE2E:
+    def test_dispatch_jsonblob_and_redirect_pending(self, spark, tmp_path):
+        """One engine crawl over CNSS + secnav + SASC: the CNSS landing
+        fan-out and per-page split-function dispatch, the secnav SharePoint
+        JSON blob with Echelon+suffix typing and the default.aspx
+        source_page_url pin, and the SASC witness pdf completing through the
+        redirect-page pending join."""
+        from gc_spark import schema as S
+        from gc_spark.plans.drain import CrawlEngine, EngineConfig
+        from gc_spark.sources.fetch import TableFetcher
+        from gc_spark.sources.tables import SnapshotStore
+        from tests.fixtures import wave3_pages, wave3_seeds
+
+        store = SnapshotStore(spark, str(tmp_path / "w3"))
+        eng = CrawlEngine(
+            spark, store, TableFetcher(wave3_pages(spark)),
+            config=EngineConfig(budget_per_host=10, fetch_partitions=8),
+        )
+        eng.bootstrap(wave3_seeds(spark))
+        eng.run(max_batches=10)
+
+        feed = {r["doc_name"]: r for r in store.read("feed", S.DOC_ITEMS).collect()}
+        # CNSS: dispatch-table typing per page
+        assert feed["CNSSP 22"]["display_doc_type"] == "Policy"
+        assert feed["CNSSAM 041-15"]["display_doc_type"] == "Memo"
+        assert feed["CNSSP 22"]["file_ext"] == "CNSSP"  # file_ext=doc_type quirk
+        # secnav: JSON blob row + source_page_url pinned to default.aspx
+        sec = feed["SECNAVINST 5215.1E"]
+        assert sec["display_doc_type"] == "Instruction"
+        assert sec["source_page_url"] == "https://www.secnav.navy.mil/doni/default.aspx"
+        assert sec["version_hash_raw_data"]["status"] == "Active"
+        # SASC: hearing html doc + witness APQ completed via redirect pending
+        base = "SASC Hearing - Posture of the Department"
+        assert feed[base]["file_ext"] == "html"
+        wit = feed[f"{base} - General Jane Doe Advance Policy Questions"]
+        assert wit["version_hash_raw_data"]["download_url"] == (
+            "https://www.armed-services.senate.gov/dl/doe-apq.pdf"
+        )
+        assert wit["downloadable_items"][0]["download_url"].endswith("doe-apq.pdf")
