@@ -474,6 +474,78 @@ def q29_artifact_paths(spark, sf_dir):
     )
 
 
+def q30_span_flatten(spark, sf_dir):
+    """Interleaved span model (input-hint shape): build deterministic
+    text+media spans from flat text (operators/spans.build_interleaved_spans)
+    and flatten to one row per span — order carried by span_offset, never by
+    row order. 80-char text chunks; a media span follows every 3rd chunk."""
+    from gc_spark.operators.spans import build_interleaved_spans, flatten_spans
+
+    d = _t_wide(spark, sf_dir, "documents")
+    return flatten_spans(build_interleaved_spans(d))
+
+
+def q31_span_fingerprint(spark, sf_dir):
+    """Span-sequence equality (the north-rule invariant: kind, text,
+    media_ref, order) as one comparable value per document. Routes through
+    the FULL roundtrip — build → flatten → regroup (shuffle) → reorder →
+    sha256 — so the oracle checks that span order survives a shuffle."""
+    from gc_spark.operators.spans import (
+        build_interleaved_spans,
+        flatten_spans,
+        span_sequence_fingerprint,
+        spans_from_rows,
+    )
+
+    d = _t_wide(spark, sf_dir, "documents")
+    spans = build_interleaved_spans(d)
+    return span_sequence_fingerprint(spans_from_rows(flatten_spans(spans)))
+
+
+def q32_ivf_ann(spark, sf_dir):
+    """Similarity: IVF (inverted-file) ANN — deterministic k-means coarse
+    quantizer, probe nprobe=2 of 8 cells, exact rerank inside. Planted
+    duplicates of the query vector (scaled by exact binary factors) make the
+    exact top-10 recoverable BY CONSTRUCTION: nearest-centroid assignment is
+    scale-invariant, so every planted vector lands in the query's own cell
+    and nprobe>=1 covers them — the oracle is honest exact brute-force
+    cosine top-k over the same union. Natural-data recall properties are
+    pinned separately in pytest (tests/test_operators.py)."""
+    from gc_spark.operators.similarity import ivf_ann, train_ivf_centroids
+
+    em = _t_wide(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    q = [((i * 37) % 13 - 6) / 10.0 for i in range(64)]
+    planted = spark.range(12).select(
+        (F.col("id") + 20_000_000).alias("vec_id"),
+        F.array(
+            *[((F.lit(2.0) + F.col("id").cast("double")) / F.lit(4.0)) * F.lit(float(x)) for x in q]
+        ).alias("embedding"),
+    )
+    un = em.unionByName(planted)
+    cents = train_ivf_centroids(un, num_cells=8, dim=64, iters=1)
+    return ivf_ann(un, q, cents, k=10, nprobe=2)
+
+
+def q33_jaccard_pairs(spark, sf_dir):
+    """Dedup: exact n-gram Jaccard confirm on MinHash+LSH candidate pairs
+    (the cheap-filter/exact-confirm split). Near-dup docs are planted (every
+    25th doc re-appears with one appended token → jaccard ≈ (n-2)/n); the
+    oracle reproduces the IDENTICAL portable-kernel LSH banding in SQL, so
+    both sides verify the same candidate set — no banding-recall gap."""
+    from gc_spark.operators.text_dedup import jaccard_verify_pairs, minhash_lsh_candidates
+
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" extraword")).alias("text"),
+    )
+    un = d.unionByName(planted)
+    cands = minhash_lsh_candidates(un, portable=True)
+    return jaccard_verify_pairs(un, cands, threshold=0.5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_rollup": q01_rollup,
@@ -505,6 +577,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_domain_scope": q27_domain_scope,
         "q28_robots_prefix": q28_robots_prefix,
         "q29_artifact_paths": q29_artifact_paths,
+        "q30_span_flatten": q30_span_flatten,
+        "q31_span_fingerprint": q31_span_fingerprint,
+        "q32_ivf_ann": q32_ivf_ann,
+        "q33_jaccard_pairs": q33_jaccard_pairs,
     }
 
 
@@ -751,7 +827,115 @@ def oracle_sql() -> dict[str, str]:
                    'pdf' AS ext
             FROM part
         """,
+        "q30_span_flatten": """
+            WITH base AS (
+              SELECT doc_id, text,
+                     UNNEST(range(0, CAST(greatest(ceil(length(text) / 80.0), 1) AS BIGINT))) AS i
+              FROM documents
+            )
+            SELECT doc_id, CAST(i + i // 3 AS INT) AS span_offset,
+                   'text' AS kind,
+                   substring(text, CAST(i * 80 + 1 AS INT), 80) AS span_text,
+                   CAST(NULL AS VARCHAR) AS media_ref
+            FROM base
+            UNION ALL
+            SELECT doc_id, CAST(i + i // 3 + 1 AS INT), 'media',
+                   CAST(NULL AS VARCHAR),
+                   'blob://doc/' || CAST(doc_id AS VARCHAR) || '/' || CAST(i AS VARCHAR)
+            FROM base WHERE i % 3 = 2
+        """,
+        "q31_span_fingerprint": """
+            WITH base AS (
+              SELECT doc_id, text,
+                     UNNEST(range(0, CAST(greatest(ceil(length(text) / 80.0), 1) AS BIGINT))) AS i
+              FROM documents
+            ), spans AS (
+              SELECT doc_id, i + i // 3 AS o, 'text' AS kind,
+                     substring(text, CAST(i * 80 + 1 AS INT), 80) AS t,
+                     CAST(NULL AS VARCHAR) AS m
+              FROM base
+              UNION ALL
+              SELECT doc_id, i + i // 3 + 1, 'media', CAST(NULL AS VARCHAR),
+                     'blob://doc/' || CAST(doc_id AS VARCHAR) || '/' || CAST(i AS VARCHAR)
+              FROM base WHERE i % 3 = 2
+            )
+            SELECT doc_id,
+                   CAST(COUNT(*) AS INT) AS n_spans,
+                   CAST(SUM(CASE WHEN kind = 'media' THEN 1 ELSE 0 END) AS INT) AS n_media,
+                   sha256(string_agg(kind || '|' || coalesce(t, '') || '|' || coalesce(m, ''),
+                                     chr(10) ORDER BY o)) AS span_seq_sha
+            FROM spans GROUP BY doc_id
+        """,
+        "q32_ivf_ann": _ivf_oracle(),
+        "q33_jaccard_pairs": """
+            WITH un AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000000, text || ' extraword'
+              FROM documents WHERE doc_id % 25 = 0
+            ), sh AS (
+              SELECT doc_id,
+                     list_transform(range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) + 1),
+                                    i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), i, i + 2), ' ')) AS shingles
+              FROM un
+            ), ab AS (
+              SELECT doc_id,
+                     list_transform(shingles, s -> struct_pack(
+                         a := CAST('0x' || substr(sha256(s), 1, 14) AS BIGINT),
+                         b := CAST('0x' || substr(sha256(s), 15, 14) AS BIGINT))) AS ab
+              FROM sh
+            ), sig AS (
+              SELECT doc_id,
+                     list_transform(range(0, 16), i ->
+                         list_min(list_transform(ab, p -> p.a + i * p.b))) AS mh
+              FROM ab
+            ), bands AS (
+              SELECT doc_id, CAST(b AS INT) AS band,
+                     CAST('0x' || substr(sha256(array_to_string(list_slice(mh, b * 4 + 1, b * 4 + 4), ',')), 1, 15) AS BIGINT) AS band_hash
+              FROM (SELECT doc_id, mh, UNNEST(range(0, 4)) AS b FROM sig)
+            ), buckets AS (
+              SELECT list(doc_id) AS ids
+              FROM bands GROUP BY band, band_hash HAVING COUNT(*) > 1
+            ), cand AS (
+              SELECT DISTINCT a, b FROM (
+                  SELECT a, UNNEST(ids) AS b
+                  FROM (SELECT UNNEST(ids) AS a, ids FROM buckets)
+              ) WHERE a < b
+            ), shd AS (
+              SELECT doc_id, list_distinct(shingles) AS s FROM sh
+            )
+            SELECT c.a, c.b,
+                   ROUND(len(list_intersect(sa.s, sb.s))
+                         / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE), 6) AS jaccard
+            FROM cand c
+            JOIN shd sa ON sa.doc_id = c.a
+            JOIN shd sb ON sb.doc_id = c.b
+            WHERE ROUND(len(list_intersect(sa.s, sb.s))
+                        / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE), 6) >= 0.5
+        """,
     }
+
+
+def _ivf_oracle() -> str:
+    """Exact brute-force cosine top-10 over embeddings ∪ 12 planted scaled
+    copies of the query vector — the q32 IVF probe must equal this."""
+    q = [((i * 37) % 13 - 6) / 10.0 for i in range(64)]
+    qlit = "[" + ", ".join(f"CAST({x} AS DOUBLE)" for x in q) + "]"
+    return f"""
+        WITH un AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+          UNION ALL
+          SELECT 20000000 + i,
+                 list_transform({qlit}, x -> ((2.0 + CAST(i AS DOUBLE)) / 4.0) * x)
+          FROM (SELECT UNNEST(range(0, 12)) AS i)
+        )
+        SELECT vec_id, ROUND(
+            list_dot_product(e, {qlit})
+            / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product({qlit}, {qlit}))), 6) AS sim
+        FROM un
+        ORDER BY sim DESC, vec_id
+        LIMIT 10
+    """
 
 
 def _cosine_oracle(round_digits: int = 4) -> str:

@@ -166,3 +166,137 @@ def embedding_near_dup_pairs(
         .select("a", "b", "sim")
         .distinct()
     )
+
+
+# -- IVF (inverted-file) ANN --------------------------------------------------
+#
+# The third scale path the task brief asks for alongside brute-force and LSH:
+# a coarse quantizer (k-means centroids) splits the table into `num_cells`
+# inverted lists; a query probes only the `nprobe` cells whose centroids are
+# nearest, then exact-reranks inside them. At 100 TB the table is WRITTEN
+# partitioned by `ivf_cell` (write_ivf_partitioned), so a probe is a
+# partition-pruned scan of nprobe/num_cells of the data — the pruning happens
+# in the parquet source, not in a filter over a full scan.
+#
+# Training is the standard offline step: deterministic seeds (lowest ids, no
+# RNG state) + Lloyd iterations computed DISTRIBUTIVELY (posexplode →
+# groupBy(cell, dim).avg); only the num_cells×dim centroid means ever reach
+# the driver.
+
+
+def _normalize(v: list[float]) -> list[float]:
+    n = sum(x * x for x in v) ** 0.5 or 1.0
+    return [x / n for x in v]
+
+
+def ivf_cell_col(emb_col, centroids: list[list[float]]):
+    """Nearest-centroid id by cosine — since |v| is constant across
+    centroids, argmax cosine == argmax dot with UNIT centroids, so the norm
+    is never computed. Argmax via array_max over (sim, cell) structs —
+    lexicographic struct ordering, pure expressions."""
+    e = _emb_double(emb_col)
+    scored = F.array(
+        *[
+            F.named_struct(
+                F.lit("s"), _dot(e, F.array([F.lit(x) for x in _normalize(c)])),
+                F.lit("c"), F.lit(i),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.array_max(scored)["c"].alias("ivf_cell")
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    num_cells: int = 8,
+    dim: int = 64,
+    iters: int = 1,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Deterministic IVF training: seeds = the num_cells lowest-id vectors,
+    then `iters` Lloyd steps. Each step is one distributed pass: assign
+    (expressions) → per-(cell, dim) mean (posexplode + groupBy) → collect
+    num_cells*dim scalars. An emptied cell keeps its previous centroid."""
+    seeds = (
+        df.orderBy(id_col)
+        .limit(num_cells)
+        .select(F.transform(emb_col, lambda x: x.cast("double")).alias("e"))
+        .collect()
+    )
+    cents = [_normalize(list(r["e"])) for r in seeds]
+    for _ in range(iters):
+        assigned = df.select(
+            ivf_cell_col(F.col(emb_col), cents),
+            F.posexplode(_emb_double(F.col(emb_col))).alias("d", "val"),
+        )
+        means = (
+            assigned.groupBy("ivf_cell", "d")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        nxt = [list(c) for c in cents]
+        touched = set()
+        for r in means:
+            nxt[r["ivf_cell"]][r["d"]] = r["m"]
+            touched.add(r["ivf_cell"])
+        cents = [
+            _normalize(nxt[i]) if i in touched else cents[i]
+            for i in range(num_cells)
+        ]
+    return cents
+
+
+def assign_ivf_cells(
+    df: DataFrame, centroids: list[list[float]], emb_col: str = "embedding"
+) -> DataFrame:
+    return df.withColumn("ivf_cell", ivf_cell_col(F.col(emb_col), centroids))
+
+
+def write_ivf_partitioned(
+    df: DataFrame, centroids: list[list[float]], path: str, emb_col: str = "embedding"
+) -> None:
+    """Materialize the inverted file: parquet partitioned by ivf_cell, so a
+    probe's `ivf_cell IN (...)` filter becomes PartitionFilters at the scan
+    (verified by the plan test) — nprobe/num_cells of the bytes ever read."""
+    assign_ivf_cells(df, centroids, emb_col).write.mode("overwrite").partitionBy(
+        "ivf_cell"
+    ).parquet(path)
+
+
+def probe_cells(query: list[float], centroids: list[list[float]], nprobe: int) -> list[int]:
+    """The nprobe cells whose centroids are nearest the query (driver-side —
+    centroids are num_cells×dim scalars, never big data)."""
+    qn = _normalize(query)
+    scored = sorted(
+        ((sum(a * b for a, b in zip(qn, c)), i) for i, c in enumerate(centroids)),
+        reverse=True,
+    )
+    return [i for _, i in scored[:nprobe]]
+
+
+def ivf_ann(
+    df: DataFrame,
+    query: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF probe: restrict to the nprobe nearest cells, exact-rerank inside.
+    If `df` already carries an ivf_cell column (a pre-partitioned inverted
+    file), the filter prunes partitions at the source; otherwise cells are
+    computed on the fly (full scan, but still expression-only)."""
+    cells = probe_cells(query, centroids, nprobe)
+    if "ivf_cell" not in df.columns:
+        df = assign_ivf_cells(df, centroids, emb_col)
+    cand = df.filter(F.col("ivf_cell").isin(cells))
+    return (
+        cand.select(
+            F.col(id_col), F.round(cosine_sim_col(F.col(emb_col), query), 6).alias("sim")
+        )
+        .orderBy(F.col("sim").desc(), id_col)
+        .limit(k)
+    )

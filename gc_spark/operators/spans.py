@@ -1,0 +1,136 @@
+"""Span algebra for interleaved text+media documents.
+
+The engine's document model (schema.py SPAN / DOCUMENTS) is the input-hint
+shape: ``(doc_id, spans: array<struct<kind,text,media_ref,offset>>)`` and the
+per-row correctness invariant is SPAN-SEQUENCE EQUALITY — same (kind, text,
+media_ref) in the same order. This module gives that invariant first-class,
+reusable operators (all pure JVM expressions — no UDFs, no Python):
+
+  - build_interleaved_spans: deterministic spans from a flat text column
+    (fixed-width text chunks with a media span interleaved after every
+    ``media_every``-th chunk) — the synthetic generator used by tests and
+    benchmarks; the real crawl path builds spans in
+    operators/explode.py (assemble_spans / interleave_spans_from_segments).
+  - flatten_spans: documents → one row per span (order carried by offset).
+    Scale shape: a single explode, no shuffle; downstream filters on `kind`
+    prune media payloads before any join.
+  - spans_from_rows: the inverse — per-span rows → ordered spans array.
+    One groupBy(doc_id) shuffle; ordering is restored with array_sort on
+    (offset, ...) structs, NOT a global sort.
+  - span_sequence_fingerprint: per-doc sha256 over the ordered
+    "kind|text|media_ref" lines — span-sequence equality collapsed to one
+    comparable value (two documents are span-equal iff fingerprints match).
+    This is how the engine e2e suite pins span parity cheaply at scale:
+    compare fingerprints, not exploded rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TEXT_CHUNK = 80  # chars per text span in the synthetic builder
+MEDIA_EVERY = 3  # a media span follows every 3rd text chunk
+
+
+def build_interleaved_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk: int = TEXT_CHUNK,
+    media_every: int = MEDIA_EVERY,
+) -> DataFrame:
+    """Deterministic interleaved spans from flat text.
+
+    Text chunk i (0-based, ``chunk`` chars) sits at offset ``i + i//media_every``;
+    after every chunk with ``i % media_every == media_every-1`` a media span
+    follows at the next offset with ``media_ref = blob://doc/<id>/<i>``.
+    Pure array expressions (sequence/transform/filter) — no shuffle.
+    """
+    text = F.col(text_col)
+    did = F.col(id_col).cast("string")
+    n_chunks = F.greatest(F.ceil(F.length(text) / F.lit(float(chunk))), F.lit(1)).cast("int")
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    gap = lambda i: F.floor(i / F.lit(media_every)).cast("int")  # noqa: E731
+    text_spans = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.lit("text").alias("kind"),
+            text.substr(i * chunk + 1, F.lit(chunk)).alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            (i + gap(i)).cast("int").alias("offset"),
+        ),
+    )
+    media_spans = F.transform(
+        F.filter(idx, lambda i: i % media_every == media_every - 1),
+        lambda i: F.struct(
+            F.lit("media").alias("kind"),
+            F.lit(None).cast("string").alias("text"),
+            F.concat(F.lit("blob://doc/"), did, F.lit("/"), i.cast("string")).alias("media_ref"),
+            (i + gap(i) + 1).cast("int").alias("offset"),
+        ),
+    )
+    spans = F.array_sort(
+        F.concat(text_spans, media_spans),
+        lambda a, b: a["offset"] - b["offset"],
+    )
+    return df.select(F.col(id_col).alias("doc_id"), spans.alias("spans"))
+
+
+def flatten_spans(df: DataFrame) -> DataFrame:
+    """documents → one row per span: (doc_id, span_offset, kind, span_text,
+    media_ref). A single generator expand — no shuffle, order is data
+    (the offset column), never an implicit row order."""
+    s = F.explode("spans").alias("s")
+    return df.select("doc_id", s).select(
+        "doc_id",
+        F.col("s.offset").alias("span_offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("span_text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+
+def spans_from_rows(flat: DataFrame) -> DataFrame:
+    """Inverse of flatten_spans: per-span rows → (doc_id, spans) with spans
+    ordered by offset. collect_list gives NO ordering guarantee after a
+    shuffle, so ordering is restored by array_sort on the offset key —
+    correct under AQE/speculation, unlike sortWithinPartitions tricks."""
+    packed = F.struct(
+        F.col("span_offset").alias("offset"),
+        F.col("kind").alias("kind"),
+        F.col("span_text").alias("text"),
+        F.col("media_ref").alias("media_ref"),
+    )
+    ordered = F.array_sort(
+        F.collect_list(packed),
+        lambda a, b: a["offset"] - b["offset"],
+    )
+    spans = F.transform(
+        ordered,
+        lambda s: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            s["offset"].alias("offset"),
+        ),
+    )
+    return flat.groupBy("doc_id").agg(spans.alias("spans"))
+
+
+def span_sequence_fingerprint(df: DataFrame) -> DataFrame:
+    """Per-doc span-sequence fingerprint: sha256 over newline-joined
+    "kind|text|media_ref" lines in offset order, plus span counts.
+    Two documents are span-sequence-equal (the north-rule invariant:
+    kind, text, media_ref, order) iff their fingerprints are equal —
+    the cheap way to compare 10^10 documents without exploding them."""
+    ordered = F.array_sort(F.col("spans"), lambda a, b: a["offset"] - b["offset"])
+    line = lambda s: F.concat_ws(  # noqa: E731
+        "|", s["kind"], F.coalesce(s["text"], F.lit("")), F.coalesce(s["media_ref"], F.lit(""))
+    )
+    return df.select(
+        "doc_id",
+        F.size("spans").alias("n_spans"),
+        F.size(F.filter("spans", lambda s: s["kind"] == "media")).alias("n_media"),
+        F.sha2(F.concat_ws("\n", F.transform(ordered, line)), 256).alias("span_seq_sha"),
+    )

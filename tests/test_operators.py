@@ -474,3 +474,157 @@ class TestStatefulStreaming:
         assert (r["host"], r["urls_in_session"], r["closed"]) == ("a.mil", 4, "open")
         assert r["first_seen"] == t0
         assert r["last_seen"] == t0 + datetime.timedelta(minutes=3)
+
+
+class TestSpans:
+    """Span algebra (operators/spans.py) — the interleaved text+media model
+    and its correctness invariant, span-sequence equality."""
+
+    @pytest.fixture(scope="class")
+    def spans_df(self, documents):
+        from gc_spark.operators.spans import build_interleaved_spans
+
+        return build_interleaved_spans(documents).cache()
+
+    def test_build_matches_python(self, documents, spans_df):
+        """Spark-built spans == a driver-side Python twin on every doc."""
+        got = {
+            r["doc_id"]: [
+                (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]
+            ]
+            for r in spans_df.collect()
+        }
+        for row in documents.collect():
+            text, did = row["text"], row["doc_id"]
+            n = max(-(-len(text) // 80), 1)
+            exp = []
+            for i in range(n):
+                exp.append(("text", text[i * 80 : i * 80 + 80], None, i + i // 3))
+                if i % 3 == 2:
+                    exp.append(("media", None, f"blob://doc/{did}/{i}", i + i // 3 + 1))
+            assert got[did] == exp, did
+
+    def test_offsets_are_dense_and_ordered(self, spans_df):
+        from gc_spark.operators.spans import flatten_spans
+
+        flat = flatten_spans(spans_df)
+        bad = (
+            flat.groupBy("doc_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.max("span_offset").alias("mx"),
+                F.countDistinct("span_offset").alias("nd"),
+            )
+            .filter((F.col("mx") != F.col("n") - 1) | (F.col("nd") != F.col("n")))
+        )
+        assert bad.count() == 0
+
+    def test_flatten_roundtrip_preserves_sequence(self, spans_df, spark):
+        """flatten → shuffle-regroup → fingerprint == direct fingerprint,
+        even when the flat rows arrive in a hostile order."""
+        from gc_spark.operators.spans import (
+            flatten_spans,
+            span_sequence_fingerprint,
+            spans_from_rows,
+        )
+
+        direct = {r["doc_id"]: r["span_seq_sha"] for r in span_sequence_fingerprint(spans_df).collect()}
+        shuffled = flatten_spans(spans_df).orderBy(F.col("span_offset").desc(), "media_ref")
+        rt = span_sequence_fingerprint(spans_from_rows(shuffled))
+        got = {r["doc_id"]: r["span_seq_sha"] for r in rt.collect()}
+        assert got == direct
+
+    def test_fingerprint_sensitive_to_order_kind_and_payload(self, spark):
+        from gc_spark.operators.spans import span_sequence_fingerprint
+
+        def fp(spans):
+            df = spark.createDataFrame(
+                [("d", spans)],
+                "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+            )
+            return span_sequence_fingerprint(df).collect()[0]["span_seq_sha"]
+
+        base = [("text", "a", None, 0), ("media", None, "blob://x", 1)]
+        swapped = [("media", None, "blob://x", 0), ("text", "a", None, 1)]
+        retyped = [("media", "a", None, 0), ("media", None, "blob://x", 1)]
+        edited = [("text", "b", None, 0), ("media", None, "blob://x", 1)]
+        assert len({fp(base), fp(swapped), fp(retyped), fp(edited)}) == 4
+        # offsets carry order, not identity: re-numbering without re-ordering
+        # is the SAME sequence
+        renumbered = [("text", "a", None, 5), ("media", None, "blob://x", 9)]
+        assert fp(renumbered) == fp(base)
+
+
+class TestIvfAnn:
+    """IVF coarse-quantizer ANN (operators/similarity.py)."""
+
+    @pytest.fixture(scope="class")
+    def centroids(self, embeddings):
+        from gc_spark.operators.similarity import train_ivf_centroids
+
+        return train_ivf_centroids(embeddings, num_cells=8, dim=64, iters=1)
+
+    def test_training_is_deterministic(self, embeddings, centroids):
+        from gc_spark.operators.similarity import train_ivf_centroids
+
+        again = train_ivf_centroids(embeddings, num_cells=8, dim=64, iters=1)
+        assert again == centroids
+
+    def test_full_probe_equals_brute_force(self, embeddings, centroids):
+        from gc_spark.operators.similarity import brute_force_topk, ivf_ann
+
+        exact = brute_force_topk(embeddings, QUERY, k=10).collect()
+        got = ivf_ann(embeddings, QUERY, centroids, k=10, nprobe=8).collect()
+        assert [(r["vec_id"], r["sim"]) for r in got] == [
+            (r["vec_id"], r["sim"]) for r in exact
+        ]
+
+    def test_recall_grows_with_nprobe(self, embeddings, centroids):
+        from gc_spark.operators.similarity import brute_force_topk, ivf_ann
+
+        exact = {r["vec_id"] for r in brute_force_topk(embeddings, QUERY, k=10).collect()}
+        recalls = []
+        for nprobe in (2, 4, 6, 8):
+            got = {r["vec_id"] for r in ivf_ann(embeddings, QUERY, centroids, k=10, nprobe=nprobe).collect()}
+            recalls.append(len(got & exact) / len(exact))
+        assert recalls == sorted(recalls)
+        assert recalls[-1] == 1.0
+        assert recalls[1] >= 0.5  # half the cells recover at least half
+
+    def test_scaled_vectors_share_a_cell(self, spark, embeddings, centroids):
+        """Nearest-centroid assignment is scale-invariant — the property the
+        oracled q32 construction relies on."""
+        from gc_spark.operators.similarity import assign_ivf_cells
+
+        scaled = embeddings.withColumn(
+            "embedding", F.transform("embedding", lambda x: x * F.lit(3.0))
+        )
+        a = assign_ivf_cells(embeddings, centroids).select("vec_id", "ivf_cell")
+        b = assign_ivf_cells(scaled, centroids).select("vec_id", "ivf_cell")
+        assert a.exceptAll(b).count() == 0
+
+    def test_partitioned_probe_prunes_at_the_source(self, spark, embeddings, centroids, tmp_path):
+        """write_ivf_partitioned + probe filter must become PartitionFilters
+        on the parquet scan (reads nprobe/num_cells of the files), and the
+        pruned probe must return the same answer as the on-the-fly path."""
+        from gc_spark.operators.similarity import ivf_ann, write_ivf_partitioned
+
+        path = str(tmp_path / "ivf")
+        write_ivf_partitioned(embeddings, centroids, path)
+        stored = spark.read.parquet(path)
+        got = ivf_ann(stored, QUERY, centroids, k=10, nprobe=3).collect()
+        exp = ivf_ann(embeddings, QUERY, centroids, k=10, nprobe=3).collect()
+        assert [(r["vec_id"], r["sim"]) for r in got] == [(r["vec_id"], r["sim"]) for r in exp]
+
+        from gc_spark.operators.similarity import probe_cells
+
+        cells = probe_cells(QUERY, centroids, 3)
+        pruned = stored.filter(F.col("ivf_cell").isin(cells))
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "ivf_cell" in plan.split("PartitionFilters", 1)[1][:200]
+        # and pruning actually happened: the executed scan read only the
+        # probed cells' files (numFiles metric), not the whole table
+        pruned.collect()
+        scan = pruned._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+        files_read = scan.metrics().apply("numFiles").value()
+        assert 0 < files_read < len(stored.inputFiles())
