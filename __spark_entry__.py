@@ -862,7 +862,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(COUNT(*) AS INT) AS n_spans,
                    CAST(SUM(CASE WHEN kind = 'media' THEN 1 ELSE 0 END) AS INT) AS n_media,
-                   sha256(string_agg(kind || '|' || coalesce(t, '') || '|' || coalesce(m, ''),
+                   sha256(string_agg(kind || '|' || CAST(length(coalesce(t, '')) AS VARCHAR)
+                                          || '|' || coalesce(t, '')
+                                          || '|' || CAST(length(coalesce(m, '')) AS VARCHAR)
+                                          || '|' || coalesce(m, ''),
                                      chr(10) ORDER BY o)) AS span_seq_sha
             FROM spans GROUP BY doc_id
         """,

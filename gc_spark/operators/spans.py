@@ -125,9 +125,15 @@ def span_sequence_fingerprint(df: DataFrame) -> DataFrame:
     kind, text, media_ref, order) iff their fingerprints are equal —
     the cheap way to compare 10^10 documents without exploding them."""
     ordered = F.array_sort(F.col("spans"), lambda a, b: a["offset"] - b["offset"])
-    line = lambda s: F.concat_ws(  # noqa: E731
-        "|", s["kind"], F.coalesce(s["text"], F.lit("")), F.coalesce(s["media_ref"], F.lit(""))
-    )
+
+    def line(s):
+        # length-prefixed fields make the encoding injective: payloads may
+        # contain '|' or '\n', but an explicit char count before each field
+        # leaves only one parse (kind itself is engine-controlled, no '|')
+        t = F.coalesce(s["text"], F.lit(""))
+        m = F.coalesce(s["media_ref"], F.lit(""))
+        return F.concat_ws("|", s["kind"], F.length(t).cast("string"), t,
+                           F.length(m).cast("string"), m)
     return df.select(
         "doc_id",
         F.size("spans").alias("n_spans"),
