@@ -180,6 +180,34 @@ class TestScaleSiteSimulatorEquality:
         }
         assert eng_spans == sim.spans
 
+    def test_span_fingerprint_equality(self, runs):
+        """Same invariant as test_span_sequence_equality, but compared the
+        way a 10^10-doc run would: one span_sequence_fingerprint sha per doc
+        (operators/spans.py) vs the simulator's python-twin encoding —
+        never exploding/collecting full span payloads."""
+        import hashlib
+
+        from gc_spark.operators.spans import span_sequence_fingerprint
+
+        store, _, sim = runs
+        eng = {
+            r["doc_id"]: (r["n_spans"], r["span_seq_sha"])
+            for r in span_sequence_fingerprint(
+                store.read("documents", S.DOCUMENTS)
+            ).collect()
+        }
+        exp = {}
+        for doc_id, spans in sim.spans.items():
+            lines = []
+            for kind, text, media_ref, _off in sorted(spans, key=lambda s: s[3]):
+                t, m = text or "", media_ref or ""
+                lines.append(f"{kind}|{len(t)}|{t}|{len(m)}|{m}")
+            exp[doc_id] = (
+                len(spans),
+                hashlib.sha256("\n".join(lines).encode()).hexdigest(),
+            )
+        assert eng == exp
+
     def test_politeness_budget_never_exceeded(self, runs):
         store, _, _ = runs
         done = store.read("frontier_done", _done_schema()).unionByName(
