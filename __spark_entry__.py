@@ -546,6 +546,71 @@ def q33_jaccard_pairs(spark, sf_dir):
     return jaccard_verify_pairs(un, cands, threshold=0.5)
 
 
+def q34_pending_join(spark, sf_dir):
+    """§2.11 meta-carry twin: pending-docs completion join
+    (operators/pending.resolve_pending) — listing-built pendings keyed by a
+    64-bit detail key are completed by this batch's detail records: the raw
+    href enters the version-hash map under pending_hash_key, the encoded
+    href becomes download_url and the single downloadable item (type from
+    the extension). Two of three pendings complete; one stays open."""
+    from gc_spark.operators.pending import resolve_pending
+
+    p = _t(spark, sf_dir, "part")
+    pending = p.select(
+        F.col("p_partkey"),
+        F.col("p_partkey").cast("long").alias("detail_url_hash64"),
+        F.lit(None).cast("string").alias("download_url"),
+        F.lit(None).cast(
+            "array<struct<doc_type:string,download_url:string,compression_type:string>>"
+        ).alias("downloadable_items"),
+        F.create_map(F.lit("doc_name"), F.concat(F.lit("part-"), F.col("p_partkey").cast("string"))).alias(
+            "version_hash_raw_data"
+        ),
+        F.when(F.col("p_partkey") % 2 == 0, F.lit("item_currency")).alias("pending_hash_key"),
+    )
+    details = p.filter(F.col("p_partkey") % 3 != 0).select(
+        F.col("p_partkey").cast("long").alias("detail_url_hash64"),
+        F.concat(
+            F.lit("https://x.mil/files/f"),
+            F.col("p_partkey").cast("string"),
+            F.when(F.col("p_partkey") % 2 == 0, F.lit(".pdf")).otherwise(F.lit(".zip")),
+        ).alias("detail_download_href"),
+    )
+    out = resolve_pending(pending, details)
+    return out.select(
+        "p_partkey",
+        "download_url",
+        F.col("downloadable_items")[0]["doc_type"].alias("picked_type"),
+        F.col("version_hash_raw_data")["doc_name"].alias("hash_doc_name"),
+        F.coalesce(
+            F.col("version_hash_raw_data")["item_currency"],
+            F.col("version_hash_raw_data")["download_url"],
+        ).alias("hash_href"),
+    )
+
+
+def q35_validate_split(spark, sf_dir):
+    """F8 schema-validation split (operators/enrich.validate_items): nulls
+    in required fields / malformed source_page_url go to the dead-letter
+    side with a first-failing-check reason string. Returns the invalid side
+    — the interesting one (the reason derivation is ordered)."""
+    from gc_spark.operators.enrich import validate_items
+
+    o = _t(spark, sf_dir, "orders")
+    items = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 != 0, F.concat(F.lit("doc-"), F.col("o_orderkey").cast("string"))).alias("doc_name"),
+        F.lit("synthetic").alias("crawler_used"),
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit("not a url"))
+        .otherwise(F.concat(F.lit("https://x.mil/p/"), F.col("o_orderkey").cast("string")))
+        .alias("source_page_url"),
+        F.when(F.col("o_orderkey") % 13 != 0, F.sha2(F.col("o_orderkey").cast("string"), 256)).alias("version_hash"),
+        F.lit("2024-01-02T00:00:00").alias("access_timestamp"),
+    )
+    _valid, invalid = validate_items(items)
+    return invalid.select("o_orderkey", F.col("_invalid_reason").alias("reason"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_rollup": q01_rollup,
@@ -581,6 +646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_span_fingerprint": q31_span_fingerprint,
         "q32_ivf_ann": q32_ivf_ann,
         "q33_jaccard_pairs": q33_jaccard_pairs,
+        "q34_pending_join": q34_pending_join,
+        "q35_validate_split": q35_validate_split,
     }
 
 
@@ -870,6 +937,27 @@ def oracle_sql() -> dict[str, str]:
             FROM spans GROUP BY doc_id
         """,
         "q32_ivf_ann": _ivf_oracle(),
+        "q34_pending_join": """
+            SELECT p_partkey,
+                   'https://x.mil/files/f' || CAST(p_partkey AS VARCHAR)
+                       || CASE WHEN p_partkey % 2 = 0 THEN '.pdf' ELSE '.zip' END
+                       AS download_url,
+                   CASE WHEN p_partkey % 2 = 0 THEN 'pdf' ELSE 'zip' END AS picked_type,
+                   'part-' || CAST(p_partkey AS VARCHAR) AS hash_doc_name,
+                   'https://x.mil/files/f' || CAST(p_partkey AS VARCHAR)
+                       || CASE WHEN p_partkey % 2 = 0 THEN '.pdf' ELSE '.zip' END
+                       AS hash_href
+            FROM part WHERE p_partkey % 3 <> 0
+        """,
+        "q35_validate_split": """
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 7 = 0 THEN 'missing required field: doc_name'
+                        WHEN o_orderkey % 13 = 0 THEN 'missing required field: version_hash'
+                        WHEN o_orderkey % 11 = 0 THEN 'invalid source_page_url'
+                   END AS reason
+            FROM orders
+            WHERE o_orderkey % 7 = 0 OR o_orderkey % 13 = 0 OR o_orderkey % 11 = 0
+        """,
         "q33_jaccard_pairs": """
             WITH un AS (
               SELECT doc_id, text FROM documents
