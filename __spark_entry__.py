@@ -546,6 +546,17 @@ def q33_jaccard_pairs(spark, sf_dir):
     return jaccard_verify_pairs(un, cands, threshold=0.5)
 
 
+def q36_dup_clusters(spark, sf_dir):
+    """Dedup cluster formation: connected components over the verified
+    near-dup pairs of q33 via iterative min-label propagation
+    (operators/text_dedup.dup_clusters, 3 rounds = components of diameter
+    <=3, plenty for LSH near-clique clusters). Oracle: recursive CTE walking
+    labels along edges to the same depth."""
+    from gc_spark.operators.text_dedup import dup_clusters
+
+    return dup_clusters(q33_jaccard_pairs(spark, sf_dir), iters=3)
+
+
 def q34_pending_join(spark, sf_dir):
     """§2.11 meta-carry twin: pending-docs completion join
     (operators/pending.resolve_pending) — listing-built pendings keyed by a
@@ -648,6 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_jaccard_pairs": q33_jaccard_pairs,
         "q34_pending_join": q34_pending_join,
         "q35_validate_split": q35_validate_split,
+        "q36_dup_clusters": q36_dup_clusters,
     }
 
 
@@ -958,8 +970,31 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE o_orderkey % 7 = 0 OR o_orderkey % 13 = 0 OR o_orderkey % 11 = 0
         """,
-        "q33_jaccard_pairs": """
-            WITH un AS (
+        "q33_jaccard_pairs": "WITH " + _JACCARD_PAIRS_BODY + """
+            SELECT a, b, jaccard FROM jpairs
+        """,
+        "q36_dup_clusters": "WITH RECURSIVE " + _JACCARD_PAIRS_BODY + """,
+            edges AS (
+                SELECT a AS src, b AS dst FROM jpairs
+                UNION
+                SELECT b, a FROM jpairs
+            ),
+            walk(iter, node, label) AS (
+                SELECT 0, src, src FROM (SELECT DISTINCT src FROM edges)
+                UNION ALL
+                SELECT w.iter + 1, e.dst, w.label
+                FROM walk w JOIN edges e ON e.src = w.node
+                WHERE w.iter < 3
+            )
+            SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node
+        """,
+    }
+
+
+# the portable-kernel LSH banding + exact-jaccard pipeline as a CTE chain
+# ending in jpairs(a, b, jaccard) — shared by the q33 and q36 oracles
+_JACCARD_PAIRS_BODY = """\
+            un AS (
               SELECT doc_id, text FROM documents
               UNION ALL
               SELECT doc_id + 10000000, text || ' extraword'
@@ -994,17 +1029,17 @@ def oracle_sql() -> dict[str, str]:
               ) WHERE a < b
             ), shd AS (
               SELECT doc_id, list_distinct(shingles) AS s FROM sh
+            ), jpairs AS (
+              SELECT c.a, c.b,
+                     ROUND(len(list_intersect(sa.s, sb.s))
+                           / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE), 6) AS jaccard
+              FROM cand c
+              JOIN shd sa ON sa.doc_id = c.a
+              JOIN shd sb ON sb.doc_id = c.b
+              WHERE ROUND(len(list_intersect(sa.s, sb.s))
+                          / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE), 6) >= 0.5
             )
-            SELECT c.a, c.b,
-                   ROUND(len(list_intersect(sa.s, sb.s))
-                         / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE), 6) AS jaccard
-            FROM cand c
-            JOIN shd sa ON sa.doc_id = c.a
-            JOIN shd sb ON sb.doc_id = c.b
-            WHERE ROUND(len(list_intersect(sa.s, sb.s))
-                        / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE), 6) >= 0.5
-        """,
-    }
+"""
 
 
 def _ivf_oracle() -> str:

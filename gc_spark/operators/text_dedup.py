@@ -236,3 +236,44 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         .agg(F.count("*").alias("n_docs"), F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+def dup_clusters(
+    pairs: DataFrame, a_col: str = "a", b_col: str = "b", iters: int = 3
+) -> DataFrame:
+    """Duplicate-cluster formation: connected components over near-dup pairs
+    (the step after LSH+verify in a training-data dedup pipeline — keep one
+    doc per cluster, drop the rest).
+
+    Iterative min-label propagation: every node starts labelled with itself;
+    each round a node adopts the smallest label within one hop. After k
+    rounds the label is the component minimum for components of diameter
+    <= k. Each round is one join + one groupBy — k shuffles total, no
+    driver-side graph. (At 10^10 edges the round count matters: the
+    large-star/small-star variant halves diameter per round; plain
+    propagation is kept here because dup clusters are near-cliques — LSH
+    pairs connect almost-identical docs, so diameters are tiny.)
+
+    Returns (doc_id, cluster_id) for every doc that appears in a pair;
+    cluster_id = min doc_id of the component.
+    """
+    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(iters):
+        prop = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .select(F.col("dst").alias("node"), "label")
+        )
+        labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

@@ -628,3 +628,38 @@ class TestIvfAnn:
         scan = pruned._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
         files_read = scan.metrics().apply("numFiles").value()
         assert 0 < files_read < len(stored.inputFiles())
+
+
+class TestDupClusters:
+    def test_known_components(self, spark):
+        """Pair, chain (diameter 3), triangle, and a disjoint pair resolve to
+        min-id cluster labels."""
+        from gc_spark.operators.text_dedup import dup_clusters
+
+        pairs = spark.createDataFrame(
+            [
+                (1, 2),              # pair
+                (10, 11), (11, 12), (12, 13),  # chain, diameter 3
+                (20, 21), (21, 22), (20, 22),  # triangle
+                (30, 31),            # disjoint pair
+            ],
+            "a long, b long",
+        )
+        got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs, iters=3).collect()}
+        assert got == {
+            1: 1, 2: 1,
+            10: 10, 11: 10, 12: 10, 13: 10,
+            20: 20, 21: 20, 22: 20,
+            30: 30, 31: 30,
+        }
+
+    def test_iters_bound_diameter(self, spark):
+        """One round only reaches one hop — documents the k-vs-diameter
+        contract (the engine default of 3 covers LSH near-clique clusters)."""
+        from gc_spark.operators.text_dedup import dup_clusters
+
+        chain = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "a long, b long")
+        got1 = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(chain, iters=1).collect()}
+        assert got1 == {1: 1, 2: 1, 3: 2, 4: 3}
+        got3 = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(chain, iters=3).collect()}
+        assert set(got3.values()) == {1}
