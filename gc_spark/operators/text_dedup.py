@@ -258,9 +258,15 @@ def dup_clusters(
     cluster_id = min doc_id of the component.
     """
     fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    edges = fwd.unionByName(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    # every propagation round references `edges`; without materialization the
+    # upstream pair pipeline (LSH + jaccard) would be re-executed k+1 times
+    edges = (
+        fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
