@@ -93,7 +93,10 @@ def bench_frontier_drain(spark) -> dict:
     )
     seen = spark.read.parquet(seen_path)
 
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1"))
+    # best-of-N: this host shows up to 3x run-to-run noise (neighbors /
+    # frequency scaling — see BENCH/BASELINE.md), so the min is the honest
+    # steady-state estimate
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     best, n_scheduled = None, 0
     for _ in range(max(repeats, 1)):
         t0 = time.time()
@@ -169,29 +172,36 @@ def bench_engine_drain(spark) -> dict:
         F.lit("pending").alias("state"),
     )
 
-    store = SnapshotStore(spark, tempfile.mkdtemp(prefix="gc_engine_bench_"))
-    txn = store.begin(0)
-    txn.replace("frontier", frontier)
-    txn.commit()
-    eng = CrawlEngine(
-        spark,
-        store,
-        TableFetcher(pages),
-        config=EngineConfig(
-            budget_per_host=max(n // hosts + 1, 1),
-            use_bloom=False,
-            fetch_partitions=CPUS,
-            collect_stats=False,
-        ),
-    )
-    t0 = time.time()
-    st = eng.drain_one(1)
-    elapsed = time.time() - t0
+    # best-of-N against host noise; drain_one consumes the frontier, so each
+    # repeat gets a fresh store (setup untimed)
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_ENGINE_REPEATS", "2"))
+    best, st = None, None
+    for _ in range(max(repeats, 1)):
+        store = SnapshotStore(spark, tempfile.mkdtemp(prefix="gc_engine_bench_"))
+        txn = store.begin(0)
+        txn.replace("frontier", frontier)
+        txn.commit()
+        eng = CrawlEngine(
+            spark,
+            store,
+            TableFetcher(pages),
+            config=EngineConfig(
+                budget_per_host=max(n // hosts + 1, 1),
+                use_bloom=False,
+                fetch_partitions=CPUS,
+                collect_stats=False,
+            ),
+        )
+        t0 = time.time()
+        st = eng.drain_one(1)
+        elapsed = time.time() - t0
+        best = elapsed if best is None else min(best, elapsed)
     return {
         "urls_in": n,
         "scheduled": st["scheduled"] if st else 0,
-        "elapsed_sec": round(elapsed, 2),
-        "urls_per_sec": round(n / elapsed, 1),
+        "elapsed_sec": round(best, 2),
+        "urls_per_sec": round(n / best, 1),
+        "repeats": repeats,
     }
 
 
