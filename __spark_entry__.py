@@ -557,6 +557,31 @@ def q36_dup_clusters(spark, sf_dir):
     return dup_clusters(q33_jaccard_pairs(spark, sf_dir), iters=3)
 
 
+def q37_rolling_hash(spark, sf_dir):
+    """Training-data op: Rabin-Karp document fingerprint — polynomial
+    rolling hash over characters, h = fold(h*257 + code) mod 2^31-1
+    (gc_spark.functions.text.rolling_hash_col; exact int64 both engines)."""
+    from gc_spark.functions.text import rolling_hash_col
+
+    d = _t_wide(spark, sf_dir, "documents")
+    return d.select("doc_id", rolling_hash_col(F.col("text")).alias("rolling_hash"))
+
+
+def q38_bpe_tokens(spark, sf_dir):
+    """Training-data op: BPE-ish pre-tokenization (word runs | single
+    symbols) — token count and distinct-token count per doc
+    (gc_spark.functions.text.bpe_ish_tokens_col)."""
+    from gc_spark.functions.text import bpe_ish_tokens_col
+
+    d = _t_wide(spark, sf_dir, "documents")
+    toks = bpe_ish_tokens_col(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    )
+
+
 def q34_pending_join(spark, sf_dir):
     """§2.11 meta-carry twin: pending-docs completion join
     (operators/pending.resolve_pending) — listing-built pendings keyed by a
@@ -660,6 +685,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_pending_join": q34_pending_join,
         "q35_validate_split": q35_validate_split,
         "q36_dup_clusters": q36_dup_clusters,
+        "q37_rolling_hash": q37_rolling_hash,
+        "q38_bpe_tokens": q38_bpe_tokens,
     }
 
 
@@ -949,6 +976,21 @@ def oracle_sql() -> dict[str, str]:
             FROM spans GROUP BY doc_id
         """,
         "q32_ivf_ann": _ivf_oracle(),
+        "q37_rolling_hash": r"""
+            SELECT doc_id,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, length(text) + 1),
+                           i -> CAST(ascii(substring(text, CAST(i AS INT), 1)) AS BIGINT))),
+                       (a, c) -> (a * 257 + c) % 2147483647) AS rolling_hash
+            FROM documents
+        """,
+        "q38_bpe_tokens": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT) AS n_bpe_tokens,
+                   CAST(len(list_distinct(regexp_extract_all(text, '\w+|[^\w\s]'))) AS INT)
+                       AS n_distinct_tokens
+            FROM documents
+        """,
         "q34_pending_join": """
             SELECT p_partkey,
                    'https://x.mil/files/f' || CAST(p_partkey AS VARCHAR)

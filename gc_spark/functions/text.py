@@ -81,3 +81,35 @@ def squash_spaces(text: str) -> str:
     import re
 
     return re.sub(r"\s*[\n\t\r\s+]\s*", " ", text)
+
+
+# -- training-data kernels ---------------------------------------------------
+
+ROLLING_BASE = 257
+ROLLING_MOD = 2_147_483_647  # 2^31 - 1: h*B + c stays < 2^40, exact in int64
+
+
+def rolling_hash_col(col: Column) -> Column:
+    """Polynomial rolling hash over the characters of a string:
+    h = fold(h * 257 + code(c)) mod (2^31 - 1) — the classic Rabin-Karp
+    document fingerprint. Pure JVM expressions (split + aggregate fold), and
+    the modulus keeps every intermediate exact in signed-64 arithmetic, so
+    ANSI SQL / DuckDB reproduces it bit-for-bit (list_reduce twin)."""
+    chars = F.split(col, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * ROLLING_BASE + F.ascii(c)) % ROLLING_MOD,
+    )
+
+
+BPE_ISH_PATTERN = r"\w+|[^\w\s]"
+
+
+def bpe_ish_tokens_col(col: Column) -> Column:
+    """BPE-ish token segmentation: runs of word characters OR single
+    non-space symbols — the pre-tokenization split BPE vocabularies apply
+    before merges. regexp_extract_all keeps the pattern inside RE2's subset,
+    so DuckDB (regexp_extract_all) reproduces it exactly. Returns the token
+    array; count with F.size."""
+    return F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0)

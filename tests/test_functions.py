@@ -259,3 +259,43 @@ class TestSquashSpaces:
         import re
 
         assert got == re.sub(r"\s*[\n\t\r\s+]\s*", " ", "a \n\t b   c")
+
+
+class TestTrainingDataKernels:
+    def test_rolling_hash_matches_python_twin(self, spark):
+        from gc_spark.functions.text import (
+            ROLLING_BASE,
+            ROLLING_MOD,
+            rolling_hash_col,
+        )
+        from pyspark.sql import functions as F
+
+        texts = ["hello, world! it's 42", "", "a", "x  y\tz", "A" * 500]
+
+        def twin(s: str) -> int:
+            h = 0
+            for c in s:
+                h = (h * ROLLING_BASE + ord(c)) % ROLLING_MOD
+            return h
+
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+        got = {
+            r["i"]: r["rh"]
+            for r in df.select("i", rolling_hash_col(F.col("t")).alias("rh")).collect()
+        }
+        assert got == {i: twin(t) for i, t in enumerate(texts)}
+
+    def test_bpe_ish_tokens(self, spark):
+        from gc_spark.functions.text import bpe_ish_tokens_col
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(1, "hello, world! it's 42"), (2, ""), (3, "a+b=c_3")], "i long, t string"
+        )
+        got = {
+            r["i"]: r["toks"]
+            for r in df.select("i", bpe_ish_tokens_col(F.col("t")).alias("toks")).collect()
+        }
+        assert got[1] == ["hello", ",", "world", "!", "it", "'", "s", "42"]
+        assert got[2] == []
+        assert got[3] == ["a", "+", "b", "=", "c_3"]
