@@ -557,6 +557,18 @@ def q36_dup_clusters(spark, sf_dir):
     return dup_clusters(q33_jaccard_pairs(spark, sf_dir), iters=3)
 
 
+def q39_connected_components(spark, sf_dir):
+    """Exact connected components over the q33 near-dup pairs via
+    alternating large-star/small-star rounds (text_dedup.connected_components)
+    — the O(log^2 n)-round scale path (q36's plain propagation is the
+    O(diameter) baseline). Oracle: a FIXPOINT recursive CTE (UNION
+    semantics) computing transitive-closure minima — round counts don't
+    matter, only the true components."""
+    from gc_spark.operators.text_dedup import connected_components
+
+    return connected_components(q33_jaccard_pairs(spark, sf_dir))
+
+
 def q37_rolling_hash(spark, sf_dir):
     """Training-data op: Rabin-Karp document fingerprint — polynomial
     rolling hash over characters, h = fold(h*257 + code) mod 2^31-1
@@ -687,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_dup_clusters": q36_dup_clusters,
         "q37_rolling_hash": q37_rolling_hash,
         "q38_bpe_tokens": q38_bpe_tokens,
+        "q39_connected_components": q39_connected_components,
     }
 
 
@@ -976,6 +989,19 @@ def oracle_sql() -> dict[str, str]:
             FROM spans GROUP BY doc_id
         """,
         "q32_ivf_ann": _ivf_oracle(),
+        "q39_connected_components": "WITH RECURSIVE " + _JACCARD_PAIRS_BODY + """,
+            edges AS (
+                SELECT a AS src, b AS dst FROM jpairs
+                UNION
+                SELECT b, a FROM jpairs
+            ),
+            reach(node, label) AS (
+                SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+                UNION
+                SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+            )
+            SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+        """,
         "q37_rolling_hash": r"""
             SELECT doc_id,
                    list_reduce(list_prepend(CAST(0 AS BIGINT),

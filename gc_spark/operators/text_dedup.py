@@ -283,3 +283,66 @@ def dup_clusters(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def connected_components(
+    pairs: DataFrame, a_col: str = "a", b_col: str = "b", max_rounds: int = 25
+) -> DataFrame:
+    """Exact connected components over near-dup pairs via alternating
+    large-star / small-star rounds (Kiveris et al., "Connected Components in
+    MapReduce and Beyond") — the 100 TB-grade path: converges in O(log^2 n)
+    rounds regardless of component diameter, where plain min-label
+    propagation (dup_clusters) needs O(diameter) rounds.
+
+      large-star: every node's strictly-larger neighbors re-attach to the
+                  minimum of its closed neighborhood
+      small-star: every node's smaller-or-equal neighbors (and the node)
+                  re-attach to that minimum
+
+    Each round is a groupBy + join (two shuffles); the edge list shrinks
+    toward a star forest and the loop stops when a round changes nothing
+    (one count per round — driver-side scalars only, never edge data).
+    Returns (doc_id, cluster_id = component min) for every node in a pair.
+    """
+    e = (
+        pairs.select(F.col(a_col).cast("long").alias("u"), F.col(b_col).cast("long").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _star(edges: DataFrame, large: bool) -> DataFrame:
+        und = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = und.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        att = und.join(m, "u")
+        if large:
+            att = att.filter(F.col("v") > F.col("u"))
+        else:
+            att = att.filter(F.col("v") <= F.col("u")).unionByName(
+                m.select("u", F.col("u").alias("v"), "m")
+            )
+        return (
+            att.filter(F.col("v") != F.col("m"))
+            .select(F.least("v", "m").alias("u"), F.greatest("v", "m").alias("v"))
+            .distinct()
+        )
+
+    for _ in range(max_rounds):
+        nxt = _star(_star(e, large=True), large=False).localCheckpoint(eager=True)
+        changed = (
+            nxt.exceptAll(e).limit(1).count() + e.exceptAll(nxt).limit(1).count()
+        )
+        e = nxt
+        if changed == 0:
+            break
+
+    nodes = e.select(F.col("v").alias("doc_id"), F.col("u").alias("cluster_id"))
+    roots = e.select(F.col("u").alias("doc_id")).distinct().withColumn(
+        "cluster_id", F.col("doc_id")
+    )
+    return nodes.unionByName(roots).distinct()

@@ -663,3 +663,53 @@ class TestDupClusters:
         assert got1 == {1: 1, 2: 1, 3: 2, 4: 3}
         got3 = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(chain, iters=3).collect()}
         assert set(got3.values()) == {1}
+
+
+class TestConnectedComponents:
+    """Large-star/small-star CC (text_dedup.connected_components) vs a
+    union-find ground truth."""
+
+    @staticmethod
+    def _uf(pairs):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {x: find(x) for x in parent}
+
+    @pytest.mark.parametrize(
+        "pairs",
+        [
+            [(i, i + 1) for i in range(30)],  # diameter 29 — propagation-hostile
+            [(1, 2), (2, 3), (1, 3), (10, 11)],
+            [((i * 7) % 50, (i * 13) % 50) for i in range(60) if (i * 7) % 50 != (i * 13) % 50],
+            [(0, i) for i in range(1, 20)],
+        ],
+        ids=["chain30", "tri+pair", "random", "star"],
+    )
+    def test_matches_union_find(self, spark, pairs):
+        from gc_spark.operators.text_dedup import connected_components
+
+        df = spark.createDataFrame(pairs, "a long, b long")
+        got = {r["doc_id"]: r["cluster_id"] for r in connected_components(df).collect()}
+        assert got == self._uf(pairs)
+
+    def test_agrees_with_propagation_on_small_diameter(self, spark):
+        """On LSH-style near-clique pair sets both algorithms agree; the
+        star version additionally survives long chains (above)."""
+        from gc_spark.operators.text_dedup import connected_components, dup_clusters
+
+        pairs = [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (8, 10)]
+        df = spark.createDataFrame(pairs, "a long, b long")
+        a = {r["doc_id"]: r["cluster_id"] for r in connected_components(df).collect()}
+        b = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(df, iters=3).collect()}
+        assert a == b
