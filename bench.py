@@ -211,15 +211,16 @@ def bench_queries(spark) -> dict:
     out = {}
     for name, fn in entry.queries().items():
         try:
-            df = fn(spark, SF_DIR)
             # warm-up pass absorbs one-time whole-stage-codegen JIT compile
             # (the expression-heavy dedup/ANN queries pay seconds of
             # janino/C2 compilation on first execution — a fixed cost that
             # amortizes to zero over real 100 TB inputs); the timed pass
-            # measures steady-state execution
-            df.write.format("noop").mode("overwrite").save()
+            # measures steady-state execution. Construction is INSIDE the
+            # timed region: iterative operators (dup clusters, star-CC)
+            # legitimately run jobs while building their result.
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             t0 = time.time()
-            df.write.format("noop").mode("overwrite").save()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             out[name] = round(time.time() - t0, 3)
         except Exception as e:  # pragma: no cover
             out[name] = f"ERROR: {type(e).__name__}"

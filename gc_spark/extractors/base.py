@@ -53,15 +53,27 @@ def register(ex):
 
 
 def run_extractors(fetched_ok: DataFrame) -> DataFrame:
-    """Run the registry over a fetched micro-batch (Arrow batches).
+    """Run the registry over a fetched micro-batch.
 
     Input: frontier cols + fetch-result cols. Output: EXTRACTED_SCHEMA.
     Unregistered sources yield no links/docs (counted upstream as fetched,
     nothing extracted).
+
+    Two execution paths ("UDFs are the slow path" applied to parsing):
+    extractors that define ``native_extract(df) -> DataFrame`` run as pure
+    JVM expressions (regexp_extract/transform — whole-stage codegen, no
+    Arrow transfer, no Python workers); everything else goes through ONE
+    Arrow-batched mapInPandas. A parity test pins native == pandas on the
+    same pages before a source earns the native path.
     """
     # Late import keeps worker pickles small: only the registry module names
     # travel; extractors re-register on executor import.
     cols = ["url", "source", "depth", "seq", "body", "kind"]
+    import gc_spark.extractors  # noqa: F401 — populate the registry (driver side)
+
+    native_srcs = [
+        s for s, ex in registry.items() if callable(getattr(ex, "native_extract", None))
+    ]
 
     def _run(parts: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from gc_spark.extractors import registry as reg
@@ -90,7 +102,16 @@ def run_extractors(fetched_ok: DataFrame) -> DataFrame:
                 }
             )
 
-    return fetched_ok.select(*cols).mapInPandas(_run, schema=EXTRACTED_SCHEMA)
+    base = fetched_ok.select(*cols)
+    if not native_srcs:
+        return base.mapInPandas(_run, schema=EXTRACTED_SCHEMA)
+    out = base.filter(~F.col("source").isin(native_srcs)).mapInPandas(
+        _run, schema=EXTRACTED_SCHEMA
+    )
+    for s in native_srcs:
+        nat = registry[s].native_extract(base.filter(F.col("source") == s))
+        out = out.unionByName(nat.select([f.name for f in EXTRACTED_SCHEMA.fields]))
+    return out
 
 
 # JSON shape each extractor emits per doc (parsed with from_json by the engine)

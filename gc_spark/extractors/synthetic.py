@@ -69,3 +69,83 @@ class SyntheticExtractor(Extractor):
                 }
             ]
         return [], []
+
+
+# -- native-expression twin ---------------------------------------------------
+# The synthetic family's page shapes are regex-expressible, so its parse runs
+# as whole-stage-codegen expressions instead of Arrow-batched Python — the
+# engine-bench extract stage drops out of Python entirely. Parity with the
+# pandas path is pinned by tests/test_sources.py::TestNativeExtractorParity.
+
+from pyspark.sql import DataFrame  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+_LINK_PAT = r'<a[^>]*href="([^"]+)"[^>]*>'
+_H1_PAT = r"<h1>([^<]*)</h1>"
+_DATE_PAT = r'<span class="date">([^<]*)</span>'
+_SEG_PAT = r'<p>([^<]*)</p>|<img src="([^"]+)"'
+
+
+def _abs_href(url, href):
+    """Native urljoin for the href shapes this family emits: absolute,
+    root-relative, and plain relative (no ../ traversal — the pandas twin's
+    urljoin remains the general reference)."""
+    scheme_host = F.concat(
+        F.regexp_extract(url, r"^(https?:)//", 1),
+        F.lit("//"),
+        F.parse_url(url, F.lit("HOST")),
+    )
+    base_dir = F.regexp_replace(url, r"/[^/]*$", "/")
+    return (
+        F.when(href.rlike(r"^https?://"), href)
+        .when(href.startswith("/"), F.concat(scheme_host, href))
+        .otherwise(F.concat(base_dir, href))
+    )
+
+
+def _native_synthetic(df: DataFrame) -> DataFrame:
+    body, url = F.col("body"), F.col("url")
+    is_listing = (F.col("kind") == "listing") & body.isNotNull()
+    is_detail = (F.col("kind") == "detail") & body.isNotNull() & body.rlike(_H1_PAT)
+
+    links = F.when(
+        is_listing,
+        F.transform(
+            F.regexp_extract_all(body, F.lit(_LINK_PAT), 1),
+            lambda h: _abs_href(url, h),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    doc_name = F.regexp_extract(body, _H1_PAT, 1)
+    pub_date = F.when(body.rlike(_DATE_PAT), F.regexp_extract(body, _DATE_PAT, 1))
+    segments = F.transform(
+        F.regexp_extract_all(body, F.lit(_SEG_PAT), 0),
+        lambda m: F.struct(
+            F.when(m.startswith("<p>"), F.lit("text")).otherwise(F.lit("media")).alias("kind"),
+            F.when(
+                m.startswith("<p>"), F.regexp_extract(m, r"<p>([^<]*)</p>", 1)
+            ).otherwise(F.regexp_extract(m, r'<img src="([^"]+)"', 1)).alias("payload"),
+        ),
+    )
+    doc_json = F.to_json(
+        F.struct(
+            doc_name.alias("doc_name"),
+            doc_name.alias("doc_title"),
+            F.lit("Document").alias("doc_type"),
+            F.lit("Document").alias("display_doc_type"),
+            pub_date.alias("publication_date"),
+            F.lit("false").alias("cac_login_required"),
+            F.array().cast(
+                "array<struct<doc_type:string,download_url:string,compression_type:string>>"
+            ).alias("downloadable_items"),
+            F.create_map(
+                F.lit("doc_name"), doc_name, F.lit("source_page_url"), url
+            ).alias("version_hash_raw_data"),
+            segments.alias("segments"),
+        )
+    )
+    docs = F.when(is_detail, F.array(doc_json)).otherwise(F.array().cast("array<string>"))
+    return df.select("url", "source", "depth", "seq", links.alias("links"), docs.alias("docs"))
+
+
+SyntheticExtractor.native_extract = staticmethod(_native_synthetic)

@@ -38,6 +38,12 @@ def with_dense_seq(
     """
     n = partitions or max(df.sparkSession.sparkContext.defaultParallelism, 2)
     cols = [F.col(c) for c in order_cols]
+    # three passes read this frame (range-boundary sampling, the counts
+    # collect, and the windowed result) — persist so the upstream pipeline
+    # (fetch → extract → dedup) executes once, not once per pass; the
+    # ContextCleaner reclaims the block when the batch's frames go out of
+    # scope
+    df = df.persist()
     arranged = df.repartitionByRange(n, *cols).withColumn(
         "_pid", F.spark_partition_id()
     )

@@ -686,3 +686,67 @@ class TestResponseHandler:
             assert out["body"] == "<h1>x</h1>"
         finally:
             srv.shutdown()
+
+
+class TestNativeExtractorParity:
+    """A source earns the native-expression parse path only if it matches
+    the pandas path on the same pages, field for field."""
+
+    def test_synthetic_native_equals_pandas(self, spark):
+        import json
+
+        from pyspark.sql import functions as F
+
+        from gc_spark.extractors.base import EXTRACTED_SCHEMA
+        from gc_spark.extractors.synthetic import SyntheticExtractor, _native_synthetic
+        from tests.fixtures import scale_site_pages
+
+        pages = scale_site_pages(spark, num_hosts=2, docs_host0=8).select(
+            "url",
+            F.lit("synthetic").alias("source"),
+            F.lit(0).alias("depth"),
+            F.monotonically_increasing_id().alias("seq"),
+            "body",
+            "kind",
+        )
+        native = {
+            r["url"]: (list(r["links"]), [json.loads(d) for d in r["docs"]])
+            for r in _native_synthetic(pages).collect()
+        }
+        ex = SyntheticExtractor()
+        for r in pages.collect():
+            links, docs = ex.extract(r["url"], r["body"], r["kind"])
+            n_links, n_docs = native[r["url"]]
+            assert n_links == links, r["url"]
+            assert len(n_docs) == len(docs)
+            for nd, pdoc in zip(n_docs, docs):
+                # to_json drops null fields; compare on the pandas twin's
+                # non-null keys plus require no extra non-null fields
+                pd_nn = {k: v for k, v in pdoc.items() if v not in (None, [])}
+                nd_nn = {k: v for k, v in nd.items() if v not in (None, [])}
+                pd_nn.pop("downloadable_items", None)
+                nd_nn.pop("downloadable_items", None)
+                # segments arrive as list[dict] on both sides
+                assert nd_nn == pd_nn, r["url"]
+
+    def test_run_extractors_routes_native(self, spark):
+        """run_extractors must produce one output row per input row with the
+        native source handled JVM-side (no rows lost or duplicated when
+        native and pandas paths are unioned)."""
+        from pyspark.sql import functions as F
+
+        from gc_spark.extractors.base import run_extractors
+        from tests.fixtures import scale_site_pages
+
+        pages = scale_site_pages(spark, num_hosts=2, docs_host0=6).select(
+            "url",
+            F.lit("synthetic").alias("source"),
+            F.lit(0).alias("depth"),
+            F.monotonically_increasing_id().alias("seq"),
+            "body",
+            F.col("kind"),
+            F.lit(200).alias("status"),
+        )
+        out = run_extractors(pages)
+        assert out.count() == pages.count()
+        assert out.select("url").distinct().count() == pages.count()
