@@ -594,6 +594,40 @@ def q38_bpe_tokens(spark, sf_dir):
     )
 
 
+def q40_windowed_rate(spark, sf_dir):
+    """§2.10 watermark/window semantics, batch-oracled: tumbling 1-hour
+    windows per event_type (the discovery-rate metric the streaming drain
+    emits) — F.window vs DuckDB time_bucket."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "avg_value")
+    )
+
+
+def q41_sessionize(spark, sf_dir):
+    """Gap-based sessionization — the batch twin of the stateful streaming
+    session operator: a >30-minute silence starts a new session; session_id
+    = cumulative count of session starts per user (lag + windowed sum, all
+    native)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # interval arithmetic keeps NTZ timestamps timezone-free on both engines
+    gap = F.col("ts") - F.lag("ts").over(w)
+    is_new = F.when(
+        gap.isNull() | (gap > F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(is_new)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("session_id"),
+    )
+
+
 def q34_pending_join(spark, sf_dir):
     """§2.11 meta-carry twin: pending-docs completion join
     (operators/pending.resolve_pending) — listing-built pendings keyed by a
@@ -700,6 +734,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_rolling_hash": q37_rolling_hash,
         "q38_bpe_tokens": q38_bpe_tokens,
         "q39_connected_components": q39_connected_components,
+        "q40_windowed_rate": q40_windowed_rate,
+        "q41_sessionize": q41_sessionize,
     }
 
 
@@ -1001,6 +1037,31 @@ def oracle_sql() -> dict[str, str]:
                 SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
             )
             SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+        """,
+        "q40_windowed_rate": """
+            SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+                   event_type, COUNT(*) AS n,
+                   ROUND(AVG(value), 6) AS avg_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "q41_sessionize": """
+            SELECT event_id, user_id,
+                   CAST(SUM(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS session_id
+            FROM (
+                SELECT event_id, user_id, ts,
+                       CASE WHEN ts - LAG(ts) OVER (
+                                PARTITION BY user_id ORDER BY ts, event_id
+                            ) > INTERVAL 30 MINUTE
+                            OR LAG(ts) OVER (
+                                PARTITION BY user_id ORDER BY ts, event_id
+                            ) IS NULL
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+            )
         """,
         "q37_rolling_hash": r"""
             SELECT doc_id,
