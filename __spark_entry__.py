@@ -628,6 +628,32 @@ def q41_sessionize(spark, sf_dir):
     )
 
 
+def q42_robots_parse(spark, sf_dir):
+    """robots.txt body → (host, disallow) rules table
+    (operators/robots.parse_robots): one expression fold per body with
+    User-agent GROUP semantics (a run of consecutive UA lines is one group,
+    active if any agent is '*'). Bodies are synthesized per nation host —
+    wrong-agent sections, empty Disallow, trailing comments, and a
+    multi-agent group are all covered. Oracle reconstructs the same group
+    semantics with window functions."""
+    from gc_spark.operators.robots import parse_robots
+
+    n = _t(spark, sf_dir, "nation")
+    host = F.concat(
+        F.lower(F.regexp_replace("n_name", r"[^A-Za-z]", "")), F.lit(".example.mil")
+    )
+    key = F.col("n_nationkey").cast("string")
+    body = F.concat(
+        F.lit("User-agent: googlebot\nDisallow: /g/\n"),
+        F.lit("User-agent: *\nDisallow: /p"), key, F.lit("/\nDisallow:\n"),
+        F.when(
+            F.col("n_nationkey") % 2 == 1,
+            F.lit("User-agent: badbot\nUser-agent: *\nDisallow: /extra/   # comment\n"),
+        ).otherwise(F.lit("")),
+    )
+    return parse_robots(n.select(host.alias("host"), body.alias("body")))
+
+
 def q34_pending_join(spark, sf_dir):
     """§2.11 meta-carry twin: pending-docs completion join
     (operators/pending.resolve_pending) — listing-built pendings keyed by a
@@ -736,6 +762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_connected_components": q39_connected_components,
         "q40_windowed_rate": q40_windowed_rate,
         "q41_sessionize": q41_sessionize,
+        "q42_robots_parse": q42_robots_parse,
     }
 
 
@@ -1037,6 +1064,43 @@ def oracle_sql() -> dict[str, str]:
                 SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
             )
             SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+        """,
+        "q42_robots_parse": r"""
+            WITH r AS (
+              SELECT lower(regexp_replace(n_name, '[^A-Za-z]', '', 'g')) || '.example.mil' AS host,
+                     'User-agent: googlebot' || chr(10) || 'Disallow: /g/' || chr(10)
+                     || 'User-agent: *' || chr(10) || 'Disallow: /p' || CAST(n_nationkey AS VARCHAR)
+                     || '/' || chr(10) || 'Disallow:' || chr(10)
+                     || CASE WHEN n_nationkey % 2 = 1
+                             THEN 'User-agent: badbot' || chr(10) || 'User-agent: *' || chr(10)
+                                  || 'Disallow: /extra/   # comment' || chr(10)
+                             ELSE '' END AS body
+              FROM nation
+            ), lines AS (
+              SELECT host,
+                     UNNEST(string_split_regex(body, chr(13) || '?' || chr(10))) AS l,
+                     generate_subscripts(string_split_regex(body, chr(13) || '?' || chr(10)), 1) AS i
+              FROM r
+            ), marked AS (
+              SELECT host, i,
+                     regexp_extract(l, '(?i)^\s*user-agent\s*:\s*(\S+)', 1) AS ua,
+                     regexp_extract(l, '(?i)^\s*disallow\s*:\s*([^#\s]+)', 1) AS dis
+              FROM lines
+            ), grp AS (
+              SELECT host, i, ua, dis,
+                     SUM(CASE WHEN ua <> '' AND NOT prev_ua THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY host ORDER BY i) AS gid
+              FROM (
+                  SELECT *, COALESCE(LAG(ua <> '') OVER (PARTITION BY host ORDER BY i), FALSE) AS prev_ua
+                  FROM marked
+              )
+            ), active AS (
+              SELECT host, gid, bool_or(ua = '*') AS act
+              FROM grp WHERE ua <> '' GROUP BY host, gid
+            )
+            SELECT DISTINCT g.host, g.dis AS disallow
+            FROM grp g JOIN active a ON a.host = g.host AND a.gid = g.gid
+            WHERE g.ua = '' AND g.dis <> '' AND a.act
         """,
         "q40_windowed_rate": """
             SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,

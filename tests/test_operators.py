@@ -713,3 +713,41 @@ class TestConnectedComponents:
         a = {r["doc_id"]: r["cluster_id"] for r in connected_components(df).collect()}
         b = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(df, iters=3).collect()}
         assert a == b
+
+
+class TestRobotsParse:
+    def test_group_semantics(self, spark):
+        """Wrong-agent sections ignored; empty Disallow allows; a run of
+        consecutive User-agent lines is ONE group (any '*' activates it);
+        comments stripped; directives before any UA line are inert."""
+        from gc_spark.operators.robots import parse_robots
+
+        body = (
+            "Disallow: /orphan/\n"        # before any UA group — inert
+            "# comment\n"
+            "User-agent: googlebot\n"
+            "Disallow: /google-only/\n"
+            "User-agent: *\n"
+            "Disallow: /private/\n"
+            "Disallow:\n"                  # empty = allow-all
+            "Allow: /public/\n"
+            "\n"
+            "User-agent: badbot\n"
+            "User-agent: *\n"
+            "Disallow: /both/   # trailing\n"
+            "User-agent: otherbot\n"
+            "Disallow: /other/\n"
+        )
+        df = spark.createDataFrame(
+            [("h1.mil", body), ("h2.mil", "User-agent: *\n")], "host string, body string"
+        )
+        got = {(r["host"], r["disallow"]) for r in parse_robots(df).collect()}
+        assert got == {("h1.mil", "/private/"), ("h1.mil", "/both/")}
+
+    def test_specific_agent(self, spark):
+        from gc_spark.operators.robots import parse_robots
+
+        body = "User-agent: mybot\nDisallow: /mine/\nUser-agent: *\nDisallow: /all/\n"
+        df = spark.createDataFrame([("h.mil", body)], "host string, body string")
+        got = {r["disallow"] for r in parse_robots(df, agent="mybot").collect()}
+        assert got == {"/mine/", "/all/"}  # '*' also applies to a named agent
