@@ -654,6 +654,37 @@ def q42_robots_parse(spark, sf_dir):
     return parse_robots(n.select(host.alias("host"), body.alias("body")))
 
 
+def q43_sitemap_stale(spark, sf_dir):
+    """Sitemap-driven incremental recrawl (operators/sitemap.py): parse
+    synthesized sitemap bodies into (url, lastmod) entries, then select only
+    never-seen or lastmod-newer-than-fetch URLs against a seen manifest —
+    new entries (key%5==0 missing from seen), updated entries (key%3==0:
+    lastmod 2024 > fetched 2023), and current entries (dropped)."""
+    from gc_spark.operators.sitemap import parse_sitemap, stale_urls
+
+    p = _t(spark, sf_dir, "part")
+    key = F.col("p_partkey")
+    url = F.concat(F.lit("https://x.mil/doc/"), key.cast("string"))
+    lastmod = F.when(key % 3 == 0, F.lit("2024-02-01")).otherwise(F.lit("2023-01-01"))
+    entry = F.concat(
+        F.lit("<url>\n  <loc>"), url, F.lit("</loc>\n"),
+        F.when(key % 7 != 0, F.concat(F.lit("  <lastmod>"), lastmod, F.lit("</lastmod>\n"))).otherwise(F.lit("")),
+        F.lit("</url>"),
+    )
+    sitemaps = p.groupBy((key % 10).alias("_shard")).agg(
+        F.concat(
+            F.lit('<?xml version="1.0"?><urlset>'),
+            F.concat_ws("\n", F.collect_list(entry)),
+            F.lit("</urlset>"),
+        ).alias("body")
+    )
+    seen = p.filter(key % 5 != 0).select(
+        F.concat(F.lit("https://x.mil/doc/"), key.cast("string")).alias("url"),
+        F.lit("2023-06-01").alias("fetched_at"),
+    )
+    return stale_urls(parse_sitemap(sitemaps), seen)
+
+
 def q34_pending_join(spark, sf_dir):
     """§2.11 meta-carry twin: pending-docs completion join
     (operators/pending.resolve_pending) — listing-built pendings keyed by a
@@ -763,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_windowed_rate": q40_windowed_rate,
         "q41_sessionize": q41_sessionize,
         "q42_robots_parse": q42_robots_parse,
+        "q43_sitemap_stale": q43_sitemap_stale,
     }
 
 
@@ -1064,6 +1096,17 @@ def oracle_sql() -> dict[str, str]:
                 SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
             )
             SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+        """,
+        "q43_sitemap_stale": """
+            SELECT 'https://x.mil/doc/' || CAST(p_partkey AS VARCHAR) AS url,
+                   CASE WHEN p_partkey % 7 <> 0 THEN
+                        CASE WHEN p_partkey % 3 = 0 THEN '2024-02-01'
+                             ELSE '2023-01-01' END END AS lastmod,
+                   CASE WHEN p_partkey % 5 = 0 THEN 'new'
+                        WHEN p_partkey % 7 <> 0 AND p_partkey % 3 = 0 THEN 'updated'
+                   END AS reason
+            FROM part
+            WHERE p_partkey % 5 = 0 OR (p_partkey % 7 <> 0 AND p_partkey % 3 = 0)
         """,
         "q42_robots_parse": r"""
             WITH r AS (

@@ -751,3 +751,32 @@ class TestRobotsParse:
         df = spark.createDataFrame([("h.mil", body)], "host string, body string")
         got = {r["disallow"] for r in parse_robots(df, agent="mybot").collect()}
         assert got == {"/mine/", "/all/"}  # '*' also applies to a named agent
+
+
+class TestSitemap:
+    def test_parse_and_staleness(self, spark):
+        from gc_spark.operators.sitemap import parse_sitemap, stale_urls
+
+        body = (
+            '<?xml version="1.0"?><urlset>'
+            "<url><loc>https://h.mil/a</loc><lastmod>2024-01-05</lastmod></url>"
+            "<url>\n  <loc>https://h.mil/b</loc>\n</url>"     # no lastmod
+            "<url><lastmod>2024-01-01</lastmod></url>"          # no loc — dropped
+            "<url><loc>https://h.mil/c</loc><lastmod>2022-01-01</lastmod></url>"
+            "</urlset>"
+        )
+        sm = parse_sitemap(spark.createDataFrame([(body,)], "body string"))
+        got = {(r["url"], r["lastmod"]) for r in sm.collect()}
+        assert got == {
+            ("https://h.mil/a", "2024-01-05"),
+            ("https://h.mil/b", None),
+            ("https://h.mil/c", "2022-01-01"),
+        }
+
+        seen = spark.createDataFrame(
+            [("https://h.mil/a", "2023-06-01"), ("https://h.mil/c", "2023-06-01")],
+            "url string, fetched_at string",
+        )
+        stale = {(r["url"], r["reason"]) for r in stale_urls(sm, seen).collect()}
+        # a: updated (2024 > fetch), b: never seen, c: lastmod older — skip
+        assert stale == {("https://h.mil/a", "updated"), ("https://h.mil/b", "new")}
