@@ -31,19 +31,25 @@ def with_dense_seq(
     offset: int = 0,
     seq_col: str = "seq",
     partitions: int | None = None,
+    track: list | None = None,
 ) -> DataFrame:
     """Assign seq = offset + 0-based rank in the total order of `order_cols`
     (which must be a unique key). Distributed: no single-partition window,
     no Python round-trip — the plan stays inside whole-stage codegen.
-    """
+
+    The input is persisted (three passes read it: range-boundary sampling,
+    the counts collect, and the windowed result — without the persist the
+    upstream pipeline re-executes per pass). Callers in a long-lived loop
+    MUST pass `track` (a list the persisted frame is appended to) and
+    unpersist after materializing downstream — relying on the ContextCleaner
+    leaks storage across thousands of micro-batches until execution memory
+    starves (observed as UNABLE_TO_ACQUIRE_MEMORY deep into the test
+    suite)."""
     n = partitions or max(df.sparkSession.sparkContext.defaultParallelism, 2)
     cols = [F.col(c) for c in order_cols]
-    # three passes read this frame (range-boundary sampling, the counts
-    # collect, and the windowed result) — persist so the upstream pipeline
-    # (fetch → extract → dedup) executes once, not once per pass; the
-    # ContextCleaner reclaims the block when the batch's frames go out of
-    # scope
     df = df.persist()
+    if track is not None:
+        track.append(df)
     arranged = df.repartitionByRange(n, *cols).withColumn(
         "_pid", F.spark_partition_id()
     )

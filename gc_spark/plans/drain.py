@@ -133,7 +133,10 @@ class CrawlEngine:
             .withColumn("url_hash64", url_hash64(F.col("canonical_url")))
             .withColumn("host_hash", F.pmod(F.xxhash64("host"), F.lit(cfg.num_buckets)).cast("int"))
         )
-        seeded = with_dense_seq(canon, ["source", "canonical_url"], offset=0)
+        _boot_persists: list = []
+        seeded = with_dense_seq(
+            canon, ["source", "canonical_url"], offset=0, track=_boot_persists
+        )
         frontier0 = self._frontier_cols(seeded, 0, 0)
 
         txn = self.store.begin(0)
@@ -160,6 +163,8 @@ class CrawlEngine:
             )
             txn.replace("bloom_frontier", bloom0)
         txn.commit()
+        for df in _boot_persists:
+            df.unpersist()
 
     def _seen_bloom(self, seen_rows: DataFrame) -> DataFrame:
         """Bloom over xxhash64(version_hash) — the prefilter for the seen-set
@@ -224,6 +229,7 @@ class CrawlEngine:
     def drain_one(self, batch: int) -> dict | None:
         cfg = self.cfg
         store = self.store
+        _seq_persists: list = []  # frames persisted by with_dense_seq, freed at batch end
 
         frontier = store.read("frontier", S.FRONTIER)
         done = store.read("frontier_done", _done_schema())
@@ -315,6 +321,7 @@ class CrawlEngine:
             ),
             ["parent_seq", "idx"],
             offset=int(max_seq) + 1,
+            track=_seq_persists,
         )
         new_frontier = self._frontier_cols(
             new_seq, F.col("parent_depth") + 1, batch
@@ -647,7 +654,7 @@ class CrawlEngine:
             "in_previous_hashes": int(n_in_prev),
             "dead": int(n_dead),
         }
-        for df in (take, fetched, dl_fetched, extracted, new_frontier, new_pending, docs, fresh, final_docs, landed):
+        for df in (take, fetched, dl_fetched, extracted, new_frontier, new_pending, docs, fresh, final_docs, landed, *_seq_persists):
             df.unpersist()
         return out
 
