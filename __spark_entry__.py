@@ -685,6 +685,19 @@ def q43_sitemap_stale(spark, sf_dir):
     return stale_urls(parse_sitemap(sitemaps), seen)
 
 
+def q44_salted_distinct(spark, sf_dir):
+    """Skew-safe exact distinct count (operators/skew.salted_distinct_count):
+    distinct users per event_type where the hot type would otherwise funnel
+    through one reducer — phase 1 groups on (key, hash(value)%16), phase 2
+    sums the disjoint per-bucket counts. Oracle: plain COUNT(DISTINCT)."""
+    from gc_spark.operators.skew import salted_distinct_count
+
+    ev = _t(spark, sf_dir, "events")
+    return salted_distinct_count(
+        ev, ["event_type"], "user_id", buckets=16, out_col="n_users"
+    )
+
+
 def q34_pending_join(spark, sf_dir):
     """§2.11 meta-carry twin: pending-docs completion join
     (operators/pending.resolve_pending) — listing-built pendings keyed by a
@@ -795,6 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_sessionize": q41_sessionize,
         "q42_robots_parse": q42_robots_parse,
         "q43_sitemap_stale": q43_sitemap_stale,
+        "q44_salted_distinct": q44_salted_distinct,
     }
 
 
@@ -1096,6 +1110,10 @@ def oracle_sql() -> dict[str, str]:
                 SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
             )
             SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+        """,
+        "q44_salted_distinct": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
         """,
         "q43_sitemap_stale": """
             SELECT 'https://x.mil/doc/' || CAST(p_partkey AS VARCHAR) AS url,

@@ -780,3 +780,31 @@ class TestSitemap:
         stale = {(r["url"], r["reason"]) for r in stale_urls(sm, seen).collect()}
         # a: updated (2024 > fetch), b: never seen, c: lastmod older — skip
         assert stale == {("https://h.mil/a", "updated"), ("https://h.mil/b", "new")}
+
+
+class TestSaltedDistinct:
+    def test_matches_plain_distinct_and_plan_shape(self, spark):
+        """Exactness: salted two-phase == plain countDistinct on a skewed
+        frame (one key holds 90% of rows); plan: the wide phase groups on
+        (key, salt), so no single reducer sees the hot key's full stream."""
+        from gc_spark.operators.skew import salted_distinct_count
+
+        df = spark.range(10000).selectExpr(
+            "CASE WHEN id % 10 < 9 THEN 'hot' ELSE concat('cold', id % 7) END AS k",
+            "id % 1234 AS v",
+        )
+        got = {
+            r["k"]: r["n_distinct"]
+            for r in salted_distinct_count(df, ["k"], "v", buckets=8).collect()
+        }
+        exp = {
+            r["k"]: r["n"]
+            for r in df.groupBy("k").agg(F.countDistinct("v").alias("n")).collect()
+        }
+        assert got == exp
+        plan = salted_distinct_count(df, ["k"], "v", buckets=8)._jdf.queryExecution().optimizedPlan().toString()
+        # optimizer folds the _salt alias into a grouping expression; the
+        # structure that matters survives: an inner Aggregate grouping on
+        # (key, salt-expression) under the outer per-key sum
+        assert plan.count("Aggregate [") == 2
+        assert "Aggregate [k#" in plan and "_groupingexpression" in plan
