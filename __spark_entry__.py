@@ -698,6 +698,19 @@ def q44_salted_distinct(spark, sf_dir):
     )
 
 
+def q45_percentiles(spark, sf_dir):
+    """Distribution stats per key: exact linear-interpolation percentiles
+    (Spark `percentile` == DuckDB quantile_cont, bit-equal at 4 dp). At
+    100 TB the drop-in scale path is approx_percentile (t-digest sketch,
+    mergeable map-side state) — exact percentile shuffles every value; the
+    exact form is the verifier here, same split as brute-force vs LSH ANN."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+    )
+
+
 def q34_pending_join(spark, sf_dir):
     """§2.11 meta-carry twin: pending-docs completion join
     (operators/pending.resolve_pending) — listing-built pendings keyed by a
@@ -809,6 +822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_robots_parse": q42_robots_parse,
         "q43_sitemap_stale": q43_sitemap_stale,
         "q44_salted_distinct": q44_salted_distinct,
+        "q45_percentiles": q45_percentiles,
     }
 
 
@@ -1110,6 +1124,12 @@ def oracle_sql() -> dict[str, str]:
                 SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
             )
             SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+        """,
+        "q45_percentiles": """
+            SELECT event_type,
+                   ROUND(quantile_cont(value, 0.5), 4) AS p50,
+                   ROUND(quantile_cont(value, 0.95), 4) AS p95
+            FROM events GROUP BY event_type
         """,
         "q44_salted_distinct": """
             SELECT event_type, COUNT(DISTINCT user_id) AS n_users
