@@ -44,7 +44,10 @@ def anti_join_seen(
         seen_keys = seen_keys.filter(
             F.col("crawler_used").isNull() | (F.col("crawler_used") == crawler)
         )
-    seen_keys = seen_keys.select(key).distinct()
+    # NO .distinct(): LEFT ANTI semantics don't care about right-side dupes,
+    # and deduplicating a table that grows with crawl history is a full extra
+    # aggregation paid every micro-batch
+    seen_keys = seen_keys.select(key)
 
     if bloom is not None and bloom_hash_col is not None:
         probed = bloom_maybe_contains(items, bloom, hash_col=bloom_hash_col, num_buckets=num_buckets)
@@ -91,7 +94,7 @@ def frontier_url_dedup(
     in_batch = (
         new_links.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
     )
-    seen_hashes = frontier_all.select(hash_col).distinct()
+    seen_hashes = frontier_all.select(hash_col)  # anti-join: dupes harmless
     if bloom is not None:
         probed = bloom_maybe_contains(in_batch, bloom, hash_col=hash_col, num_buckets=num_buckets)
         definitely_new = probed.filter(~F.col("bloom_maybe")).drop("bloom_maybe")

@@ -63,9 +63,13 @@ def explode_zip_items(items: DataFrame) -> DataFrame:
         F.lit(" - Ch"), ch_a, F.lit(" to Ch"), ch_b,
         F.lit(" - Sec"), sc_a, F.lit(" to Sec"), sc_b,
     )
+    # non-T42 doc_name = Path(entry).stem (pipelines.py:98 sub_path.stem):
+    # strip the LAST extension only, require >=1 char before the dot so
+    # '.hidden' and 'foo.tar.gz' match pathlib ('.hidden', 'foo.tar')
+    stem = F.regexp_replace("_entry_raw", r"^(.+)\.[^.]+$", "$1")
     children = (
         parents.withColumn("_entry_raw", F.explode(F.sort_array("zip_entries")))
-        .withColumn("_entry", F.when(is_t42, derived_stem).otherwise(F.col("_entry_raw")))
+        .withColumn("_entry", F.when(is_t42, derived_stem).otherwise(stem))
         .withColumn("parent_version_hash", F.col("version_hash"))
         .withColumn("doc_name", F.col("_entry"))
         .withColumn(

@@ -119,8 +119,18 @@ def resolve_pending(pending: DataFrame, detail_records: DataFrame) -> DataFrame:
         )
         .withColumn(
             "version_hash_raw_data",
+            # defensively drop the completing key first: map_concat throws at
+            # runtime (spark.sql.mapKeyDedupPolicy=EXCEPTION default) if an
+            # extractor ever pre-sets 'download_url'/'item_currency' in a
+            # pending doc's raw map — an unguarded invariant across 44
+            # registered sources. The detail-page href wins, as in the
+            # reference (parse_download_page overwrites the meta dict key).
             F.map_concat(
-                "version_hash_raw_data",
+                F.map_filter(
+                    "version_hash_raw_data",
+                    lambda k, _: k
+                    != F.coalesce(F.col("pending_hash_key"), F.lit("download_url")),
+                ),
                 F.create_map(
                     F.coalesce(F.col("pending_hash_key"), F.lit("download_url")), href
                 ),

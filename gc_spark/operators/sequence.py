@@ -37,22 +37,26 @@ def with_dense_seq(
     (which must be a unique key). Distributed: no single-partition window,
     no Python round-trip — the plan stays inside whole-stage codegen.
 
-    The input is persisted (three passes read it: range-boundary sampling,
-    the counts collect, and the windowed result — without the persist the
-    upstream pipeline re-executes per pass). Callers in a long-lived loop
-    MUST pass `track` (a list the persisted frame is appended to) and
-    unpersist after materializing downstream — relying on the ContextCleaner
-    leaks storage across thousands of micro-batches until execution memory
-    starves (observed as UNABLE_TO_ACQUIRE_MEMORY deep into the test
-    suite)."""
+    The POST-SHUFFLE frame (after repartitionByRange + _pid) is persisted,
+    so the counts job and the window job read the same materialized
+    partitioning: persisting the raw input instead would re-run the range
+    shuffle per pass AND — if the cache were evicted under a nondeterministic
+    upstream (live HTTP fetch) — let the two passes see different partition
+    contents, yielding silently duplicated/skipped seq values. Callers in a
+    long-lived loop MUST pass `track` (a list the persisted frame is appended
+    to) and unpersist after materializing downstream — relying on the
+    ContextCleaner leaks storage across thousands of micro-batches until
+    execution memory starves (observed as UNABLE_TO_ACQUIRE_MEMORY deep into
+    the test suite)."""
     n = partitions or max(df.sparkSession.sparkContext.defaultParallelism, 2)
     cols = [F.col(c) for c in order_cols]
-    df = df.persist()
-    if track is not None:
-        track.append(df)
-    arranged = df.repartitionByRange(n, *cols).withColumn(
-        "_pid", F.spark_partition_id()
+    arranged = (
+        df.repartitionByRange(n, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
+    if track is not None:
+        track.append(arranged)
 
     counts = {
         r["_pid"]: r["cnt"]

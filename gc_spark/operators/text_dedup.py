@@ -238,8 +238,29 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
+def _set_checksum(df: DataFrame, *cols: str) -> tuple:
+    """(count, sum(xxhash64(cols))) — an order-independent fingerprint of a
+    row SET. Two cheap aggregate scans replace a full exceptAll shuffle when
+    all we need is "did this set change since last round?" (collision odds
+    ~2^-64 per comparison). Driver receives two scalars, never row data."""
+    r = df.agg(
+        F.count("*").alias("n"),
+        # sum in decimal: long-sum overflows under ANSI mode; decimal(28,0)
+        # inputs sum into decimal(38,0) — exact for any realistic row count
+        F.sum(
+            F.xxhash64(*[F.col(c) for c in cols]).cast("decimal(28,0)")
+        ).alias("s"),
+    ).first()
+    return (r["n"], r["s"])
+
+
 def dup_clusters(
-    pairs: DataFrame, a_col: str = "a", b_col: str = "b", iters: int = 3
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    iters: int = 3,
+    max_rounds: int = 50,
+    ensure_converged: bool = True,
 ) -> DataFrame:
     """Duplicate-cluster formation: connected components over near-dup pairs
     (the step after LSH+verify in a training-data dedup pipeline — keep one
@@ -254,6 +275,13 @@ def dup_clusters(
     propagation is kept here because dup clusters are near-cliques — LSH
     pairs connect almost-identical docs, so diameters are tiny.)
 
+    The near-clique assumption is ENFORCED, not assumed: with
+    `ensure_converged` (default) propagation continues past `iters` until a
+    label-set checksum stops changing (up to `max_rounds`), so a pathological
+    long-chain component still gets its true component minimum — it just
+    pays O(diameter) rounds for it. The checksum is two aggregate scalars
+    per extra round, never an edge shuffle.
+
     Returns (doc_id, cluster_id) for every doc that appears in a pair;
     cluster_id = min doc_id of the component.
     """
@@ -265,21 +293,36 @@ def dup_clusters(
             fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
+
+    def _round(lbls: DataFrame) -> DataFrame:
+        prop = (
+            edges.join(lbls, edges["src"] == lbls["node"])
+            .select(F.col("dst").alias("node"), "label")
+        )
+        return (
+            lbls.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
     for _ in range(iters):
-        prop = (
-            edges.join(labels, edges["src"] == labels["node"])
-            .select(F.col("dst").alias("node"), "label")
-        )
-        labels = (
-            labels.unionByName(prop)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-        )
+        labels = _round(labels)
+    if ensure_converged:
+        # keep going until the label set stops changing; checkpoint each
+        # extra round so lineage stays flat while the checksum re-reads it
+        labels = labels.localCheckpoint(eager=True)
+        prev = _set_checksum(labels, "node", "label")
+        for _ in range(max_rounds - iters):
+            labels = _round(labels).localCheckpoint(eager=True)
+            cur = _set_checksum(labels, "node", "label")
+            if cur == prev:
+                break
+            prev = cur
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
@@ -300,8 +343,13 @@ def connected_components(
                   re-attach to that minimum
 
     Each round is a groupBy + join (two shuffles); the edge list shrinks
-    toward a star forest and the loop stops when a round changes nothing
-    (one count per round — driver-side scalars only, never edge data).
+    toward a star forest and the loop stops when a round changes nothing.
+    Convergence is detected by comparing an order-independent (count,
+    sum(xxhash64)) checksum of the canonical edge set against the previous
+    round's — one aggregate scan per round, two scalars to the driver. (The
+    round-2 version ran 2× exceptAll here: a full hash-aggregate shuffle of
+    BOTH edge frames per round purely to test convergence — at 10^10 edges
+    that doubled the per-round shuffle volume.)
     Returns (doc_id, cluster_id = component min) for every node in a pair.
     """
     e = (
@@ -332,14 +380,13 @@ def connected_components(
             .distinct()
         )
 
+    prev = _set_checksum(e, "u", "v")
     for _ in range(max_rounds):
-        nxt = _star(_star(e, large=True), large=False).localCheckpoint(eager=True)
-        changed = (
-            nxt.exceptAll(e).limit(1).count() + e.exceptAll(nxt).limit(1).count()
-        )
-        e = nxt
-        if changed == 0:
+        e = _star(_star(e, large=True), large=False).localCheckpoint(eager=True)
+        cur = _set_checksum(e, "u", "v")
+        if cur == prev:
             break
+        prev = cur
 
     nodes = e.select(F.col("v").alias("doc_id"), F.col("u").alias("cluster_id"))
     roots = e.select(F.col("u").alias("doc_id")).distinct().withColumn(

@@ -71,6 +71,11 @@ class EngineConfig:
     # False skips driver-side counts that exist only for the returned stats
     # dict (the metrics TABLE is unaffected) - fewer jobs per batch
     collect_stats: bool = True
+    # a pending doc whose detail page never yields a download href (fetch
+    # failed, extractor found nothing) would otherwise stay open FOREVER and
+    # the document silently vanish: after this many batches it is routed to
+    # dead_letter and closed. 0 = never expire (round-2 behavior).
+    pending_max_age_batches: int = 8
 
 
 class CrawlEngine:
@@ -224,6 +229,49 @@ class CrawlEngine:
             )
         txn.commit()
 
+    def _flush_dead_pendings(self, batch: int) -> None:
+        """End-of-crawl pending flush: when the frontier drains empty, any
+        OPEN pending whose detail URL was already fetched can never complete
+        (the hop happened and produced no record — non-2xx detail page or an
+        extractor that found no href) — without this it would stay open
+        forever and the document silently vanish. Route those to dead_letter
+        and close them. Pendings whose detail URL was never discovered stay
+        open (a resumed crawl with new seeds could still reach them)."""
+        store = self.store
+        if not store.segment_count("pending_docs"):
+            return
+        open_pending = store.read("pending_docs", PENDING_DOCS).join(
+            store.read("pending_done", PENDING_DONE).select("detail_url_hash64"),
+            "detail_url_hash64",
+            "left_anti",
+        )
+        hist = fetch_history(store).select(
+            F.col("url_hash64").alias("detail_url_hash64")
+        )
+        lost = open_pending.join(hist, "detail_url_hash64", "left_semi").persist()
+        if lost.count():
+            txn = store.begin(batch, suffix="p")
+            txn.append(
+                "dead_letter",
+                lost.select(
+                    F.col("detail_url").alias("url"),
+                    "doc_name",
+                    "source",
+                    F.lit("Pending detail page never completed").alias(
+                        "failure_reason"
+                    ),
+                    F.lit(batch).alias("batch"),
+                ),
+            )
+            txn.append(
+                "pending_done",
+                lost.select("detail_url_hash64")
+                .distinct()
+                .withColumn("batch", F.lit(batch)),
+            )
+            txn.commit()
+        lost.unpersist()
+
     # ------------------------------------------------------------- one batch
 
     def drain_one(self, batch: int) -> dict | None:
@@ -244,6 +292,7 @@ class CrawlEngine:
         n_take = take.count()
         if n_take == 0:
             take.unpersist()
+            self._flush_dead_pendings(batch)
             return None
 
         # ---- fetch (salted to spread hot hosts) ---------------------------
@@ -392,12 +441,33 @@ class CrawlEngine:
         ready = regular.filter(F.col("detail_url").isNull()).drop(
             "detail_url", "pending_hash_key"
         )
+        aged = None
+        n_expired = 0
         if n_pending_new or store.segment_count("pending_docs"):
             pending_open = store.read("pending_docs", PENDING_DOCS).join(
                 store.read("pending_done", PENDING_DONE).select("detail_url_hash64"),
                 "detail_url_hash64",
                 "left_anti",
             )
+            # age-out: an open pending whose detail page STILL produced no
+            # record after N batches is dead (non-2xx detail fetch or an
+            # extractor that found no href marks the URL done in
+            # frontier_done, so the hop never retries) — surface it instead
+            # of losing the document invisibly
+            if cfg.pending_max_age_batches:
+                aged = (
+                    pending_open.filter(
+                        F.lit(batch) - F.col("discovered_at_batch")
+                        > cfg.pending_max_age_batches
+                    )
+                    .join(
+                        detail_records.select("detail_url_hash64"),
+                        "detail_url_hash64",
+                        "left_anti",
+                    )
+                    .persist()
+                )
+                n_expired = aged.count()
             completed_full = resolve_pending(
                 pending_open.unionByName(new_pending), detail_records
             )
@@ -425,7 +495,7 @@ class CrawlEngine:
         docs = in_run_dedup(docs, key="doc_name", order_col="doc_seq")
         emitted_names = store.read("doc_items", _emitted_schema())
         docs = docs.join(
-            emitted_names.select("crawler_used", "doc_name").distinct(),
+            emitted_names.select("crawler_used", "doc_name"),
             ["crawler_used", "doc_name"],
             "left_anti",
         )
@@ -541,6 +611,16 @@ class CrawlEngine:
                 F.lit(batch).alias("batch"),
             )
         ).unionByName(invalid_rows)
+        if n_expired:
+            dead_rows = dead_rows.unionByName(
+                aged.select(
+                    F.col("detail_url").alias("url"),
+                    "doc_name",
+                    "source",
+                    F.lit("Pending detail page never completed").alias("failure_reason"),
+                    F.lit(batch).alias("batch"),
+                )
+            )
 
         # crawl feed membership (reference parity): exploded/inline docs PLUS
         # manifest-skipped items (pipelines.py:125-129 "dont download anything
@@ -611,11 +691,11 @@ class CrawlEngine:
         if n_pending_new:
             txn.append("pending_docs", new_pending)
         if n_pending_new or store.segment_count("pending_docs"):
-            done_keys = (
-                completed_full.select("detail_url_hash64")
-                .distinct()
-                .withColumn("batch", F.lit(batch))
-            )
+            done_keys = completed_full.select("detail_url_hash64")
+            if n_expired:
+                # expired pendings close too — the open set stays bounded
+                done_keys = done_keys.unionByName(aged.select("detail_url_hash64"))
+            done_keys = done_keys.distinct().withColumn("batch", F.lit(batch))
             if done_keys.count():
                 txn.append("pending_done", done_keys)
         txn.set_meta("max_seq", int(max_seq) + int(n_new_links))
@@ -653,9 +733,12 @@ class CrawlEngine:
             "docs": int(n_docs),
             "in_previous_hashes": int(n_in_prev),
             "dead": int(n_dead),
+            "pending_expired": int(n_expired),
         }
         for df in (take, fetched, dl_fetched, extracted, new_frontier, new_pending, docs, fresh, final_docs, landed, *_seq_persists):
             df.unpersist()
+        if aged is not None:
+            aged.unpersist()
         return out
 
 

@@ -194,11 +194,21 @@ class RendererFetcher(Fetcher):
       - script: post-load JS hook executed before the source is captured
 
     `render_fn(url) -> {"status", "body", "current_url"}` is injectable: the
-    real implementation drives headless Chrome (selenium is NOT in this
-    container — import-gated), tests inject a fake renderer to pin the
-    retry/wait machinery. Runs distributed via mapInPandas exactly like
-    HttpFetcher; one renderer per partition (the reference holds one driver
-    per spider process)."""
+    real implementation drives headless Chrome (selenium is import-gated —
+    not in this container; the branch is pinned by a fake-module contract
+    test), tests inject a fake renderer to pin the retry/wait machinery.
+    Runs distributed via mapInPandas exactly like HttpFetcher; one renderer
+    per partition (the reference holds one driver per spider process).
+
+    Two wait-condition flavors, matching the two places the reference
+    expresses them:
+      - `wait_until(body) -> bool`: predicate over the rendered page source,
+        evaluated in the generic retry loop (works with ANY render_fn)
+      - `dom_wait_until(driver) -> bool`: a selenium expected-condition
+        passed to WebDriverWait(driver, wait_time) inside the browser —
+        exactly downloader_middlewares.py:166-168; a TimeoutException marks
+        the attempt unsatisfied so the same retry loop re-renders
+        (:169-176, retries+1 attempts, retry_wait_s sleeps between)."""
 
     def __init__(
         self,
@@ -208,6 +218,7 @@ class RendererFetcher(Fetcher):
         retries: int = 5,
         retry_wait_s: float = 30.0,
         script: str | None = None,
+        dom_wait_until=None,
     ):
         self.render_fn = render_fn
         self.wait_time = wait_time
@@ -215,15 +226,22 @@ class RendererFetcher(Fetcher):
         self.retries = retries
         self.retry_wait_s = retry_wait_s
         self.script = script
+        self.dom_wait_until = dom_wait_until
 
-    def _make_renderer(self):  # pragma: no cover - needs a browser
+    def _make_renderer(self):
         try:
             from selenium import webdriver  # noqa: F401
+            from selenium.common.exceptions import TimeoutException
+            from selenium.webdriver.support.ui import WebDriverWait
         except ImportError as e:
             raise NotImplementedError(
                 "RendererFetcher needs an injected render_fn or the selenium "
                 "package + a browser (not available in this container)"
             ) from e
+
+        dom_wait_until = self.dom_wait_until
+        wait_time = self.wait_time
+        script = self.script
 
         def _render(url):
             opts = webdriver.ChromeOptions()
@@ -231,8 +249,15 @@ class RendererFetcher(Fetcher):
             driver = webdriver.Chrome(options=opts)
             try:
                 driver.get(url)
-                if self.script:
-                    driver.execute_script(self.script)
+                if dom_wait_until is not None:
+                    try:
+                        WebDriverWait(driver, wait_time).until(dom_wait_until)
+                    except TimeoutException:
+                        # unsatisfied: the generic retry loop re-renders
+                        # after retry_wait_s (downloader_middlewares.py:169)
+                        return {"status": 0, "body": None, "timed_out": True}
+                if script:
+                    driver.execute_script(script)
                 return {
                     "status": 200,
                     "body": driver.page_source,
@@ -280,7 +305,11 @@ class RendererFetcher(Fetcher):
                     while attempts_remaining:
                         r = render_fn(url)
                         status, body = int(r.get("status", 0)), r.get("body")
-                        if wait_until is None or (body is not None and wait_until(body)):
+                        satisfied = not r.get("timed_out") and (
+                            wait_until is None
+                            or (body is not None and wait_until(body))
+                        )
+                        if satisfied:
                             break
                         attempts_remaining -= 1
                         if attempts_remaining:

@@ -174,9 +174,10 @@ def simulate(
 
 
 def _title42_stem(raw_entry: str, parent_doc_name: str) -> str:
-    """Scalar twin of the engine's Title-42 rename (reference
-    utils.py:211-227): raw 'usc42ch{a}to{b}Secs{c}to{d}.pdf' entries become
-    '{parent} - Ch{a} to Ch{b} - Sec{c} to Sec{d}'; others pass through."""
+    """Child doc_name per the REFERENCE's rules (so the simulator detects
+    engine divergence instead of mirroring it): Title-42 entries get the
+    chapter/section rename of utils.py:211-227 (then .pdf stripped by the
+    stem rule), everything else is Path(entry).stem (pipelines.py:98)."""
     import re as _re
 
     ch = _re.search(r"ch(\d+)to(\d+)", raw_entry)
@@ -186,4 +187,8 @@ def _title42_stem(raw_entry: str, parent_doc_name: str) -> str:
             f"{parent_doc_name} - Ch{ch.group(1)} to Ch{ch.group(2)}"
             f" - Sec{sc.group(1)} to Sec{sc.group(2)}"
         )
-    return raw_entry
+    # reference rule, NOT the engine's: child doc_name = sub_path.stem
+    # (pipelines.py:98) — pathlib strips the last extension only
+    from pathlib import PurePosixPath
+
+    return PurePosixPath(raw_entry).stem

@@ -654,15 +654,36 @@ class TestDupClusters:
         }
 
     def test_iters_bound_diameter(self, spark):
-        """One round only reaches one hop — documents the k-vs-diameter
-        contract (the engine default of 3 covers LSH near-clique clusters)."""
+        """With ensure_converged=False one round only reaches one hop —
+        documents the k-vs-diameter contract (the engine default of 3 covers
+        LSH near-clique clusters)."""
         from gc_spark.operators.text_dedup import dup_clusters
 
         chain = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "a long, b long")
-        got1 = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(chain, iters=1).collect()}
+        got1 = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dup_clusters(chain, iters=1, ensure_converged=False).collect()
+        }
         assert got1 == {1: 1, 2: 1, 3: 2, 4: 3}
-        got3 = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(chain, iters=3).collect()}
+        got3 = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dup_clusters(chain, iters=3, ensure_converged=False).collect()
+        }
         assert set(got3.values()) == {1}
+
+    def test_converges_past_iters_on_long_chain(self, spark):
+        """The near-clique assumption is ENFORCED: a 50-node chain (diameter
+        49, far beyond iters=3) still resolves to one cluster because the
+        default convergence loop keeps propagating until the label-set
+        checksum is stable."""
+        from gc_spark.operators.text_dedup import dup_clusters
+
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 50)], "a long, b long"
+        )
+        got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(chain, iters=3).collect()}
+        assert len(got) == 50
+        assert set(got.values()) == {1}
 
 
 class TestConnectedComponents:
