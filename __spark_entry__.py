@@ -550,8 +550,13 @@ def q36_dup_clusters(spark, sf_dir):
     """Dedup cluster formation: connected components over the verified
     near-dup pairs of q33 via iterative min-label propagation
     (operators/text_dedup.dup_clusters, 3 rounds = components of diameter
-    <=3, plenty for LSH near-clique clusters). Oracle: recursive CTE walking
-    labels along edges to the same depth."""
+    <=3, plenty for LSH near-clique clusters; the operator then CONFIRMS
+    convergence via a label-set checksum and keeps propagating if a
+    pathological long-chain component remains — enforced, not assumed).
+    Oracle: recursive CTE walking labels along edges to depth 3 — equal to
+    the converged result because LSH dup components here have diameter <=3
+    (q39's FIXPOINT oracle over the same pairs independently pins the true
+    components)."""
     from gc_spark.operators.text_dedup import dup_clusters
 
     return dup_clusters(q33_jaccard_pairs(spark, sf_dir), iters=3)
@@ -711,6 +716,83 @@ def q45_percentiles(spark, sf_dir):
     )
 
 
+def q46_repetition_flags(spark, sf_dir):
+    """Training-data op: Gopher-style repetition metrics — the most frequent
+    word-bigram's share of all bigrams (boilerplate/keyword-stuffing
+    detector) and the duplicate-word fraction, plus the resulting quality
+    flag (Rae et al. thresholds). Per-row array expressions, map-side only
+    (functions/text.top_ngram_frac_col, dup_word_frac_col)."""
+    from gc_spark.functions.text import dup_word_frac_col, top_ngram_frac_col
+
+    d = _t_wide(spark, sf_dir, "documents")
+    top2 = top_ngram_frac_col(F.col("text"), 2)
+    dupw = dup_word_frac_col(F.col("text"))
+    return d.select(
+        "doc_id",
+        top2.alias("top_bigram_frac"),
+        dupw.alias("dup_word_frac"),
+        ((top2 > 0.2) | (dupw > 0.9)).alias("flagged"),
+    )
+
+
+def q47_pii_redact(spark, sf_dir):
+    """Training-data op: PII scrub — emails/phone-shaped digit runs planted
+    deterministically (doc_id mod 7 / mod 11), then redacted to typed
+    placeholders with RE2-safe regexes (functions/text.redact_pii_col).
+    Returns per-doc PII counts + sha256 of the redacted text so the oracle
+    pins the exact rewritten bytes without shipping them."""
+    from gc_spark.functions.text import (
+        EMAIL_PATTERN,
+        PHONE_PATTERN,
+        count_pattern_col,
+        redact_pii_col,
+    )
+
+    d = _t_wide(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.mil")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.lit(" call 555-"), F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+    )
+    return d.select(
+        "doc_id",
+        count_pattern_col(planted, EMAIL_PATTERN).alias("n_emails"),
+        count_pattern_col(planted, PHONE_PATTERN).alias("n_phones"),
+        F.sha2(redact_pii_col(planted), 256).alias("redacted_sha"),
+    )
+
+
+def q48_decontaminate(spark, sf_dir):
+    """Training-data op: benchmark decontamination — flag corpus docs whose
+    word 5-grams overlap a held-out benchmark slice (doc_id mod 97 == 0),
+    GPT-3-style exact n-gram check (operators/decontam.ngram_decontaminate:
+    benchmark grams broadcast, corpus never shuffles). A fixed leak phrase
+    is planted in every benchmark doc AND in corpus docs with doc_id mod
+    41 == 3, so the fixture has known contamination, not just the rare
+    natural 5-gram collisions of the synthetic vocabulary."""
+    from gc_spark.operators.decontam import ngram_decontaminate
+
+    d = _t_wide(spark, sf_dir, "documents")
+    leak = " alpha bravo charlie delta echo"
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when((F.col("doc_id") % 97 == 0) | (F.col("doc_id") % 41 == 3), F.lit(leak))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    bench = planted.filter(F.col("doc_id") % 97 == 0)
+    corpus = planted.filter(F.col("doc_id") % 97 != 0)
+    return ngram_decontaminate(corpus, bench, n=5)
+
+
 def q34_pending_join(spark, sf_dir):
     """§2.11 meta-carry twin: pending-docs completion join
     (operators/pending.resolve_pending) — listing-built pendings keyed by a
@@ -823,6 +905,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_sitemap_stale": q43_sitemap_stale,
         "q44_salted_distinct": q44_salted_distinct,
         "q45_percentiles": q45_percentiles,
+        "q46_repetition_flags": q46_repetition_flags,
+        "q47_pii_redact": q47_pii_redact,
+        "q48_decontaminate": q48_decontaminate,
     }
 
 
@@ -1130,6 +1215,78 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(quantile_cont(value, 0.5), 4) AS p50,
                    ROUND(quantile_cont(value, 0.95), 4) AS p95
             FROM events GROUP BY event_type
+        """,
+        "q46_repetition_flags": """
+            WITH t AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+              FROM documents
+            ), g AS (
+              SELECT doc_id, toks,
+                     list_transform(
+                       range(1, greatest(len(toks) - 1, 1) + 1),
+                       i -> array_to_string(list_slice(toks, i, i + 1), ' ')
+                     ) AS bg
+              FROM t
+            ), m AS (
+              SELECT doc_id,
+                     ROUND(CAST(list_max(list_transform(list_distinct(bg),
+                               d -> len(list_filter(bg, x -> x = d)))) AS DOUBLE)
+                           / len(bg), 6) AS top_bigram_frac,
+                     ROUND(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                           / len(toks), 6) AS dup_word_frac
+              FROM g
+            )
+            SELECT doc_id, top_bigram_frac, dup_word_frac,
+                   (top_bigram_frac > 0.2 OR dup_word_frac > 0.9) AS flagged
+            FROM m
+        """,
+        "q47_pii_redact": """
+            WITH p AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 7 = 0
+                             THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.mil'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0
+                             THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                             ELSE '' END AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+                   CAST(len(regexp_extract_all(t,
+                     '\\b\\d{3}-\\d{4}\\b')) AS INTEGER) AS n_phones,
+                   sha256(regexp_replace(
+                       regexp_replace(t,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g'),
+                       '\\b\\d{3}-\\d{4}\\b', '<PHONE>', 'g')) AS redacted_sha
+            FROM p
+        """,
+        "q48_decontaminate": """
+            WITH t AS (
+              SELECT doc_id,
+                     string_split_regex(trim(
+                       text || CASE WHEN doc_id % 97 = 0 OR doc_id % 41 = 3
+                                    THEN ' alpha bravo charlie delta echo'
+                                    ELSE '' END), '\\s+') AS toks
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(toks) - 4, 1) + 1),
+                       i -> array_to_string(list_slice(toks, i, i + 4), ' ')
+                     )) AS grams
+              FROM t
+            ), bench AS (
+              SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0
+            ), corpus AS (
+              SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 <> 0
+            )
+            SELECT c.doc_id, COUNT(*) AS n_overlapping_ngrams
+            FROM corpus c JOIN bench b USING (gram)
+            GROUP BY c.doc_id
         """,
         "q44_salted_distinct": """
             SELECT event_type, COUNT(DISTINCT user_id) AS n_users

@@ -95,9 +95,10 @@ def bench_frontier_drain(spark) -> dict:
 
     # best-of-N: this host shows up to 3x run-to-run noise (neighbors /
     # frequency scaling — see BENCH/BASELINE.md), so the min is the honest
-    # steady-state estimate
+    # steady-state estimate; the FIRST repeat is also reported as the
+    # single-shot number so cross-round deltas stay like-for-like
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
-    best, n_scheduled = None, 0
+    elapsed_all, n_scheduled = [], 0
     for _ in range(max(repeats, 1)):
         t0 = time.time()
         staged = (
@@ -110,13 +111,16 @@ def bench_frontier_drain(spark) -> dict:
         fresh = staged.join(seen, "url_hash64", "left_anti")
         scheduled = topk_per_host(fresh, BUDGET, salt_buckets=16)
         n_scheduled = scheduled.count()
-        elapsed = time.time() - t0
-        best = elapsed if best is None else min(best, elapsed)
+        elapsed_all.append(time.time() - t0)
+    best = min(elapsed_all)
     return {
         "urls_in": N_URLS,
         "scheduled": int(n_scheduled),
         "elapsed_sec": round(best, 2),
         "urls_per_sec": round(N_URLS / best, 1),
+        "single_shot_elapsed_sec": round(elapsed_all[0], 2),
+        "single_shot_urls_per_sec": round(N_URLS / elapsed_all[0], 1),
+        "elapsed_all_sec": [round(e, 2) for e in elapsed_all],
         "repeats": repeats,
     }
 
@@ -172,10 +176,11 @@ def bench_engine_drain(spark) -> dict:
         F.lit("pending").alias("state"),
     )
 
-    # best-of-N against host noise; drain_one consumes the frontier, so each
-    # repeat gets a fresh store (setup untimed)
+    # best-of-N against host noise (single-shot = first repeat, reported
+    # alongside); drain_one consumes the frontier, so each repeat gets a
+    # fresh store (setup untimed)
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_ENGINE_REPEATS", "2"))
-    best, st = None, None
+    elapsed_all, st = [], None
     for _ in range(max(repeats, 1)):
         store = SnapshotStore(spark, tempfile.mkdtemp(prefix="gc_engine_bench_"))
         txn = store.begin(0)
@@ -194,13 +199,16 @@ def bench_engine_drain(spark) -> dict:
         )
         t0 = time.time()
         st = eng.drain_one(1)
-        elapsed = time.time() - t0
-        best = elapsed if best is None else min(best, elapsed)
+        elapsed_all.append(time.time() - t0)
+    best = min(elapsed_all)
     return {
         "urls_in": n,
         "scheduled": st["scheduled"] if st else 0,
         "elapsed_sec": round(best, 2),
         "urls_per_sec": round(n / best, 1),
+        "single_shot_elapsed_sec": round(elapsed_all[0], 2),
+        "single_shot_urls_per_sec": round(n / elapsed_all[0], 1),
+        "elapsed_all_sec": [round(e, 2) for e in elapsed_all],
         "repeats": repeats,
     }
 

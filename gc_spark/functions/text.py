@@ -113,3 +113,56 @@ def bpe_ish_tokens_col(col: Column) -> Column:
     so DuckDB (regexp_extract_all) reproduces it exactly. Returns the token
     array; count with F.size."""
     return F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def word_ngrams_col(col: Column, n: int) -> Column:
+    """Word n-gram array (native; shares the shingle shape of
+    operators/text_dedup._shingles but parameterized on n)."""
+    toks = F.split(F.trim(col), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+
+
+def top_ngram_frac_col(col: Column, n: int) -> Column:
+    """Gopher-style repetition metric: occurrences of the MOST frequent word
+    n-gram divided by total n-grams. Catches boilerplate / template spam
+    (nav bars, cookie banners, SEO keyword stuffing). Per-row array
+    expressions only — O(distinct * total) per row, entirely map-side, no
+    shuffle, so at 100 TB it rides the same scan as every other per-doc
+    metric. DuckDB twin: list_max over list_transform(list_distinct(...))."""
+    g = word_ngrams_col(col, n)
+    counts = F.transform(
+        F.array_distinct(g), lambda d: F.size(F.filter(g, lambda x: x == d))
+    )
+    return F.round(
+        F.array_max(counts).cast("double") / F.size(g), 6
+    )
+
+
+def dup_word_frac_col(col: Column) -> Column:
+    """Fraction of word occurrences that are repeats of an earlier word:
+    1 - distinct/total (Gopher's duplicate-content family)."""
+    toks = F.split(F.trim(col), r"\s+")
+    return F.round(
+        F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
+    )
+
+
+# RE2-safe PII patterns (no lookarounds): both engines run them verbatim
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\b\d{3}-\d{4}\b"
+
+
+def redact_pii_col(col: Column) -> Column:
+    """PII scrub for training corpora: emails then phone-shaped digit runs
+    replaced by typed placeholder tokens. Order matters (the email pattern
+    would otherwise leave its host part eligible for the phone pattern);
+    both regexes stay inside RE2's subset so the oracle is exact."""
+    no_email = F.regexp_replace(col, EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(no_email, PHONE_PATTERN, "<PHONE>")
+
+
+def count_pattern_col(col: Column, pattern: str) -> Column:
+    """Occurrence count of an RE2 pattern (len of extract_all — the form
+    DuckDB shares, avoiding engine-specific regexp_count semantics)."""
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), 0))

@@ -1,0 +1,140 @@
+"""sf1 bench: the five heaviest queries + the engine drain at 10x sf0.1.
+
+VERDICT r2 asked for a second measured scale point so the 100 TB scaling
+story rests on data, not just plan shape. /root/testdata has no sf1, so this
+tool synthesizes a DERIVED one (documents + embeddings only — the tables the
+heavy queries read) at SCALE x sf0.1 under .bench_sf1/ (gitignored):
+
+  - documents: SCALE copies, doc_id offset per copy; every word in copy i>0
+    is prefixed "c{i}" so shingles DON'T collide across copies — each copy is
+    an independent sf0.1-like corpus and the near-dup workload scales
+    linearly instead of exploding quadratically on artificial cross-copy
+    duplicates.
+  - embeddings: SCALE copies, vec_id offset per copy; the vector is ROTATED
+    by i positions (norm-preserving, deterministic) so copies decorrelate.
+
+Prints one JSON line with per-query seconds at sf0.1 and sf1 plus engine
+drain at 200k and 2M URLs. Timing protocol matches bench.py: one warm-up
+pass absorbs codegen JIT; iterative operators (q32/q36/q39) are timed
+inclusive of their driver-loop construction.
+
+Run: python tools/sf1_bench.py   (env: SPARK_GRAFT_CPUS, SPARK_GRAFT_SF1_SCALE)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCALE = int(os.environ.get("SPARK_GRAFT_SF1_SCALE", "10"))
+OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".bench_sf1")
+HEAVY = ["q16_minhash_bands", "q32_ivf_ann", "q33_jaccard_pairs",
+         "q36_dup_clusters", "q39_connected_components"]
+ITERATIVE = {"q32_ivf_ann", "q36_dup_clusters", "q39_connected_components"}
+ID_STRIDE = 10_000_000
+
+
+def build_scaled(spark) -> None:
+    from pyspark.sql import functions as F
+
+    if os.path.exists(os.path.join(OUT_DIR, "_SCALED_OK")):
+        return
+    docs = spark.read.parquet(os.path.join(BASE_SF, "documents.parquet"))
+    embs = spark.read.parquet(os.path.join(BASE_SF, "embeddings.parquet"))
+    dim = len(embs.select("embedding").first()["embedding"])
+
+    doc_copies = []
+    for i in range(SCALE):
+        c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * ID_STRIDE))
+        if i:
+            # prefix every word: shingles never collide across copies
+            c = c.withColumn(
+                "text", F.regexp_replace("text", r"(^|\s)(\S)", f"$1c{i}$2")
+            )
+        doc_copies.append(c)
+    out_docs = doc_copies[0]
+    for c in doc_copies[1:]:
+        out_docs = out_docs.unionByName(c)
+    out_docs.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(OUT_DIR, "documents.parquet")
+    )
+
+    emb_copies = []
+    for i in range(SCALE):
+        c = embs.withColumn("vec_id", F.col("vec_id") + F.lit(i * ID_STRIDE))
+        if i:
+            rot = i % dim
+            c = c.withColumn(
+                "embedding",
+                F.concat(
+                    F.slice("embedding", rot + 1, dim - rot),
+                    F.slice("embedding", 1, rot),
+                ),
+            )
+        emb_copies.append(c)
+    out_embs = emb_copies[0]
+    for c in emb_copies[1:]:
+        out_embs = out_embs.unionByName(c)
+    out_embs.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(OUT_DIR, "embeddings.parquet")
+    )
+    open(os.path.join(OUT_DIR, "_SCALED_OK"), "w").write("ok\n")
+
+
+def time_queries(spark, sf_dir: str) -> dict:
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    out = {}
+    for name in HEAVY:
+        fn = qs[name]
+        if name in ITERATIVE:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        else:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main():
+    import bench
+
+    spark = bench.build_spark(bench.CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    build_scaled(spark)
+
+    q_small = time_queries(spark, BASE_SF)
+    q_big = time_queries(spark, OUT_DIR)
+
+    os.environ["SPARK_GRAFT_BENCH_ENGINE_URLS"] = "200000"
+    eng_small = bench.bench_engine_drain(spark)
+    os.environ["SPARK_GRAFT_BENCH_ENGINE_URLS"] = "2000000"
+    eng_big = bench.bench_engine_drain(spark)
+
+    result = {
+        "metric": "sf1_heavy_queries_and_engine",
+        "scale": SCALE,
+        "queries_sf0.1": q_small,
+        "queries_sf1": q_big,
+        "engine_drain_200k": eng_small,
+        "engine_drain_2m": eng_big,
+        "cpus": bench.CPUS,
+    }
+    print(json.dumps(result))
+    with open(os.path.join(os.path.dirname(OUT_DIR), "BENCH", "sf1.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
