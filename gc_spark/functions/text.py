@@ -126,17 +126,35 @@ def word_ngrams_col(col: Column, n: int) -> Column:
 def top_ngram_frac_col(col: Column, n: int) -> Column:
     """Gopher-style repetition metric: occurrences of the MOST frequent word
     n-gram divided by total n-grams. Catches boilerplate / template spam
-    (nav bars, cookie banners, SEO keyword stuffing). Per-row array
-    expressions only — O(distinct * total) per row, entirely map-side, no
-    shuffle, so at 100 TB it rides the same scan as every other per-doc
-    metric. DuckDB twin: list_max over list_transform(list_distinct(...))."""
+    (nav bars, cookie banners, SEO keyword stuffing).
+
+    Computed as the longest equal-run of the SORTED n-gram array — one
+    array_sort + one aggregate fold with a (prev, run, best) struct
+    accumulator: O(n log n) per row instead of the naive
+    O(distinct * total) count-per-distinct (which also duplicates the
+    n-gram subtree per reference — measured 8x slower at sf0.1). Entirely
+    map-side, no shuffle, so at 100 TB it rides the same scan as every
+    other per-doc metric. The DuckDB oracle keeps the naive list_max form
+    (struct-typed fold accumulators aren't expressible in list_reduce);
+    both compute the same max frequency."""
     g = word_ngrams_col(col, n)
-    counts = F.transform(
-        F.array_distinct(g), lambda d: F.size(F.filter(g, lambda x: x == d))
+    run = F.aggregate(
+        F.array_sort(g),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
     )
-    return F.round(
-        F.array_max(counts).cast("double") / F.size(g), 6
-    )
+    return F.round(run["best"].cast("double") / F.size(g), 6)
 
 
 def dup_word_frac_col(col: Column) -> Column:

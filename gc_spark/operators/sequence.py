@@ -37,25 +37,29 @@ def with_dense_seq(
     (which must be a unique key). Distributed: no single-partition window,
     no Python round-trip — the plan stays inside whole-stage codegen.
 
-    The POST-SHUFFLE frame (after repartitionByRange + _pid) is persisted,
-    so the counts job and the window job read the same materialized
-    partitioning: persisting the raw input instead would re-run the range
-    shuffle per pass AND — if the cache were evicted under a nondeterministic
-    upstream (live HTTP fetch) — let the two passes see different partition
-    contents, yielding silently duplicated/skipped seq values. Callers in a
-    long-lived loop MUST pass `track` (a list the persisted frame is appended
-    to) and unpersist after materializing downstream — relying on the
-    ContextCleaner leaks storage across thousands of micro-batches until
-    execution memory starves (observed as UNABLE_TO_ACQUIRE_MEMORY deep into
-    the test suite)."""
+    BOTH the input and the post-shuffle frame are persisted: the input
+    persist keeps the upstream pipeline (in the engine: the whole
+    fetch+extract+dedup chain) at ONE execution even though the range
+    partitioner's sampling pass and the shuffle pass each read it; the
+    post-shuffle persist makes the counts job and the window job read the
+    same MATERIALIZED partitioning — without it, a cache eviction under a
+    nondeterministic upstream (live HTTP fetch) could let the two passes see
+    different partition contents, silently duplicating/skipping seq values.
+    Callers in a long-lived loop MUST pass `track` (a list the persisted
+    frames are appended to) and unpersist after materializing downstream —
+    relying on the ContextCleaner leaks storage across thousands of
+    micro-batches until execution memory starves (observed as
+    UNABLE_TO_ACQUIRE_MEMORY deep into the test suite)."""
     n = partitions or max(df.sparkSession.sparkContext.defaultParallelism, 2)
     cols = [F.col(c) for c in order_cols]
+    df = df.persist()
     arranged = (
         df.repartitionByRange(n, *cols)
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
     if track is not None:
+        track.append(df)
         track.append(arranged)
 
     counts = {

@@ -313,12 +313,15 @@ def dup_clusters(
     for _ in range(iters):
         labels = _round(labels)
     if ensure_converged:
-        # keep going until the label set stops changing; checkpoint each
-        # extra round so lineage stays flat while the checksum re-reads it
-        labels = labels.localCheckpoint(eager=True)
+        # keep going until the label set stops changing. Each round is ONE
+        # driver job: the lazy localCheckpoint is materialized by the
+        # checksum aggregate itself (eager=True would spend a separate job
+        # per round purely on materialization — at sf0.1 these iterative
+        # operators are driver-job-overhead-bound, not shuffle-bound)
+        labels = labels.localCheckpoint(eager=False)
         prev = _set_checksum(labels, "node", "label")
         for _ in range(max_rounds - iters):
-            labels = _round(labels).localCheckpoint(eager=True)
+            labels = _round(labels).localCheckpoint(eager=False)
             cur = _set_checksum(labels, "node", "label")
             if cur == prev:
                 break
@@ -352,12 +355,16 @@ def connected_components(
     that doubled the per-round shuffle volume.)
     Returns (doc_id, cluster_id = component min) for every node in a pair.
     """
+    # lazy checkpoints throughout: the per-round checksum aggregate doubles
+    # as the materialization action, so every round costs ONE driver job
+    # (checkpoint-then-scan was two) — lineage is still cut once the
+    # checksum runs
     e = (
         pairs.select(F.col(a_col).cast("long").alias("u"), F.col(b_col).cast("long").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def _star(edges: DataFrame, large: bool) -> DataFrame:
@@ -382,7 +389,7 @@ def connected_components(
 
     prev = _set_checksum(e, "u", "v")
     for _ in range(max_rounds):
-        e = _star(_star(e, large=True), large=False).localCheckpoint(eager=True)
+        e = _star(_star(e, large=True), large=False).localCheckpoint(eager=False)
         cur = _set_checksum(e, "u", "v")
         if cur == prev:
             break

@@ -574,12 +574,21 @@ class TestMarineCorpSource:
         assert seen == {
             "MCO 5215.1K", "NAVMC 2915", "Historical: Historic Pubs", "SECNAV M-5210.1"
         }
-        # the no-download row is still parked as an open pending
+        # the no-download row can never complete (its detail page was fetched
+        # and yielded no href): the end-of-crawl flush routes it to
+        # dead_letter and CLOSES the pending — observable loss, bounded state
+        # (round 2 left it silently open forever)
         open_pending = store.read("pending_docs", PENDING_DOCS).join(
             store.read("pending_done", PENDING_DONE).select("detail_url_hash64"),
             "detail_url_hash64", "left_anti",
         ).collect()
-        assert [r["doc_name"] for r in open_pending] == ["MCO P1080.40C"]
+        assert open_pending == []
+        from pyspark.sql import functions as F
+
+        lost = store.read("dead_letter", S.DEAD_LETTER).filter(
+            F.col("failure_reason") == "Pending detail page never completed"
+        ).collect()
+        assert [r["doc_name"] for r in lost] == ["MCO P1080.40C"]
 
 
 class TestRendererFetcher:
