@@ -41,6 +41,12 @@ def build_spark(cpus: int):
         .config("spark.driver.memory", "48g")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # long single-JVM session over 48 queries + engine drains: don't let
+        # the status stores hoard giant plan-description strings (the full
+        # test suite once OOMed the driver heap on exactly this)
+        .config("spark.sql.ui.retainedExecutions", "20")
+        .config("spark.ui.retainedJobs", "100")
+        .config("spark.ui.retainedStages", "200")
         .getOrCreate()
     )
 

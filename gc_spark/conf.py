@@ -27,6 +27,15 @@ SCALE_DEFAULTS = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    # long-lived drivers (a crawl is thousands of micro-batches): bound the
+    # app/SQL status stores — by default they retain up to 1000 executions,
+    # each holding the FULL physical-plan description string, and the
+    # engine's per-batch AQE plans run to megabytes of text. Unbounded, that
+    # is a driver-heap leak (observed as java.lang.OutOfMemoryError ~20k
+    # stages into a single-JVM session).
+    "spark.sql.ui.retainedExecutions": "50",
+    "spark.ui.retainedJobs": "200",
+    "spark.ui.retainedStages": "500",
 }
 
 
