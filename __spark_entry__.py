@@ -793,6 +793,25 @@ def q48_decontaminate(spark, sf_dir):
     return ngram_decontaminate(corpus, bench, n=5)
 
 
+def q49_winnow_fingerprints(spark, sf_dir):
+    """Training-data op: winnowing fingerprints (Schleimer et al. — the MOSS
+    local-similarity algorithm): per-character-8-gram portable 60-bit hashes,
+    window-of-4 minima, sorted distinct set (functions/text.
+    winnow_fingerprints_col). Complements minhash: guarantees detection of
+    any shared substring >= k+w-1 chars, so it catches partial-overlap/
+    quotation duplication that whole-document minhash misses. The array is
+    csv-rendered so the oracle's value hash is comparable."""
+    from gc_spark.functions.text import winnow_fingerprints_col
+
+    d = _t_wide(spark, sf_dir, "documents")
+    fp = winnow_fingerprints_col(F.col("text"), k=8, w=4)
+    return d.select(
+        "doc_id",
+        F.size(fp).alias("n_fp"),
+        F.array_join(F.transform(fp, lambda x: x.cast("string")), ",").alias("fp_csv"),
+    )
+
+
 def q34_pending_join(spark, sf_dir):
     """§2.11 meta-carry twin: pending-docs completion join
     (operators/pending.resolve_pending) — listing-built pendings keyed by a
@@ -908,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_repetition_flags": q46_repetition_flags,
         "q47_pii_redact": q47_pii_redact,
         "q48_decontaminate": q48_decontaminate,
+        "q49_winnow_fingerprints": q49_winnow_fingerprints,
     }
 
 
@@ -1215,6 +1235,27 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(quantile_cont(value, 0.5), 4) AS p50,
                    ROUND(quantile_cont(value, 0.95), 4) AS p95
             FROM events GROUP BY event_type
+        """,
+        "q49_winnow_fingerprints": """
+            WITH h AS (
+              SELECT doc_id,
+                     list_transform(
+                       range(1, greatest(len(text) - 7, 1) + 1),
+                       i -> CAST(('0x' || substr(sha256(substr(text, i, 8)), 1, 15)) AS BIGINT)
+                     ) AS hs
+              FROM documents
+            ), w AS (
+              SELECT doc_id,
+                     list_sort(list_distinct(list_transform(
+                       range(1, greatest(len(hs) - 3, 1) + 1),
+                       j -> list_min(list_slice(hs, j, j + 3))
+                     ))) AS fp
+              FROM h
+            )
+            SELECT doc_id,
+                   CAST(len(fp) AS INTEGER) AS n_fp,
+                   array_to_string(fp, ',') AS fp_csv
+            FROM w
         """,
         "q46_repetition_flags": """
             WITH t AS (

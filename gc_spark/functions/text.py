@@ -184,3 +184,33 @@ def count_pattern_col(col: Column, pattern: str) -> Column:
     """Occurrence count of an RE2 pattern (len of extract_all — the form
     DuckDB shares, avoiding engine-specific regexp_count semantics)."""
     return F.size(F.regexp_extract_all(col, F.lit(pattern), 0))
+
+
+def _sha60_local(col: Column) -> Column:
+    """Portable 60-bit hash (first 15 hex chars of sha256 as a long) — the
+    cross-engine kernel shared with operators/text_dedup.sha60_col; DuckDB
+    twin: CAST('0x' || substr(sha256(x), 1, 15) AS BIGINT)."""
+    return F.conv(F.substring(F.sha2(col, 256), 1, 15), 16, 10).cast("long")
+
+
+def winnow_fingerprints_col(col: Column, k: int = 8, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): hash every character k-gram, slide a window of w hashes,
+    keep each window's minimum — guaranteed to share fingerprints with any
+    document that shares a substring of length >= k + w - 1, at ~1/w the
+    storage of full k-gram sets. Returns the SORTED DISTINCT fingerprint
+    array (the canonical set form). Pure array expressions: one sha256 per
+    k-gram, map-side only, no shuffle — the robust-local-dedup complement
+    to minhash (which needs whole-document similarity)."""
+    n = F.length(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: col.substr(i, F.lit(k)),
+    )
+    hashes = F.transform(grams, _sha60_local)
+    m = F.size(hashes)
+    wins = F.transform(
+        F.sequence(F.lit(1), F.greatest(m - (w - 1), F.lit(1))),
+        lambda j: F.array_min(F.slice(hashes, j, w)),
+    )
+    return F.array_sort(F.array_distinct(wins))

@@ -100,3 +100,37 @@ class TestDecontaminate:
             .toString()
         )
         assert "BroadcastHashJoin" in plan
+
+
+class TestWinnowing:
+    def test_shared_substring_guarantee(self, spark):
+        """Winnowing's core property (k=8, w=4): any two docs sharing a
+        substring of >= k+w-1 = 11 chars share at least one fingerprint;
+        docs over disjoint alphabets share none."""
+        from gc_spark.functions.text import winnow_fingerprints_col
+
+        shared = "THE-COMMON-PASSAGE-XYZ"  # 22 chars >> 11
+        df = spark.createDataFrame(
+            [
+                (1, "aaaa " + shared + " bbbb cccc dddd"),
+                (2, "eeee ffff " + shared + " gggg"),
+                (3, "zzzz yyyy xxxx wwww vvvv uuuu"),
+            ],
+            "doc_id long, text string",
+        )
+        fps = {
+            r["doc_id"]: set(r["fp"])
+            for r in df.select(
+                "doc_id", winnow_fingerprints_col(F.col("text")).alias("fp")
+            ).collect()
+        }
+        assert fps[1] & fps[2], "docs sharing an 11+ char substring must overlap"
+        assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+    def test_deterministic_and_sorted(self, spark):
+        from gc_spark.functions.text import winnow_fingerprints_col
+
+        df = spark.createDataFrame([("some document text here",)], "text string")
+        a = df.select(winnow_fingerprints_col(F.col("text")).alias("fp")).first()["fp"]
+        b = df.select(winnow_fingerprints_col(F.col("text")).alias("fp")).first()["fp"]
+        assert a == b == sorted(set(a))
