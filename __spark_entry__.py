@@ -812,6 +812,43 @@ def q49_winnow_fingerprints(spark, sf_dir):
     )
 
 
+def q50_line_dedup(spark, sf_dir):
+    """Training-data op: corpus-level line dedup (C4/CCNet boilerplate
+    removal, operators/linedup.dedup_lines) — fixed-width word chunks stand
+    in for lines (the synthetic corpus has no newlines); an 8-word
+    boilerplate "banner" is planted as a prefix on every doc_id%4==0 doc so
+    the fixture has guaranteed cross-doc repeats (short tail chunks also
+    collide naturally). Lines occurring in >=5 distinct docs are removed;
+    kept_sha pins the exact surviving bytes in original order."""
+    from gc_spark.operators.linedup import dedup_lines
+
+    d = _t_wide(spark, sf_dir, "documents")
+    boiler = "terms of use privacy policy all rights reserved"
+    planted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0, F.concat(F.lit(boiler + " "), F.col("text"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dedup_lines(planted, min_docs=5)
+
+
+def q51_char_entropy(spark, sf_dir):
+    """Training-data op: character-level Shannon entropy (bits/char,
+    functions/text.char_entropy_col) — the quality tail-filter that catches
+    degenerate repeats (near 0) and base64/binary junk (>5) which
+    length/stopword ratios miss. Pure map-side array expressions."""
+    from gc_spark.functions.text import char_entropy_col
+
+    d = _t_wide(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(char_entropy_col(F.col("text")), 4).alias("entropy_bits"),
+    )
+
+
 def q34_pending_join(spark, sf_dir):
     """§2.11 meta-carry twin: pending-docs completion join
     (operators/pending.resolve_pending) — listing-built pendings keyed by a
@@ -928,6 +965,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_pii_redact": q47_pii_redact,
         "q48_decontaminate": q48_decontaminate,
         "q49_winnow_fingerprints": q49_winnow_fingerprints,
+        "q50_line_dedup": q50_line_dedup,
+        "q51_char_entropy": q51_char_entropy,
     }
 
 
@@ -1256,6 +1295,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(fp) AS INTEGER) AS n_fp,
                    array_to_string(fp, ',') AS fp_csv
             FROM w
+        """,
+        "q50_line_dedup": """
+            WITH planted AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 4 = 0
+                          THEN 'terms of use privacy policy all rights reserved ' || text
+                          ELSE text END AS text
+              FROM documents
+            ), w AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM planted
+            ), lines AS (
+              SELECT doc_id,
+                     UNNEST(list_transform(
+                       range(0, greatest(CAST(ceil(len(toks) / 8.0) AS BIGINT), 1)),
+                       i -> struct_pack(
+                         pos := i,
+                         line := array_to_string(list_slice(toks, i * 8 + 1, i * 8 + 8), ' '))),
+                       recursive := true)
+              FROM w
+            ), common AS (
+              SELECT line FROM lines GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 5
+            )
+            SELECT l.doc_id,
+                   COUNT(*) AS n_lines,
+                   CAST(SUM(CASE WHEN c.line IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+                   sha256(coalesce(
+                     string_agg(l.line, ' ' ORDER BY l.pos) FILTER (WHERE c.line IS NULL),
+                     '')) AS kept_sha
+            FROM lines l LEFT JOIN common c ON l.line = c.line
+            GROUP BY l.doc_id
+        """,
+        "q51_char_entropy": """
+            WITH chars AS (
+              SELECT doc_id, UNNEST(string_split_regex(text, '')) AS c FROM documents
+            ), cnt AS (
+              SELECT doc_id, c, COUNT(*) AS k FROM chars WHERE c <> '' GROUP BY doc_id, c
+            ), tot AS (
+              SELECT doc_id, SUM(k) AS n FROM cnt GROUP BY doc_id
+            )
+            SELECT cnt.doc_id,
+                   ROUND(log2(CAST(tot.n AS DOUBLE))
+                         - SUM(k * log2(CAST(k AS DOUBLE))) / tot.n, 4) AS entropy_bits
+            FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
+            GROUP BY cnt.doc_id, tot.n
         """,
         "q46_repetition_flags": """
             WITH t AS (

@@ -186,6 +186,30 @@ def count_pattern_col(col: Column, pattern: str) -> Column:
     return F.size(F.regexp_extract_all(col, F.lit(pattern), 0))
 
 
+def char_entropy_col(col: Column) -> Column:
+    """Shannon entropy (bits/char) of the character distribution — a cheap
+    quality/noise signal for training corpora: near-zero for degenerate
+    repeats ('aaaa…'), ~4.1 for English prose, >5 for base64/binary junk;
+    filters the two failure tails length/stopword ratios (quality_score,
+    q14) miss. Computed as log2(n) - (1/n)·Σ c·log2(c) over per-character
+    counts: one count per DISTINCT character via size(filter(...)), which
+    is O(alphabet × len) — alphabet-bounded (≤ a few hundred for text), so
+    it stays a pure map-side array expression riding the same scan as every
+    other per-doc metric; no shuffle, no Python."""
+    chars = F.filter(F.split(col, ""), lambda c: c != "")
+    n = F.size(chars)
+    counts = F.transform(
+        F.array_distinct(chars),
+        lambda d: F.size(F.filter(chars, lambda c: c == d)),
+    )
+    sum_clogc = F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, c: acc + c.cast("double") * F.log2(c.cast("double")),
+    )
+    return F.log2(n.cast("double")) - sum_clogc / n
+
+
 def _sha60_local(col: Column) -> Column:
     """Portable 60-bit hash (first 15 hex chars of sha256 as a long) — the
     cross-engine kernel shared with operators/text_dedup.sha60_col; DuckDB
