@@ -849,6 +849,54 @@ def q51_char_entropy(spark, sf_dir):
     )
 
 
+def q52_pagerank(spark, sf_dir):
+    """Crawl-frontier prioritization: PageRank over a 50-node host graph
+    synthesized deterministically from events (operators/pagerank.pagerank)
+    — 5 power iterations with damping 0.85 and full dangling-mass
+    redistribution, dangling scalar kept inside the dataflow (no per-round
+    driver collects). Oracle: the same 5 iterations as chained SQL CTEs."""
+    from gc_spark.operators.pagerank import pagerank
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        (F.col("user_id") % 50).alias("src"),
+        ((F.col("user_id") * 7 + F.col("event_id")) % 50).alias("dst"),
+    )
+    pr = pagerank(edges, iters=5, damping=0.85)
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _pagerank_oracle(iters: int = 5, damping: float = 0.85) -> str:
+    """Chained-CTE power iteration — r{k} from r{k-1}, dangling mass as a
+    scalar subquery, constants cast to DOUBLE so both engines do the same
+    float arithmetic."""
+    d = f"CAST({damping} AS DOUBLE)"
+    n = "(SELECT n FROM nn)"
+    parts = [
+        "WITH e AS (SELECT DISTINCT user_id % 50 AS src,"
+        " (user_id * 7 + event_id) % 50 AS dst FROM events)",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d FROM e GROUP BY src)",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
+        f"r0 AS (SELECT node, 1.0 / {n} AS r FROM nodes)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"r{k - 1}"
+        parts.append(
+            f"r{k} AS (SELECT nd.node, (1.0 - {d}) / {n} + {d} * (COALESCE(c.s, 0)"
+            f" + (SELECT COALESCE(SUM({p}.r), 0) FROM {p} LEFT JOIN deg"
+            f" ON {p}.node = deg.src WHERE deg.src IS NULL) / {n}) AS r"
+            f" FROM nodes nd LEFT JOIN"
+            f" (SELECT e.dst AS node, SUM({p}.r / deg.d) AS s"
+            f" FROM {p} JOIN deg ON {p}.node = deg.src JOIN e ON e.src = {p}.node"
+            f" GROUP BY e.dst) c ON nd.node = c.node)"
+        )
+    return (
+        ",\n".join(parts)
+        + f'\nSELECT node, ROUND(r, 6) AS "rank" FROM r{iters}'
+    )
+
+
 def q34_pending_join(spark, sf_dir):
     """§2.11 meta-carry twin: pending-docs completion join
     (operators/pending.resolve_pending) — listing-built pendings keyed by a
@@ -967,6 +1015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_winnow_fingerprints": q49_winnow_fingerprints,
         "q50_line_dedup": q50_line_dedup,
         "q51_char_entropy": q51_char_entropy,
+        "q52_pagerank": q52_pagerank,
     }
 
 
@@ -1340,6 +1389,7 @@ def oracle_sql() -> dict[str, str]:
             FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
             GROUP BY cnt.doc_id, tot.n
         """,
+        "q52_pagerank": _pagerank_oracle(iters=5, damping=0.85),
         "q46_repetition_flags": """
             WITH t AS (
               SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks

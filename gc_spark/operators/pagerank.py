@@ -1,0 +1,107 @@
+"""PageRank over the host/link graph — crawl-frontier prioritization.
+
+The reference crawls a fixed 41-site seed list, so its "priority" is crawl
+order within a spider (GCSpider request ordering); a web-scale frontier
+instead ranks candidate URLs/hosts by link-graph importance and drains the
+frontier highest-rank-first (the politeness top-k in
+operators/politeness.py takes any priority column — this operator produces
+one). Power-iteration PageRank (Page et al. 1999) with damping and full
+dangling-mass redistribution.
+
+Scale shape:
+  - edges are materialized once (localCheckpoint) and every round joins
+    ranks⋈edges on src: with edges bucketed/pre-partitioned by src the
+    join is co-located and only the (dst, contribution) pairs shuffle for
+    the per-dst sum — one shuffle per round;
+  - ranks is |nodes| rows (hosts, not URLs — orders of magnitude smaller
+    than the edge set) so Spark's AQE broadcasts the ranks side of the
+    join at production skew;
+  - the dangling-mass scalar is computed INSIDE the dataflow (a 1-row
+    aggregate crossJoin-broadcast back in), not collected per round — the
+    whole k-iteration plan stays one lazy pipeline with k materialization
+    points, no driver round-trips in the loop;
+  - per-round persistence: each iteration's ranks are lazily
+    localCheckpointed so round k+1 reads a materialized table instead of
+    re-executing k rounds of lineage.
+
+Node ids are longs (host hashes upstream); rank is double. A node with no
+out-edges contributes its rank/N to every node (dangling redistribution),
+so ranks sum to 1 every round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, rank) after `iters` power iterations over the DISTINCT edge
+    set. Parallel edges are collapsed first (a crawl link multigraph would
+    otherwise double-count); self-loops are kept (a host linking to itself
+    contributes to itself, matching the classic formulation on the
+    collapsed graph)."""
+    e = (
+        edges.select(F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = e.groupBy("src").agg(F.count("*").cast("double").alias("_deg")).select(
+        F.col("src").alias("_dnode"), "_deg"
+    )
+    # one driver scalar, once (not per round): the node count
+    n = nodes.count()
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iters):
+        with_deg = ranks.join(deg, ranks["node"] == deg["_dnode"], "left")
+        # dangling mass: total rank parked on nodes with no out-edges —
+        # a 1-row aggregate broadcast back into the dataflow
+        dangling = with_deg.filter(F.col("_deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling")
+        )
+        contrib = (
+            with_deg.filter(F.col("_deg").isNotNull())
+            .join(e, with_deg["node"] == e["src"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("_deg")).alias("_c"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + damping
+                    * (F.coalesce(F.col("_c"), F.lit(0.0)) + F.col("_dangling") / n)
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks
+
+
+def frontier_priority(
+    frontier: DataFrame, ranks: DataFrame, host_col: str = "host_hash64", floor: float = 0.0
+) -> DataFrame:
+    """Attach a drain priority to frontier rows: the host's PageRank (or
+    `floor` for hosts outside the ranked graph). Ranks are tiny relative to
+    the frontier — broadcast join, no frontier shuffle; feed the result's
+    `priority` into politeness.drain_topk's ordering."""
+    r = ranks.select(F.col("node").alias(host_col), F.col("rank").alias("priority"))
+    return frontier.join(F.broadcast(r), host_col, "left").withColumn(
+        "priority", F.coalesce(F.col("priority"), F.lit(floor))
+    )
