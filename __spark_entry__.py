@@ -866,6 +866,43 @@ def q52_pagerank(spark, sf_dir):
     return pr.select("node", F.round("rank", 6).alias("rank"))
 
 
+def q53_tfidf_topterms(spark, sf_dir):
+    """Keyword extraction: top-3 tf-idf terms per doc (operators/tfidf.
+    tfidf_top_terms) — doc-frequency table broadcast onto the term counts,
+    corpus size as a 1-row crossJoin broadcast, scores rounded BEFORE the
+    rank window so both engines order identical values."""
+    from gc_spark.operators.tfidf import tfidf_top_terms
+
+    d = _t_wide(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, k=3)
+
+
+def q54_stratified_sample(spark, sf_dir):
+    """Deterministic corpus mixing: per-language Bernoulli sample keyed on a
+    salted portable hash (operators/sampling.stratified_sample) — en kept at
+    50%, other languages at 20%; membership is a pure map-side filter,
+    reproducible across runs/partitionings, and the oracle re-derives it
+    row-for-row."""
+    from gc_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", F.lit(5000)).otherwise(F.lit(2000))
+    return stratified_sample(d, rate, salt="smp1").select("doc_id", "lang")
+
+
+def q55_reservoir_sample(spark, sf_dir):
+    """Deterministic reservoir: exactly 5 docs per source, drawn by salted-
+    hash order (operators/sampling.reservoir_topk — two-phase salted window,
+    politeness-drain skew shape). Equivalent in distribution to reservoir
+    sampling but associative and restartable."""
+    from gc_spark.operators.sampling import reservoir_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return reservoir_topk(d, ["source"], k=5, salt="rsv").select(
+        "doc_id", "source", "sample_rank"
+    )
+
+
 def _pagerank_oracle(iters: int = 5, damping: float = 0.85) -> str:
     """Chained-CTE power iteration — r{k} from r{k-1}, dangling mass as a
     scalar subquery, constants cast to DOUBLE so both engines do the same
@@ -1016,6 +1053,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_line_dedup": q50_line_dedup,
         "q51_char_entropy": q51_char_entropy,
         "q52_pagerank": q52_pagerank,
+        "q53_tfidf_topterms": q53_tfidf_topterms,
+        "q54_stratified_sample": q54_stratified_sample,
+        "q55_reservoir_sample": q55_reservoir_sample,
     }
 
 
@@ -1390,6 +1430,43 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY cnt.doc_id, tot.n
         """,
         "q52_pagerank": _pagerank_oracle(iters=5, damping=0.85),
+        "q53_tfidf_topterms": """
+            WITH terms AS (
+              SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS term
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term
+            ), dfq AS (
+              SELECT term, CAST(COUNT(*) AS DOUBLE) AS dfreq FROM tf GROUP BY term
+            ), nn AS (
+              SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM documents
+            ), scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf,
+                     ROUND(tf.tf * (ln((1.0 + (SELECT n FROM nn)) / (1.0 + dfq.dfreq)) + 1.0), 6) AS score
+              FROM tf JOIN dfq ON tf.term = dfq.term
+            )
+            SELECT doc_id, term, tf, score, term_rank FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, term ASC) AS term_rank
+              FROM scored
+            ) WHERE term_rank <= 3
+        """,
+        "q54_stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE CAST('0x' || substr(sha256('smp1|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                  % 10000
+                  < CASE WHEN lang = 'en' THEN 5000 ELSE 2000 END
+        """,
+        "q55_reservoir_sample": """
+            SELECT doc_id, source, sample_rank FROM (
+              SELECT doc_id, source,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY CAST('0x' || substr(sha256('rsv|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) ASC,
+                                doc_id ASC) AS sample_rank
+              FROM documents
+            ) WHERE sample_rank <= 5
+        """,
         "q46_repetition_flags": """
             WITH t AS (
               SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks

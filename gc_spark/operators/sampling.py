@@ -1,0 +1,86 @@
+"""Deterministic sampling for training-data pipelines.
+
+Corpus assembly mixes sources at controlled rates (e.g. up-sample curated
+text, down-sample raw crawl) and needs the SAME sample on every re-run —
+rerunning a 100 TB job must not produce a different training set, and an
+auditor must be able to re-derive membership per row. So both operators key
+on a salted content hash, never on Spark's RNG (`df.sample` draws from
+per-partition XORShift streams: partition-count-dependent and
+non-reproducible across repartitions).
+
+  stratified_sample — per-stratum Bernoulli keep: hash(salt|id) % 10^4
+    compared against the stratum's rate. Pure map-side expression; zero
+    shuffle; at 100 TB it rides the scan like any other filter and pushes
+    nothing to the driver. Exactly reproducible AND mergeable: the union of
+    two runs over disjoint inputs is the sample of the union.
+
+  reservoir_topk — exact-size k per stratum: rank rows by the salted hash
+    (a deterministic "uniform" draw) and keep the first k. Equivalent in
+    distribution to reservoir sampling but associative/restartable. Uses
+    the same two-phase salted window as operators/politeness.topk_per_host
+    so a giant stratum (the raw-crawl bucket is always >90% of rows) never
+    funnels through one reducer.
+
+The hash is the portable 60-bit sha256 prefix (functions/text._sha60_local)
+so a DuckDB/ANSI oracle reproduces membership bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from gc_spark.functions.text import _sha60_local
+
+RATE_DENOM = 10_000  # rates are basis points: 0.5 -> 5000
+
+
+def sample_hash_col(id_col: Column, salt: str) -> Column:
+    """Salted portable draw in [0, 2^60): sha60(salt || '|' || id)."""
+    return _sha60_local(F.concat(F.lit(salt + "|"), id_col.cast("string")))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rate_col: Column,
+    id_col: str = "doc_id",
+    salt: str = "s0",
+) -> DataFrame:
+    """Keep each row iff hash(salt|id) % 10^4 < rate_col (rate in basis
+    points, e.g. F.when(lang=='en', 5000).otherwise(2000)). Map-side only."""
+    return df.filter(
+        sample_hash_col(F.col(id_col), salt) % RATE_DENOM < rate_col
+    )
+
+
+def reservoir_topk(
+    df: DataFrame,
+    strata_cols: list[str],
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "r0",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Exactly k rows per stratum, chosen by the salted hash order (ties
+    broken by id for full determinism). Adds `sample_rank` (1-based).
+
+    Two-phase: a (stratum, hash%S)-salted partial rank caps each slice at
+    k, then the exact rank runs over <= k*S survivors per stratum — same
+    skew shape as the politeness drain."""
+    h = sample_hash_col(F.col(id_col), salt)
+    df = df.withColumn("_draw", h)
+    order = [F.col("_draw").asc(), F.col(id_col).asc()]
+    strata = [F.col(c) for c in strata_cols]
+
+    w1 = Window.partitionBy(*strata, (F.col("_draw") % salt_buckets).cast("int")).orderBy(
+        *order
+    )
+    partial = df.withColumn("_prank", F.row_number().over(w1)).filter(
+        F.col("_prank") <= k
+    )
+    w2 = Window.partitionBy(*strata).orderBy(*order)
+    return (
+        partial.withColumn("sample_rank", F.row_number().over(w2))
+        .filter(F.col("sample_rank") <= k)
+        .drop("_prank", "_draw")
+    )
