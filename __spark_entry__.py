@@ -903,6 +903,69 @@ def q55_reservoir_sample(spark, sf_dir):
     )
 
 
+def q56_recrawl_priority(spark, sf_dir):
+    """Adaptive recrawl scheduling (operators/recrawl.recrawl_priority):
+    Cho & Garcia-Molina bias-corrected Poisson change-rate per URL from its
+    fetch history, then P(changed since last fetch) as the refetch drain
+    priority. events = the fetch log (user_id ~ url, click ~ content
+    changed); 'now' pinned to max(ts)+1h inside the dataflow."""
+    from gc_spark.operators.recrawl import recrawl_priority
+
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        F.col("user_id").alias("url_id"),
+        "ts",
+        (F.col("event_type") == "click").alias("changed"),
+    )
+    return recrawl_priority(log)
+
+
+def q57_trap_detect(spark, sf_dir):
+    """Crawler-trap detection (operators/traps.detect_traps): URLs
+    synthesized from orders — every host serves 40 paths, but host h7 mints
+    a unique ?session= per URL (the classic session-id trap) while the rest
+    reuse a tiny ?page= set. Flag = distinct-URLs/distinct-paths above
+    threshold."""
+    from gc_spark.operators.traps import detect_traps
+
+    o = _t(spark, sf_dir, "orders")
+    url = F.concat(
+        F.lit("https://h"),
+        (F.col("o_custkey") % 20).cast("string"),
+        F.lit(".example.mil/p/"),
+        (F.col("o_orderkey") % 40).cast("string"),
+        F.when(
+            F.col("o_custkey") % 20 == 7,
+            F.concat(F.lit("?session="), F.col("o_orderkey").cast("string")),
+        )
+        .when(
+            F.col("o_orderkey") % 3 == 0,
+            F.concat(F.lit("?page="), (F.col("o_orderkey") % 2).cast("string")),
+        )
+        .otherwise(F.lit("")),
+    )
+    return detect_traps(o.select(url.alias("url")), max_urls_per_path=5.0, min_urls=20)
+
+
+def q58_skew_profile(spark, sf_dir):
+    """Frontier skew profiler (operators/traps.skew_profile): per-host row
+    counts + batch share + the recommended politeness salt_buckets
+    (ceil(rows/target), capped) — the data-driven version of the engine's
+    salted windows. Host h0 is planted hot (~53% of rows)."""
+    from gc_spark.operators.traps import skew_profile
+
+    ev = _t(spark, sf_dir, "events")
+    host = F.concat(
+        F.lit("h"),
+        F.when(F.col("event_id") % 2 == 0, F.lit(0))
+        .otherwise(F.col("user_id") % 16)
+        .cast("string"),
+    )
+    return skew_profile(
+        ev.select(host.alias("host")), target_rows_per_task=500, max_buckets=8
+    )
+
+
 def _pagerank_oracle(iters: int = 5, damping: float = 0.85) -> str:
     """Chained-CTE power iteration — r{k} from r{k-1}, dangling mass as a
     scalar subquery, constants cast to DOUBLE so both engines do the same
@@ -1056,6 +1119,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_tfidf_topterms": q53_tfidf_topterms,
         "q54_stratified_sample": q54_stratified_sample,
         "q55_reservoir_sample": q55_reservoir_sample,
+        "q56_recrawl_priority": q56_recrawl_priority,
+        "q57_trap_detect": q57_trap_detect,
+        "q58_skew_profile": q58_skew_profile,
     }
 
 
@@ -1466,6 +1532,73 @@ def oracle_sql() -> dict[str, str]:
                                 doc_id ASC) AS sample_rank
               FROM documents
             ) WHERE sample_rank <= 5
+        """,
+        "q56_recrawl_priority": """
+            WITH log AS (
+              SELECT user_id AS url_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS e,
+                     CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS chg
+              FROM events
+            ), agg AS (
+              SELECT url_id, COUNT(*) AS n_visits, CAST(SUM(chg) AS BIGINT) AS n_changes,
+                     MIN(e) AS f, MAX(e) AS l
+              FROM log GROUP BY url_id HAVING COUNT(*) >= 2
+            ), nw AS (
+              SELECT MAX(e) + 3600 AS now FROM log
+            ), calc AS (
+              SELECT url_id, n_visits, n_changes,
+                     greatest(CAST(l - f AS DOUBLE) / (n_visits - 1), 1.0) AS itv,
+                     CAST((SELECT now FROM nw) - l AS DOUBLE) AS age
+              FROM agg
+            )
+            SELECT url_id, n_visits, n_changes,
+                   ROUND(-ln((n_visits - n_changes + 0.5) / (n_visits + 0.5)) / itv * 86400.0, 6) AS lambda_day,
+                   ROUND(1.0 - exp(ln((n_visits - n_changes + 0.5) / (n_visits + 0.5)) / itv * age), 6) AS p_changed
+            FROM calc
+        """,
+        "q57_trap_detect": """
+            WITH urls AS (
+              SELECT 'https://h' || CAST(o_custkey % 20 AS VARCHAR) || '.example.mil/p/'
+                     || CAST(o_orderkey % 40 AS VARCHAR)
+                     || CASE WHEN o_custkey % 20 = 7
+                             THEN '?session=' || CAST(o_orderkey AS VARCHAR)
+                             WHEN o_orderkey % 3 = 0
+                             THEN '?page=' || CAST(o_orderkey % 2 AS VARCHAR)
+                             ELSE '' END AS url
+              FROM orders
+            ), parsed AS (
+              SELECT regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+                     url,
+                     regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+                     CASE WHEN contains(url, '?') THEN 1 ELSE 0 END AS q
+              FROM urls
+            ), per_host AS (
+              SELECT host,
+                     COUNT(DISTINCT url) AS n_urls,
+                     COUNT(DISTINCT path) AS n_paths,
+                     ROUND(AVG(q), 6) AS query_frac
+              FROM parsed GROUP BY host
+            )
+            SELECT host, n_urls, n_paths,
+                   ROUND(CAST(n_urls AS DOUBLE) / greatest(n_paths, 1), 6) AS urls_per_path,
+                   query_frac,
+                   (n_urls >= 20 AND CAST(n_urls AS DOUBLE) / greatest(n_paths, 1) > 5.0) AS is_trap
+            FROM per_host
+        """,
+        "q58_skew_profile": """
+            WITH f AS (
+              SELECT 'h' || CAST(CASE WHEN event_id % 2 = 0 THEN 0
+                                      ELSE user_id % 16 END AS VARCHAR) AS key
+              FROM events
+            ), counts AS (
+              SELECT key, COUNT(*) AS n_rows FROM f GROUP BY key
+            ), total AS (
+              SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM f
+            )
+            SELECT key, n_rows,
+                   ROUND(n_rows / (SELECT t FROM total), 6) AS frac_of_total,
+                   CAST(least(greatest(CAST(ceil(CAST(n_rows AS DOUBLE) / 500) AS INTEGER), 1), 8) AS INTEGER) AS salt_buckets
+            FROM counts
         """,
         "q46_repetition_flags": """
             WITH t AS (

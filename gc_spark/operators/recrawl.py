@@ -1,0 +1,92 @@
+"""Adaptive recrawl scheduling — estimate per-URL change rates from fetch
+history and prioritize what to refetch.
+
+operators/sitemap.stale_urls covers the cooperative case (the site
+publishes lastmod); this operator covers everything else: infer each URL's
+Poisson change rate from its own fetch history (Cho & Garcia-Molina,
+"Estimating Frequency of Change", ACM TOIT 2003 — the bias-corrected
+estimator for change detection at fixed visit intervals), then rank by the
+probability the page changed since we last saw it. The reference recrawls
+every site on an external cron with no change model
+(gamechanger-crawlers runs full spider sweeps); at web scale the frontier
+must instead spend its politeness budget where change probability is
+highest.
+
+Everything is one groupBy(url) aggregate over the fetch log (map-side
+partial aggs — the log is append-only and naturally partitioned by batch,
+so the shuffle carries one row per URL) followed by pure per-row math. No
+iteration, no driver state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def change_rate(n: Column, x: Column, avg_interval_s: Column) -> Column:
+    """Bias-corrected Poisson rate estimate (changes/sec):
+        lambda = -ln((n - x + 0.5) / (n + 0.5)) / avg_interval
+    where n = visits, x = visits that observed a change. The +0.5
+    correction keeps the estimate finite when every visit saw a change
+    (x == n) and small-sample-stable (Cho & Garcia-Molina 2003, §4)."""
+    return -F.log((n - x + 0.5) / (n + 0.5)) / avg_interval_s
+
+
+def recrawl_priority(
+    fetch_log: DataFrame,
+    url_col: str = "url_id",
+    ts_col: str = "ts",
+    changed_col: str = "changed",
+    now_ts: Column | None = None,
+) -> DataFrame:
+    """Per-URL recrawl scores from a (url, fetch ts, changed?) history:
+
+      (url_col, n_visits, n_changes, lambda_day, p_changed)
+
+    p_changed = 1 - exp(-lambda * age) — the Poisson probability the page
+    changed since its last fetch; drain the refetch frontier by it
+    descending (it IS a priority column for politeness.topk_per_host).
+    URLs with a single visit carry no interval signal and are dropped
+    (callers seed them with a default revisit period instead).
+
+    `now_ts` (epoch seconds) defaults to the max fetch timestamp in the
+    log + 1h — pinned from the data so runs are deterministic; pass the
+    batch timestamp in production."""
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    per_url = (
+        fetch_log.select(
+            F.col(url_col),
+            epoch.alias("_ts"),
+            F.col(changed_col).cast("int").alias("_chg"),
+        )
+        .groupBy(url_col)
+        .agg(
+            F.count("*").cast("long").alias("n_visits"),
+            F.sum("_chg").cast("long").alias("n_changes"),
+            F.min("_ts").alias("_first"),
+            F.max("_ts").alias("_last"),
+        )
+        .filter(F.col("n_visits") >= 2)
+    )
+    if now_ts is None:
+        now_df = fetch_log.agg((F.max(epoch) + 3600).alias("_now"))
+        per_url = per_url.crossJoin(F.broadcast(now_df))
+        now_col = F.col("_now")
+    else:
+        now_col = now_ts
+    # >=1s floor: a log with identical fetch timestamps (replays) must not
+    # divide by zero
+    interval = F.greatest(
+        (F.col("_last") - F.col("_first")).cast("double") / (F.col("n_visits") - 1),
+        F.lit(1.0),
+    )
+    lam = change_rate(F.col("n_visits"), F.col("n_changes"), interval)
+    age = (now_col - F.col("_last")).cast("double")
+    return per_url.select(
+        url_col,
+        "n_visits",
+        "n_changes",
+        F.round(lam * 86400.0, 6).alias("lambda_day"),
+        F.round(1.0 - F.exp(-lam * age), 6).alias("p_changed"),
+    )
