@@ -966,6 +966,37 @@ def q58_skew_profile(spark, sf_dir):
     )
 
 
+def q59_lm_xent(spark, sf_dir):
+    """CCNet-style quality scoring: per-doc token cross-entropy under a
+    corpus-trained unigram LM (operators/lm) — the LM is vocabulary-sized
+    and broadcast; the corpus shuffles once for the per-doc aggregate."""
+    from gc_spark.operators.lm import cross_entropy_score, unigram_lm
+
+    d = _t_wide(spark, sf_dir, "documents")
+    return cross_entropy_score(d, unigram_lm(d))
+
+
+def q60_canonical_docs(spark, sf_dir):
+    """End-to-end dedup decision: LSH candidates -> exact-jaccard pairs
+    (q33) -> cluster formation (q36's operator) -> keep the highest-quality
+    member per cluster, quality = text length, ties to min doc_id
+    (operators/text_dedup.select_canonical). The planted '+extraword'
+    copies are LONGER than their originals, so the keep flags prove the
+    quality ordering is real (the copy wins, not the lower id)."""
+    from gc_spark.operators.text_dedup import dup_clusters, select_canonical
+
+    clusters = dup_clusters(q33_jaccard_pairs(spark, sf_dir), iters=3)
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" extraword")).alias("text"),
+    )
+    quality = d.unionByName(planted).select(
+        "doc_id", F.length("text").alias("quality")
+    )
+    return select_canonical(clusters, quality)
+
+
 def _pagerank_oracle(iters: int = 5, damping: float = 0.85) -> str:
     """Chained-CTE power iteration — r{k} from r{k-1}, dangling mass as a
     scalar subquery, constants cast to DOUBLE so both engines do the same
@@ -1122,6 +1153,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_recrawl_priority": q56_recrawl_priority,
         "q57_trap_detect": q57_trap_detect,
         "q58_skew_profile": q58_skew_profile,
+        "q59_lm_xent": q59_lm_xent,
+        "q60_canonical_docs": q60_canonical_docs,
     }
 
 
@@ -1787,6 +1820,44 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q33_jaccard_pairs": "WITH " + _JACCARD_PAIRS_BODY + """
             SELECT a, b, jaccard FROM jpairs
+        """,
+        "q59_lm_xent": """
+            WITH terms AS (
+              SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS term
+              FROM documents
+            ), tot AS (
+              SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM terms
+            ), lm AS (
+              SELECT term, CAST(COUNT(*) AS DOUBLE) / (SELECT t FROM tot) AS p
+              FROM terms GROUP BY term
+            )
+            SELECT terms.doc_id, COUNT(*) AS n_tokens,
+                   ROUND(-AVG(ln(p)), 6) AS xent
+            FROM terms JOIN lm ON terms.term = lm.term
+            GROUP BY terms.doc_id
+        """,
+        "q60_canonical_docs": "WITH RECURSIVE " + _JACCARD_PAIRS_BODY + """,
+            edges AS (
+                SELECT a AS src, b AS dst FROM jpairs
+                UNION
+                SELECT b, a FROM jpairs
+            ),
+            walk(iter, node, label) AS (
+                SELECT 0, src, src FROM (SELECT DISTINCT src FROM edges)
+                UNION ALL
+                SELECT w.iter + 1, e.dst, w.label
+                FROM walk w JOIN edges e ON e.src = w.node
+                WHERE w.iter < 3
+            ),
+            clusters AS (
+                SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node
+            ),
+            qual AS (SELECT doc_id, len(text) AS quality FROM un)
+            SELECT c.doc_id, c.cluster_id,
+                   (ROW_NUMBER() OVER (
+                      PARTITION BY c.cluster_id
+                      ORDER BY q.quality DESC, c.doc_id ASC) = 1) AS keep
+            FROM clusters c JOIN qual q ON c.doc_id = q.doc_id
         """,
         "q36_dup_clusters": "WITH RECURSIVE " + _JACCARD_PAIRS_BODY + """,
             edges AS (

@@ -21,7 +21,7 @@ Four families, each picked for its scale profile:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 NUM_HASHES = 16
@@ -328,6 +328,34 @@ def dup_clusters(
             prev = cur
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def select_canonical(
+    clusters: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """The step after cluster formation in a dedup pipeline: keep ONE
+    representative per duplicate cluster — the highest-quality member, ties
+    broken by min id for determinism. Returns every clustered doc with a
+    `keep` flag (the caller anti-joins `keep = false` ids against the
+    corpus; unclustered docs are implicitly kept and never enter this op).
+
+    `quality` is any (id, quality) frame — text length here, a composite
+    quality_score / LM score in production. One broadcast-or-shuffle join
+    (clusters only hold docs that appeared in near-dup pairs — a small
+    fraction of the corpus) and one per-cluster window; dup clusters are
+    near-cliques of a handful of docs, so the window partitions are tiny by
+    construction."""
+    joined = clusters.join(quality, id_col)
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.desc(quality_col), F.asc(id_col)
+    )
+    return joined.withColumn("keep", F.row_number().over(w) == 1).select(
+        id_col, cluster_col, "keep"
     )
 
 
