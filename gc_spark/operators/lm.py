@@ -30,7 +30,10 @@ def unigram_lm(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term")
     )
     counts = terms.groupBy("term").agg(F.count("*").cast("double").alias("_c"))
-    total = terms.agg(F.count("*").cast("double").alias("_t"))
+    # token total from the VOCAB-sized counts, not a second corpus scan:
+    # sum(per-term counts) == corpus token count, and the aggregate's input
+    # is the (reusable) groupBy output
+    total = counts.agg(F.sum("_c").alias("_t"))
     return counts.crossJoin(F.broadcast(total)).select(
         "term", (F.col("_c") / F.col("_t")).alias("p")
     )
