@@ -34,8 +34,15 @@ BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SCALE = int(os.environ.get("SPARK_GRAFT_SF1_SCALE", "10"))
 OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".bench_sf1")
 HEAVY = ["q16_minhash_bands", "q32_ivf_ann", "q33_jaccard_pairs",
-         "q36_dup_clusters", "q39_connected_components"]
-ITERATIVE = {"q32_ivf_ann", "q36_dup_clusters", "q39_connected_components"}
+         "q36_dup_clusters", "q39_connected_components",
+         # round-3 heavy corpus ops (documents-only inputs, so the scaled
+         # set covers them): line dedup shuffles line hashes; tfidf/lm are
+         # the broadcast-vocab joins; canonical_docs is the full LSH ->
+         # verify -> cluster -> keep pipeline
+         "q50_line_dedup", "q53_tfidf_topterms", "q59_lm_xent",
+         "q60_canonical_docs"]
+ITERATIVE = {"q32_ivf_ann", "q36_dup_clusters", "q39_connected_components",
+             "q60_canonical_docs"}
 ID_STRIDE = 10_000_000
 
 
