@@ -254,6 +254,21 @@ def _set_checksum(df: DataFrame, *cols: str) -> tuple:
     return (r["n"], r["s"])
 
 
+EDGES_PER_PARTITION = 250_000
+
+
+def _right_size(df: DataFrame, n_rows: int) -> DataFrame:
+    """Shrink an iterative loop's working frame to ceil(n/EDGES_PER_
+    PARTITION) partitions when the measured row count is far below the
+    inherited parallelism — tiny edge sets stop paying 64-partition
+    scheduling per round; big ones are left alone (never grows)."""
+    cur = df.rdd.getNumPartitions() or 1
+    want = min(int(n_rows // EDGES_PER_PARTITION) + 1, cur)
+    if want < cur:
+        return df.repartition(want).localCheckpoint(eager=False)
+    return df
+
+
 def dup_clusters(
     pairs: DataFrame,
     a_col: str = "a",
@@ -295,6 +310,10 @@ def dup_clusters(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # same adaptive right-sizing as connected_components: the count is a
+    # cheap scan of the just-materialized checkpoint blocks, and the
+    # repartitioned frame re-checkpoints lazily on first use
+    edges = _right_size(edges, edges.count())
 
     def _round(lbls: DataFrame) -> DataFrame:
         prop = (
@@ -416,6 +435,14 @@ def connected_components(
         )
 
     prev = _set_checksum(e, "u", "v")
+    # right-size the iteration to the MEASURED edge count (the checksum
+    # already paid for it): a few hundred LSH pairs at test scale would
+    # otherwise run every round's 4 stages over 64 inherited shuffle
+    # partitions of ~10 rows each — pure task-scheduling overhead. At
+    # 10^10 edges the quotient keeps thousands of partitions, so the
+    # repartition is a no-op in spirit (same grow-only behavior as AQE
+    # coalescing, decided once instead of per-stage).
+    e = _right_size(e, prev[0])
     for _ in range(max_rounds):
         e = _star(_star(e, large=True), large=False).localCheckpoint(eager=False)
         cur = _set_checksum(e, "u", "v")
