@@ -997,10 +997,58 @@ def q60_canonical_docs(spark, sf_dir):
     return select_canonical(clusters, quality)
 
 
-def _pagerank_oracle(iters: int = 5, damping: float = 0.85) -> str:
+def q61_budget_allocation(spark, sf_dir):
+    """The rank -> budget -> drain loop closed: PageRank over the q52 host
+    graph turned into per-host politeness budgets (operators/pagerank.
+    allocate_budgets) — proportional-to-rank, floored (every host
+    progresses) and capped (no host monopolizes the batch); the output is
+    exactly politeness.topk_per_host's host_budgets input."""
+    from gc_spark.operators.pagerank import allocate_budgets, pagerank
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        (F.col("user_id") % 50).alias("src"),
+        ((F.col("user_id") * 7 + F.col("event_id")) % 50).alias("dst"),
+    )
+    return allocate_budgets(
+        pagerank(edges, iters=5, damping=0.85),
+        total_budget=10_000,
+        min_budget=5,
+        max_budget=500,
+    )
+
+
+def q62_redirect_resolve(spark, sf_dir):
+    """Redirect-chain resolution by pointer doubling (operators/redirects.
+    resolve_redirects): chains of up to 5 hops synthesized from part
+    (edges k->k+1 within each 8-block) plus a planted 2-cycle; log2(8)=3
+    self-joins resolve every chain, the cycle comes back resolved=false
+    with the pointer state after 8 followed edges — bit-equal to the
+    oracle's bounded recursive walk."""
+    from gc_spark.operators.redirects import resolve_redirects
+
+    p = _t(spark, sf_dir, "part")
+    chain = p.filter(F.col("p_partkey") % 8 < 5).select(
+        F.col("p_partkey").cast("long").alias("src"),
+        (F.col("p_partkey") + 1).cast("long").alias("dst"),
+    )
+    cycle = spark.range(1).select(
+        F.lit(10_000_001).cast("long").alias("src"),
+        F.lit(10_000_002).cast("long").alias("dst"),
+    ).unionByName(
+        spark.range(1).select(
+            F.lit(10_000_002).cast("long").alias("src"),
+            F.lit(10_000_001).cast("long").alias("dst"),
+        )
+    )
+    return resolve_redirects(chain.unionByName(cycle), max_hops=8)
+
+
+def _pagerank_cte(iters: int = 5, damping: float = 0.85) -> str:
     """Chained-CTE power iteration — r{k} from r{k-1}, dangling mass as a
     scalar subquery, constants cast to DOUBLE so both engines do the same
-    float arithmetic."""
+    float arithmetic. Shared by the q52 (ranks) and q61 (budget
+    allocation) oracles."""
     d = f"CAST({damping} AS DOUBLE)"
     n = "(SELECT n FROM nn)"
     parts = [
@@ -1022,9 +1070,13 @@ def _pagerank_oracle(iters: int = 5, damping: float = 0.85) -> str:
             f" FROM {p} JOIN deg ON {p}.node = deg.src JOIN e ON e.src = {p}.node"
             f" GROUP BY e.dst) c ON nd.node = c.node)"
         )
+    return ",\n".join(parts) + "\n"
+
+
+def _pagerank_oracle(iters: int = 5, damping: float = 0.85) -> str:
     return (
-        ",\n".join(parts)
-        + f'\nSELECT node, ROUND(r, 6) AS "rank" FROM r{iters}'
+        _pagerank_cte(iters, damping)
+        + f'SELECT node, ROUND(r, 6) AS "rank" FROM r{iters}'
     )
 
 
@@ -1155,6 +1207,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_skew_profile": q58_skew_profile,
         "q59_lm_xent": q59_lm_xent,
         "q60_canonical_docs": q60_canonical_docs,
+        "q61_budget_allocation": q61_budget_allocation,
+        "q62_redirect_resolve": q62_redirect_resolve,
     }
 
 
@@ -1529,6 +1583,38 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY cnt.doc_id, tot.n
         """,
         "q52_pagerank": _pagerank_oracle(iters=5, damping=0.85),
+        "q61_budget_allocation": _pagerank_cte(iters=5, damping=0.85) + """
+            SELECT node AS host,
+                   CAST(least(greatest(
+                     CAST(floor(10000 * r / (SELECT SUM(r) FROM r5)) AS INTEGER),
+                     5), 500) AS INTEGER) AS budget_per_batch
+            FROM r5
+        """,
+        "q62_redirect_resolve": """
+            WITH RECURSIVE redirects AS (
+              SELECT CAST(p_partkey AS BIGINT) AS src,
+                     CAST(p_partkey + 1 AS BIGINT) AS dst
+              FROM part WHERE p_partkey % 8 < 5
+              UNION ALL SELECT 10000001, 10000002
+              UNION ALL SELECT 10000002, 10000001
+            ), heads AS (
+              SELECT DISTINCT src FROM redirects
+            ), walk(src, cur, hops) AS (
+              SELECT src, dst, CAST(1 AS BIGINT) FROM redirects
+              UNION ALL
+              SELECT w.src, r.dst, w.hops + 1
+              FROM walk w JOIN redirects r ON r.src = w.cur
+              WHERE w.hops < 8
+            ), last AS (
+              SELECT src, cur, hops,
+                     ROW_NUMBER() OVER (PARTITION BY src ORDER BY hops DESC) AS rn
+              FROM walk
+            )
+            SELECT l.src, l.cur AS final, l.hops,
+                   (h.src IS NULL) AS resolved
+            FROM last l LEFT JOIN heads h ON l.cur = h.src
+            WHERE l.rn = 1
+        """,
         "q53_tfidf_topterms": """
             WITH terms AS (
               SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS term

@@ -94,6 +94,37 @@ def pagerank(
     return ranks
 
 
+def allocate_budgets(
+    ranks: DataFrame,
+    total_budget: int,
+    min_budget: int = 1,
+    max_budget: int = 1_000,
+) -> DataFrame:
+    """Turn importance scores into the politeness drain's per-host budgets:
+
+      (host, budget_per_batch) with budget = clamp(floor(total * rank /
+      sum(rank)), min_budget, max_budget)
+
+    — proportional-to-rank with a floor (every known host makes progress)
+    and a cap (no host monopolizes a batch, whatever its rank). Clamping
+    can leave part of `total_budget` unspent rather than iterating a
+    water-filling redistribution: budgets are per-BATCH, so the slack rolls
+    into the next micro-batch for free. The rank sum enters as a 1-row
+    aggregate crossJoin-broadcast; output is host-cardinality and feeds
+    politeness.topk_per_host(host_budgets=...) as a broadcast join."""
+    s = ranks.agg(F.sum("rank").alias("_s"))
+    return ranks.crossJoin(F.broadcast(s)).select(
+        F.col("node").alias("host"),
+        F.least(
+            F.greatest(
+                F.floor(total_budget * F.col("rank") / F.col("_s")).cast("int"),
+                F.lit(min_budget),
+            ),
+            F.lit(max_budget),
+        ).alias("budget_per_batch"),
+    )
+
+
 def frontier_priority(
     frontier: DataFrame, ranks: DataFrame, host_col: str = "host_hash64", floor: float = 0.0
 ) -> DataFrame:
