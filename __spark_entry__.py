@@ -1044,6 +1044,44 @@ def q62_redirect_resolve(spark, sf_dir):
     return resolve_redirects(chain.unionByName(cycle), max_hops=8)
 
 
+def q63_crawl_delay_budget(spark, sf_dir):
+    """Robots-compliant politeness budgets (operators/robots.
+    parse_crawl_delay + budgets_from_crawl_delay): per-host Crawl-delay
+    extracted with the same User-agent group fold as the disallow rules
+    (wrong-agent delays ignored, first active declaration wins, fractional
+    values), then budget_per_batch = floor(batch_seconds/delay) clamped.
+    Hosts without a declared delay default to 1s."""
+    from gc_spark.operators.robots import budgets_from_crawl_delay, parse_crawl_delay
+
+    n = _t(spark, sf_dir, "nation")
+    host = F.concat(
+        F.lit("n"), F.col("n_nationkey").cast("string"), F.lit(".example.mil")
+    )
+    key = F.col("n_nationkey")
+    body = F.concat(
+        # wrong-agent group: its delay must be ignored
+        F.lit("User-agent: googlebot\nCrawl-delay: 99\nDisallow: /g/\n"),
+        F.lit("User-agent: *\nDisallow: /p/\n"),
+        F.when(
+            key % 3 == 0,
+            F.concat(
+                F.lit("Crawl-delay: "),
+                (F.lit(0.5) + (key % 4).cast("double")).cast("string"),
+                F.lit("\n"),
+            ),
+        ).otherwise(F.lit("")),
+        # a SECOND active group declaring a different delay: first wins
+        F.when(
+            key % 6 == 0,
+            F.lit("User-agent: *\nCrawl-delay: 30\n"),
+        ).otherwise(F.lit("")),
+    )
+    delays = parse_crawl_delay(n.select(host.alias("host"), body.alias("body")))
+    return budgets_from_crawl_delay(
+        delays, batch_seconds=60.0, max_budget=100, keep_delay=True
+    )
+
+
 def _pagerank_cte(iters: int = 5, damping: float = 0.85) -> str:
     """Chained-CTE power iteration — r{k} from r{k-1}, dangling mass as a
     scalar subquery, constants cast to DOUBLE so both engines do the same
@@ -1209,6 +1247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_canonical_docs": q60_canonical_docs,
         "q61_budget_allocation": q61_budget_allocation,
         "q62_redirect_resolve": q62_redirect_resolve,
+        "q63_crawl_delay_budget": q63_crawl_delay_budget,
     }
 
 
@@ -1718,6 +1757,55 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(n_rows / (SELECT t FROM total), 6) AS frac_of_total,
                    CAST(least(greatest(CAST(ceil(CAST(n_rows AS DOUBLE) / 500) AS INTEGER), 1), 8) AS INTEGER) AS salt_buckets
             FROM counts
+        """,
+        "q63_crawl_delay_budget": """
+            WITH r AS (
+              SELECT 'n' || CAST(n_nationkey AS VARCHAR) || '.example.mil' AS host,
+                     'User-agent: googlebot' || chr(10) || 'Crawl-delay: 99' || chr(10)
+                     || 'Disallow: /g/' || chr(10)
+                     || 'User-agent: *' || chr(10) || 'Disallow: /p/' || chr(10)
+                     || CASE WHEN n_nationkey % 3 = 0
+                             THEN 'Crawl-delay: ' || CAST(0.5 + (n_nationkey % 4) AS VARCHAR) || chr(10)
+                             ELSE '' END
+                     || CASE WHEN n_nationkey % 6 = 0
+                             THEN 'User-agent: *' || chr(10) || 'Crawl-delay: 30' || chr(10)
+                             ELSE '' END AS body
+              FROM nation
+            ), lines AS (
+              SELECT host,
+                     UNNEST(string_split_regex(body, chr(13) || '?' || chr(10))) AS l,
+                     generate_subscripts(string_split_regex(body, chr(13) || '?' || chr(10)), 1) AS i
+              FROM r
+            ), marked AS (
+              SELECT host, i,
+                     regexp_extract(l, '(?i)^\\s*user-agent\\s*:\\s*(\\S+)', 1) AS ua,
+                     regexp_extract(l, '(?i)^\\s*crawl-delay\\s*:\\s*([0-9.]+)', 1) AS cd
+              FROM lines
+            ), grp AS (
+              SELECT host, i, ua, cd,
+                     SUM(CASE WHEN ua <> '' AND NOT prev_ua THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY host ORDER BY i) AS gid
+              FROM (
+                  SELECT *, COALESCE(LAG(ua <> '') OVER (PARTITION BY host ORDER BY i), FALSE) AS prev_ua
+                  FROM marked
+              )
+            ), active AS (
+              SELECT host, gid, bool_or(ua = '*') AS act
+              FROM grp WHERE ua <> '' GROUP BY host, gid
+            ), firstcd AS (
+              SELECT host, CAST(cd AS DOUBLE) AS crawl_delay FROM (
+                SELECT g.host, g.cd,
+                       ROW_NUMBER() OVER (PARTITION BY g.host ORDER BY g.i) AS rn
+                FROM grp g JOIN active a ON a.host = g.host AND a.gid = g.gid
+                WHERE g.ua = '' AND g.cd <> '' AND a.act
+              ) WHERE rn = 1
+            )
+            SELECT h.host, f.crawl_delay,
+                   CAST(least(greatest(
+                     CAST(floor(60.0 / COALESCE(f.crawl_delay, 1.0)) AS INTEGER),
+                     1), 100) AS INTEGER) AS budget_per_batch
+            FROM (SELECT DISTINCT host FROM r) h
+            LEFT JOIN firstcd f ON h.host = f.host
         """,
         "q46_repetition_flags": """
             WITH t AS (
