@@ -1082,6 +1082,29 @@ def q63_crawl_delay_budget(spark, sf_dir):
     )
 
 
+def q64_inverted_index(spark, sf_dir):
+    """Search-index sink: positional inverted index over the corpus
+    (operators/inverted.inverted_index) — one (term, doc) shuffle, postings
+    rendered as deterministic sorted bytes; segments=1 keeps the
+    oracle-comparable single-row-per-term form (production partitions by
+    hash(doc) segment, Lucene-style)."""
+    from gc_spark.operators.inverted import inverted_index
+
+    d = _t_wide(spark, sf_dir, "documents")
+    return inverted_index(d)
+
+
+def q65_bigram_pmi(spark, sf_dir):
+    """Collocation extraction: PMI over adjacent token pairs
+    (operators/collocations.bigram_pmi) — phrase discovery for the
+    tokenizer/vocab step; unigram table broadcast onto the min_count-
+    filtered candidates, totals as 1-row broadcasts."""
+    from gc_spark.operators.collocations import bigram_pmi
+
+    d = _t_wide(spark, sf_dir, "documents")
+    return bigram_pmi(d, min_count=5)
+
+
 def _pagerank_cte(iters: int = 5, damping: float = 0.85) -> str:
     """Chained-CTE power iteration — r{k} from r{k-1}, dangling mass as a
     scalar subquery, constants cast to DOUBLE so both engines do the same
@@ -1248,6 +1271,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_budget_allocation": q61_budget_allocation,
         "q62_redirect_resolve": q62_redirect_resolve,
         "q63_crawl_delay_budget": q63_crawl_delay_budget,
+        "q64_inverted_index": q64_inverted_index,
+        "q65_bigram_pmi": q65_bigram_pmi,
     }
 
 
@@ -1806,6 +1831,46 @@ def oracle_sql() -> dict[str, str]:
                      1), 100) AS INTEGER) AS budget_per_batch
             FROM (SELECT DISTINCT host FROM r) h
             LEFT JOIN firstcd f ON h.host = f.host
+        """,
+        "q64_inverted_index": """
+            WITH toks AS (
+              SELECT doc_id,
+                     UNNEST(string_split_regex(trim(text), '\\s+')) AS term,
+                     generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) - 1 AS pos
+              FROM documents
+            ), perdoc AS (
+              SELECT term, doc_id, list_sort(list(pos)) AS plist
+              FROM toks GROUP BY term, doc_id
+            )
+            SELECT term, COUNT(*) AS doc_freq,
+                   string_agg(CAST(doc_id AS VARCHAR) || ':' || array_to_string(plist, '|'),
+                              ',' ORDER BY doc_id) AS postings
+            FROM perdoc GROUP BY term
+        """,
+        "q65_bigram_pmi": """
+            WITH toks AS (
+              SELECT UNNEST(string_split_regex(trim(text), '\\s+')) AS w FROM documents
+            ), uni AS (
+              SELECT w, CAST(COUNT(*) AS DOUBLE) AS c FROM toks GROUP BY w
+            ), tu AS (
+              SELECT SUM(c) AS tu FROM uni
+            ), grams AS (
+              SELECT UNNEST(list_transform(
+                       range(1, greatest(len(t) - 1, 1) + 1),
+                       i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS g
+              FROM (SELECT string_split_regex(trim(text), '\\s+') AS t FROM documents)
+            ), big AS (
+              SELECT g, CAST(COUNT(*) AS DOUBLE) AS n FROM grams GROUP BY g
+            ), tb AS (
+              SELECT SUM(n) AS tb FROM big
+            ), cand AS (
+              SELECT string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2, n
+              FROM big WHERE n >= 5
+            )
+            SELECT w1, w2, CAST(n AS BIGINT) AS n,
+                   ROUND(ln((n / (SELECT tb FROM tb))
+                         / ((u1.c / (SELECT tu FROM tu)) * (u2.c / (SELECT tu FROM tu)))), 6) AS pmi
+            FROM cand JOIN uni u1 ON cand.w1 = u1.w JOIN uni u2 ON cand.w2 = u2.w
         """,
         "q46_repetition_flags": """
             WITH t AS (

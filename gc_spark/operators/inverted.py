@@ -1,0 +1,67 @@
+"""Inverted-index construction — term -> positional posting lists.
+
+The reference's crawl output feeds the GAMECHANGER search indexer
+(manifest.json + downloaded docs are its input contract); this operator is
+the Spark-native version of that downstream step, so a consumer can build
+the searchable index in the same job that crawled the corpus.
+
+Shape:
+  - (term, doc, positions) from one posexplode over the token stream —
+    the ONLY corpus-sized shuffle, keyed (term, doc_id) with map-side
+    combine;
+  - per-term postings aggregate over the already term-partitioned frame:
+    Spark keeps the (term, doc) partitioning compatible (term is a prefix
+    of the key), so the second groupBy reuses the shuffle in AQE;
+  - hot terms (stopwords) make giant posting rows — production segments
+    the index like Lucene does: write with .write.partitionBy(segment)
+    where segment = hash(doc_id) % S, giving S bounded per-term rows that
+    merge at query time; the segment column is plumbed here, S=1 keeps the
+    oracle-comparable single-row form.
+
+Postings are rendered "doc:pos|pos,..." sorted by doc then position —
+deterministic bytes both engines can reproduce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    segments: int = 1,
+) -> DataFrame:
+    """(term, doc_freq, postings[, segment]) — positional inverted index.
+    Positions are 0-based token offsets within the document."""
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("pos", "term"),
+    )
+    if segments > 1:
+        toks = toks.withColumn(
+            "segment", F.pmod(F.xxhash64(F.col(id_col)), F.lit(segments)).cast("int")
+        )
+        seg_cols = ["segment"]
+    else:
+        seg_cols = []
+
+    per_doc = toks.groupBy(*seg_cols, "term", id_col).agg(
+        F.sort_array(F.collect_list("pos")).alias("_plist")
+    )
+    entry = F.concat(
+        F.col(id_col).cast("string"),
+        F.lit(":"),
+        F.array_join(F.transform("_plist", lambda p: p.cast("string")), "|"),
+    )
+    return per_doc.groupBy(*seg_cols, "term").agg(
+        F.count("*").cast("long").alias("doc_freq"),
+        F.array_join(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col).alias("d"), entry.alias("e")))
+            ).getField("e"),
+            ",",
+        ).alias("postings"),
+    )
