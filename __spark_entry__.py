@@ -1105,6 +1105,25 @@ def q65_bigram_pmi(spark, sf_dir):
     return bigram_pmi(d, min_count=5)
 
 
+def q66_cdc_chunks(spark, sf_dir):
+    """Delta-storage primitive: content-defined chunking (functions/text.
+    cdc_chunks_col, rsync/LBFS lineage) — cut points wherever the 8-char
+    window hash % 32 == 0, so an edit shifts only the chunks it touches;
+    recrawl storage keeps chunk hashes per URL and re-uploads only new
+    ones. Emits per-doc chunk count + the portable chunk-hash bytes."""
+    from gc_spark.functions.text import cdc_chunks_col
+
+    d = _t_wide(spark, sf_dir, "documents")
+    ch = cdc_chunks_col(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(ch).alias("n_chunks"),
+        F.array_join(
+            F.transform(ch, lambda x: x["chunk_sha"].cast("string")), ","
+        ).alias("chunk_shas"),
+    )
+
+
 def _pagerank_cte(iters: int = 5, damping: float = 0.85) -> str:
     """Chained-CTE power iteration — r{k} from r{k-1}, dangling mass as a
     scalar subquery, constants cast to DOUBLE so both engines do the same
@@ -1273,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_crawl_delay_budget": q63_crawl_delay_budget,
         "q64_inverted_index": q64_inverted_index,
         "q65_bigram_pmi": q65_bigram_pmi,
+        "q66_cdc_chunks": q66_cdc_chunks,
     }
 
 
@@ -1871,6 +1891,27 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(ln((n / (SELECT tb FROM tb))
                          / ((u1.c / (SELECT tu FROM tu)) * (u2.c / (SELECT tu FROM tu)))), 6) AS pmi
             FROM cand JOIN uni u1 ON cand.w1 = u1.w JOIN uni u2 ON cand.w2 = u2.w
+        """,
+        "q66_cdc_chunks": """
+            WITH b AS (
+              SELECT doc_id, text, len(text) AS n,
+                     list_filter(
+                       range(2, greatest(len(text) - 7, 2) + 1),
+                       i -> i <= len(text) - 7
+                            AND CAST('0x' || substr(sha256(substr(text, i, 8)), 1, 15) AS BIGINT) % 32 = 0
+                     ) AS bnds
+              FROM documents
+            ), c AS (
+              SELECT doc_id, text,
+                     list_concat(list_concat([1], bnds), [n + 1]) AS cuts
+              FROM b
+            )
+            SELECT doc_id,
+                   CAST(len(cuts) - 1 AS INTEGER) AS n_chunks,
+                   array_to_string(list_transform(range(1, len(cuts)), j ->
+                     CAST(CAST('0x' || substr(sha256(substr(text, cuts[j], cuts[j + 1] - cuts[j])), 1, 15) AS BIGINT) AS VARCHAR)
+                   ), ',') AS chunk_shas
+            FROM c
         """,
         "q46_repetition_flags": """
             WITH t AS (

@@ -217,6 +217,41 @@ def _sha60_local(col: Column) -> Column:
     return F.conv(F.substring(F.sha2(col, 256), 1, 15), 16, 10).cast("long")
 
 
+def cdc_chunks_col(col: Column, w: int = 8, divisor: int = 32) -> Column:
+    """Content-defined chunking (basic Rabin-style CDC): cut the text
+    wherever the hash of the w-char window starting there is divisible by
+    `divisor` (expected chunk ~`divisor` chars). Because boundaries depend
+    on CONTENT, an insertion shifts only the chunks it touches — unlike
+    fixed-width chunking where one inserted byte re-keys every later chunk.
+    That is the delta-storage primitive for recrawls: store chunk hashes
+    per URL, and a changed page re-uploads only the chunks whose hashes are
+    new (rsync/LBFS lineage; the version-hash C7 kernel detects THAT a page
+    changed, this bounds the bytes stored for HOW it changed).
+
+    Returns array<struct<start:int, chunk_sha:long>> — 1-based chunk start
+    offsets and the portable 60-bit hash of each chunk's bytes. Pure
+    map-side array expressions (one sha256 per window + one per chunk),
+    same scan-riding shape as winnowing."""
+    n = F.length(col)
+    pos = F.sequence(F.lit(2), F.greatest(n - (w - 1), F.lit(2)))
+    bnds = F.filter(
+        pos,
+        # full windows only: a text shorter than w has no cut candidates
+        lambda i: (i <= n - (w - 1))
+        & (_sha60_local(col.substr(i, F.lit(w))) % divisor == 0),
+    )
+    cuts = F.concat(F.array(F.lit(1)), bnds, F.array(n + 1))
+    return F.transform(
+        F.sequence(F.lit(1), F.size(cuts) - 1),
+        lambda j: F.struct(
+            cuts[j - 1].cast("int").alias("start"),
+            _sha60_local(
+                col.substr(cuts[j - 1], cuts[j] - cuts[j - 1])
+            ).alias("chunk_sha"),
+        ),
+    )
+
+
 def winnow_fingerprints_col(col: Column, k: int = 8, w: int = 4) -> Column:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
     algorithm): hash every character k-gram, slide a window of w hashes,
