@@ -115,12 +115,31 @@ def bpe_ish_tokens_col(col: Column) -> Column:
     return F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0)
 
 
+def bind_once(arr: Column, f) -> Column:
+    """Let-binding for array expressions: evaluate `arr` ONCE per row and
+    pass the bound value to `f`. Spark's higher-order functions are
+    interpreted (CodegenFallback) and re-evaluate any non-lambda-variable
+    subtree on EVERY element access — referencing an O(len) array (or
+    worse, an array of sha256s) inside a transform/filter lambda turns a
+    linear kernel into a quadratic one (measured: winnowing 99.7 s -> 1.8 s
+    at sf0.1). Lambda ARGUMENTS are bound values, so wrapping the array in
+    a 1-element outer array and transforming over it gives the binding:
+    transform(array(arr), x -> f(x))[0]."""
+    return F.transform(F.array(arr), f)[0]
+
+
 def word_ngrams_col(col: Column, n: int) -> Column:
     """Word n-gram array (native; shares the shingle shape of
-    operators/text_dedup._shingles but parameterized on n)."""
+    operators/text_dedup._shingles but parameterized on n). Token array
+    bound once (bind_once) so each n-gram slice is O(n), not a re-split."""
     toks = F.split(F.trim(col), r"\s+")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
-    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return bind_once(
+        toks,
+        lambda t: F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice(t, i, n), " "),
+        ),
+    )
 
 
 def top_ngram_frac_col(col: Column, n: int) -> Column:
@@ -196,18 +215,20 @@ def char_entropy_col(col: Column) -> Column:
     is O(alphabet × len) — alphabet-bounded (≤ a few hundred for text), so
     it stays a pure map-side array expression riding the same scan as every
     other per-doc metric; no shuffle, no Python."""
-    chars = F.filter(F.split(col, ""), lambda c: c != "")
-    n = F.size(chars)
-    counts = F.transform(
-        F.array_distinct(chars),
-        lambda d: F.size(F.filter(chars, lambda c: c == d)),
-    )
-    sum_clogc = F.aggregate(
-        counts,
-        F.lit(0.0),
-        lambda acc, c: acc + c.cast("double") * F.log2(c.cast("double")),
-    )
-    return F.log2(n.cast("double")) - sum_clogc / n
+    def _h(ch: Column) -> Column:
+        n = F.size(ch)
+        counts = F.transform(
+            F.array_distinct(ch),
+            lambda d: F.size(F.filter(ch, lambda c: c == d)),
+        )
+        sum_clogc = F.aggregate(
+            counts,
+            F.lit(0.0),
+            lambda acc, c: acc + c.cast("double") * F.log2(c.cast("double")),
+        )
+        return F.log2(n.cast("double")) - sum_clogc / n
+
+    return bind_once(F.filter(F.split(col, ""), lambda c: c != ""), _h)
 
 
 def _sha60_local(col: Column) -> Column:
@@ -240,14 +261,21 @@ def cdc_chunks_col(col: Column, w: int = 8, divisor: int = 32) -> Column:
         lambda i: (i <= n - (w - 1))
         & (_sha60_local(col.substr(i, F.lit(w))) % divisor == 0),
     )
-    cuts = F.concat(F.array(F.lit(1)), bnds, F.array(n + 1))
-    return F.transform(
-        F.sequence(F.lit(1), F.size(cuts) - 1),
-        lambda j: F.struct(
-            cuts[j - 1].cast("int").alias("start"),
-            _sha60_local(
-                col.substr(cuts[j - 1], cuts[j] - cuts[j - 1])
-            ).alias("chunk_sha"),
+    # bind the cut array ONCE: indexing `cuts` inside the chunk lambda
+    # would re-run the boundary filter (one sha256 per window) per chunk
+    return bind_once(
+        F.concat(F.array(F.lit(1)), bnds, F.array(n + 1)),
+        lambda cuts: F.transform(
+            F.sequence(F.lit(1), F.size(cuts) - 1),
+            lambda j: F.struct(
+                F.element_at(cuts, j).cast("int").alias("start"),
+                _sha60_local(
+                    col.substr(
+                        F.element_at(cuts, j),
+                        F.element_at(cuts, j + 1) - F.element_at(cuts, j),
+                    )
+                ).alias("chunk_sha"),
+            ),
         ),
     )
 
@@ -266,10 +294,13 @@ def winnow_fingerprints_col(col: Column, k: int = 8, w: int = 4) -> Column:
         F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
         lambda i: col.substr(i, F.lit(k)),
     )
-    hashes = F.transform(grams, _sha60_local)
-    m = F.size(hashes)
-    wins = F.transform(
-        F.sequence(F.lit(1), F.greatest(m - (w - 1), F.lit(1))),
-        lambda j: F.array_min(F.slice(hashes, j, w)),
+    # bind the hash array ONCE: referencing it inside the window lambda
+    # would recompute every k-gram sha256 per window — O(len^2) hashes
+    wins = bind_once(
+        F.transform(grams, _sha60_local),
+        lambda h: F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(h) - (w - 1), F.lit(1))),
+            lambda j: F.array_min(F.slice(h, j, w)),
+        ),
     )
     return F.array_sort(F.array_distinct(wins))

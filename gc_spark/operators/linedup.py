@@ -38,12 +38,20 @@ def chunk_lines_col(col: Column, words_per_line: int = 8) -> Column:
     consecutive groups of `words_per_line` whitespace-split words, re-joined
     with single spaces. The last chunk may be short. DuckDB twin:
     list_transform(range(...), i -> array_to_string(list_slice(w, ...)))."""
-    toks = F.split(F.trim(col), r"\s+")
-    n_chunks = F.ceil(F.size(toks).cast("double") / words_per_line).cast("int")
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i * words_per_line + 1, words_per_line), " "),
-    )
+    from gc_spark.functions.text import bind_once
+
+    def _chunks(t: Column) -> Column:
+        n_chunks = F.ceil(F.size(t).cast("double") / words_per_line).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+            lambda i: F.array_join(
+                F.slice(t, i * words_per_line + 1, words_per_line), " "
+            ),
+        )
+
+    # token array bound once — HOF lambdas re-evaluate captured subtrees
+    # per element (functions/text.bind_once)
+    return bind_once(F.split(F.trim(col), r"\s+"), _chunks)
 
 
 def split_lines_col(col: Column, delim: str = r"\n") -> Column:

@@ -39,12 +39,20 @@ def sha60_col(col) -> "F.Column":
 
 
 def _shingles(text_col) -> "F.Column":
-    """Word 3-gram shingles as an array column (native)."""
-    toks = F.split(F.trim(text_col), r"\s+")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (SHINGLE_WORDS - 1), F.lit(1)))
-    return F.transform(
-        idx, lambda i: F.array_join(F.slice(toks, i, SHINGLE_WORDS), " ")
+    """Word 3-gram shingles as an array column (native). Token array bound
+    once (functions/text.bind_once) — HOF lambdas re-evaluate captured
+    subtrees per element, so an unbound `toks` re-splits the text per
+    shingle."""
+    from gc_spark.functions.text import bind_once
+
+    return bind_once(
+        F.split(F.trim(text_col), r"\s+"),
+        lambda t: F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(t) - (SHINGLE_WORDS - 1), F.lit(1))
+            ),
+            lambda i: F.array_join(F.slice(t, i, SHINGLE_WORDS), " "),
+        ),
     )
 
 
