@@ -243,16 +243,24 @@ def bench_queries(spark) -> dict:
             # janino/C2 compilation on first execution — a fixed cost that
             # amortizes to zero over real 100 TB inputs); the timed pass
             # measures steady-state execution
+            # min of 2 timed passes: this host shows intermittent 3-30x
+            # ambient spikes (a single 42s reading of a 1.5s query was
+            # recorded once) — one spike must not poison the per-query row
+            times = []
             if name in ITERATIVE:
                 fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-                t0 = time.time()
-                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                for _ in range(2):
+                    t0 = time.time()
+                    fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                    times.append(time.time() - t0)
             else:
                 df = fn(spark, SF_DIR)
                 df.write.format("noop").mode("overwrite").save()
-                t0 = time.time()
-                df.write.format("noop").mode("overwrite").save()
-            out[name] = round(time.time() - t0, 3)
+                for _ in range(2):
+                    t0 = time.time()
+                    df.write.format("noop").mode("overwrite").save()
+                    times.append(time.time() - t0)
+            out[name] = round(min(times), 3)
         except Exception as e:  # pragma: no cover
             out[name] = f"ERROR: {type(e).__name__}"
     return out
