@@ -1124,6 +1124,17 @@ def q66_cdc_chunks(spark, sf_dir):
     )
 
 
+def q67_length_buckets(spark, sf_dir):
+    """Curriculum/mixing assignment: quartile buckets of document length
+    (operators/sampling.quantile_buckets) — exact-percentile cutpoints
+    broadcast onto a map-only corpus pass instead of a global-sort ntile;
+    t-digest approx_percentile is the documented 10^10 swap-in."""
+    from gc_spark.operators.sampling import quantile_buckets
+
+    d = _t(spark, sf_dir, "documents")
+    return quantile_buckets(d, "n_chars").select("doc_id", "n_chars", "bucket")
+
+
 def _pagerank_cte(iters: int = 5, damping: float = 0.85) -> str:
     """Chained-CTE power iteration — r{k} from r{k-1}, dangling mass as a
     scalar subquery, constants cast to DOUBLE so both engines do the same
@@ -1293,6 +1304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_inverted_index": q64_inverted_index,
         "q65_bigram_pmi": q65_bigram_pmi,
         "q66_cdc_chunks": q66_cdc_chunks,
+        "q67_length_buckets": q67_length_buckets,
     }
 
 
@@ -1912,6 +1924,19 @@ def oracle_sql() -> dict[str, str]:
                      CAST(CAST('0x' || substr(sha256(substr(text, cuts[j], cuts[j + 1] - cuts[j])), 1, 15) AS BIGINT) AS VARCHAR)
                    ), ',') AS chunk_shas
             FROM c
+        """,
+        "q67_length_buckets": """
+            WITH cuts AS (
+              SELECT quantile_cont(n_chars, 0.25) AS q0,
+                     quantile_cont(n_chars, 0.5) AS q1,
+                     quantile_cont(n_chars, 0.75) AS q2
+              FROM documents
+            )
+            SELECT doc_id, n_chars,
+                   1 + CAST(n_chars > (SELECT q0 FROM cuts) AS INTEGER)
+                     + CAST(n_chars > (SELECT q1 FROM cuts) AS INTEGER)
+                     + CAST(n_chars > (SELECT q2 FROM cuts) AS INTEGER) AS bucket
+            FROM documents
         """,
         "q46_repetition_flags": """
             WITH t AS (

@@ -53,6 +53,37 @@ def stratified_sample(
     )
 
 
+def quantile_buckets(
+    df: DataFrame,
+    value_col: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Assign each row to a quantile bucket of `value_col` (1..len(probs)+1)
+    — the curriculum/mixing assignment step (e.g. length-balanced batch
+    composition). NOT ntile: a global ntile needs a total ordering of the
+    corpus through one reducer. Instead the cutpoints are computed once by
+    an exact-percentile aggregate (q45's verifier kernel; swap in
+    approx_percentile's t-digest at 10^10 rows) and broadcast back — the
+    corpus-sized side stays map-only. Bucket = 1 + #cutpoints strictly
+    below the value, so rows equal to a cutpoint land in the lower bucket
+    on both engines."""
+    cuts = df.agg(
+        *[
+            F.expr(f"percentile({value_col}, {p})").alias(f"_q{i}")
+            for i, p in enumerate(probs)
+        ]
+    )
+    bucket = F.lit(1)
+    for i in range(len(probs)):
+        bucket = bucket + (F.col(value_col) > F.col(f"_q{i}")).cast("int")
+    return (
+        df.crossJoin(F.broadcast(cuts))
+        .withColumn(out_col, bucket)
+        .drop(*[f"_q{i}" for i in range(len(probs))])
+    )
+
+
 def reservoir_topk(
     df: DataFrame,
     strata_cols: list[str],

@@ -110,3 +110,31 @@ class TestTfidf:
         df = spark.createDataFrame([(1, "b a")], ["doc_id", "text"])
         rows = tfidf_top_terms(df, k=2).orderBy("term_rank").collect()
         assert [r["term"] for r in rows] == ["a", "b"]
+
+
+class TestQuantileBuckets:
+    def test_quartiles_balanced_and_ordered(self, spark):
+        from gc_spark.operators.sampling import quantile_buckets
+
+        df = spark.range(1000).select(
+            F.col("id").alias("doc_id"), (F.col("id") % 997).alias("v")
+        )
+        out = quantile_buckets(df, "v")
+        counts = {
+            r["bucket"]: r["n"]
+            for r in out.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+        }
+        assert set(counts) == {1, 2, 3, 4}
+        assert all(abs(n - 250) <= 10 for n in counts.values())
+        # monotone: every bucket-1 value < every bucket-4 value
+        mx1 = out.filter("bucket = 1").agg(F.max("v")).first()[0]
+        mn4 = out.filter("bucket = 4").agg(F.min("v")).first()[0]
+        assert mx1 < mn4
+
+    def test_value_equal_to_cutpoint_goes_low(self, spark):
+        from gc_spark.operators.sampling import quantile_buckets
+
+        df = spark.createDataFrame([(i, v) for i, v in enumerate([1, 2, 3])], ["doc_id", "v"])
+        out = {r["doc_id"]: r["bucket"] for r in quantile_buckets(df, "v", probs=(0.5,)).collect()}
+        # median is 2; the row equal to it stays in bucket 1
+        assert out == {0: 1, 1: 1, 2: 2}
