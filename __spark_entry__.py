@@ -1135,6 +1135,52 @@ def q67_length_buckets(spark, sf_dir):
     return quantile_buckets(d, "n_chars").select("doc_id", "n_chars", "bucket")
 
 
+def q68_bpe_merges(spark, sf_dir):
+    """Tokenizer-vocabulary induction: 3 rounds of word-level BPE merge
+    learning (operators/bpe.learn_bpe_merges) — per round, the most
+    frequent adjacent pair (deterministic tie-break) is merged corpus-wide
+    via an engine-portable padded-space substring replace; each round's
+    corpus sha256 pins the rewrite byte-for-byte. Top pair enters the
+    rewrite as a 1-row broadcast, never a collect."""
+    from gc_spark.operators.bpe import learn_bpe_merges
+
+    d = _t_wide(spark, sf_dir, "documents")
+    return learn_bpe_merges(d, rounds=3)
+
+
+def _bpe_oracle(rounds: int = 3) -> str:
+    """Chained-CTE twin of learn_bpe_merges: pair counts -> top-1 ->
+    padded-space replace per round; corpus sha via ordered string_agg."""
+    parts = ["t0 AS (SELECT doc_id, text AS t FROM documents)"]
+    rows = []
+    for k in range(1, rounds + 1):
+        p = f"t{k - 1}"
+        parts.append(
+            f"p{k} AS (SELECT string_split(g, ' ')[1] AS w1,"
+            f" string_split(g, ' ')[2] AS w2, COUNT(*) AS n FROM ("
+            f" SELECT UNNEST(list_transform(range(1, greatest(len(tok) - 1, 1) + 1),"
+            f" i -> array_to_string(list_slice(tok, i, i + 1), ' '))) AS g"
+            f" FROM (SELECT string_split_regex(trim(t), '\\s+') AS tok FROM {p})"
+            f" ) WHERE contains(g, ' ') GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"top{k} AS (SELECT w1, w2, n FROM p{k}"
+            f" ORDER BY n DESC, w1 ASC, w2 ASC LIMIT 1)"
+        )
+        parts.append(
+            f"t{k} AS (SELECT doc_id, trim(replace(' ' || t || ' ',"
+            f" ' ' || (SELECT w1 FROM top{k}) || ' ' || (SELECT w2 FROM top{k}) || ' ',"
+            f" ' ' || (SELECT w1 FROM top{k}) || '+' || (SELECT w2 FROM top{k}) || ' '))"
+            f" AS t FROM {p})"
+        )
+        rows.append(
+            f'SELECT {k} AS "round", w1, w2, n,'
+            f" (SELECT sha256(string_agg(t, chr(1) ORDER BY doc_id)) FROM t{k})"
+            f" AS corpus_sha FROM top{k}"
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(rows)
+
+
 def _pagerank_cte(iters: int = 5, damping: float = 0.85) -> str:
     """Chained-CTE power iteration — r{k} from r{k-1}, dangling mass as a
     scalar subquery, constants cast to DOUBLE so both engines do the same
@@ -1305,6 +1351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_bigram_pmi": q65_bigram_pmi,
         "q66_cdc_chunks": q66_cdc_chunks,
         "q67_length_buckets": q67_length_buckets,
+        "q68_bpe_merges": q68_bpe_merges,
     }
 
 
@@ -1679,6 +1726,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY cnt.doc_id, tot.n
         """,
         "q52_pagerank": _pagerank_oracle(iters=5, damping=0.85),
+        "q68_bpe_merges": _bpe_oracle(rounds=3),
         "q61_budget_allocation": _pagerank_cte(iters=5, damping=0.85) + """
             SELECT node AS host,
                    CAST(least(greatest(

@@ -235,6 +235,7 @@ def bench_queries(spark) -> dict:
         "q39_connected_components",
         "q52_pagerank",  # per-round lazy localCheckpoints
         "q60_canonical_docs",  # dup_clusters convergence loop inside
+        "q68_bpe_merges",  # per-round merge loop with checkpoints
     }
     for name, fn in entry.queries().items():
         try:

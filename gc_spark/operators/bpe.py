@@ -1,0 +1,125 @@
+"""BPE merge induction — learning a tokenizer vocabulary from the corpus.
+
+Byte-pair encoding (Sennrich et al. 2016) builds a tokenizer by repeatedly
+merging the most frequent adjacent token pair. functions/text.
+bpe_ish_tokens_col applies a FIXED pre-tokenization; this operator runs the
+LEARNING loop — the corpus-level step an LLM data pipeline executes once
+per tokenizer release.
+
+Word-level variant (merges whitespace-separated tokens, joiner '+'):
+  round k: count adjacent pairs over the current corpus -> pick the top
+  pair (count desc, then lexicographic — fully deterministic) -> rewrite
+  the corpus replacing ' w1 w2 ' with ' w1+w2 ' on space-padded text.
+
+Portability contract: the rewrite is a PLAIN substring replace (no regex),
+and both Spark's `replace` and DuckDB's `replace` substitute
+non-overlapping occurrences left-to-right — so a run like "a a a" merges
+greedily-leftmost identically on both engines, and the whole loop is
+oracle-checkable round by round.
+
+Scale shape per round: one pair-count groupBy (map-side combined,
+vocabulary²-bounded output), a 1-row top-pair broadcast back onto the
+corpus (crossJoin — no collect), and a map-only rewrite. k rounds = k
+shuffles of vocabulary-sized data; the corpus itself never shuffles. The
+per-round corpus sha is the audit artifact (proves byte-identical rewrites
+across engines); drop it in production.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gc_spark.functions.text import word_ngrams_col
+
+JOINER = "+"
+
+
+def _pair_counts(df: DataFrame, text_col: str) -> DataFrame:
+    grams = df.select(F.explode(word_ngrams_col(F.col(text_col), 2)).alias("g"))
+    return (
+        grams.filter(F.col("g").contains(" "))  # drop degenerate 1-token rows
+        .groupBy("g")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(
+            F.split("g", " ")[0].alias("w1"),
+            F.split("g", " ")[1].alias("w2"),
+            "n",
+        )
+    )
+
+
+def _corpus_sha(df: DataFrame, text_col: str, id_col: str):
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col(id_col).alias("i"), F.col(text_col).alias("t")))
+    )
+    return df.agg(
+        F.sha2(F.array_join(F.transform(ordered, lambda x: x["t"]), "\x01"), 256).alias(
+            "corpus_sha"
+        )
+    )
+
+
+def learn_bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rounds: int = 3,
+) -> DataFrame:
+    """(round, w1, w2, n, corpus_sha) — one row per merge round: the pair
+    merged, its pre-merge count, and the sha256 of the doc_id-ordered
+    corpus AFTER applying the merge. Deterministic by construction."""
+    spark = df.sparkSession
+    cur = df.select(F.col(id_col), F.col(text_col).alias("_t"))
+    out = None
+    for k in range(1, rounds + 1):
+        top = (
+            _pair_counts(cur, "_t")
+            .orderBy(F.desc("n"), F.asc("w1"), F.asc("w2"))
+            .limit(1)
+            .select(
+                F.col("w1").alias("_w1"), F.col("w2").alias("_w2"), F.col("n").alias("_n")
+            )
+        )
+        rewritten = (
+            cur.crossJoin(F.broadcast(top))
+            .select(
+                F.col(id_col),
+                F.expr(
+                    "trim(replace(concat(' ', _t, ' '),"
+                    " concat(' ', _w1, ' ', _w2, ' '),"
+                    f" concat(' ', _w1, '{JOINER}', _w2, ' ')))"
+                ).alias("_t"),
+                "_w1",
+                "_w2",
+                "_n",
+            )
+            .localCheckpoint(eager=False)
+        )
+        row = (
+            rewritten.groupBy("_w1", "_w2", "_n")
+            .agg(
+                F.sha2(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("_t").alias("t")))
+                            ),
+                            lambda x: x["t"],
+                        ),
+                        "\x01",
+                    ),
+                    256,
+                ).alias("corpus_sha")
+            )
+            .select(
+                F.lit(k).alias("round"),
+                F.col("_w1").alias("w1"),
+                F.col("_w2").alias("w2"),
+                F.col("_n").alias("n"),
+                "corpus_sha",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+        cur = rewritten.select(id_col, "_t")
+    return out
