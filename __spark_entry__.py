@@ -1148,6 +1148,242 @@ def q68_bpe_merges(spark, sf_dir):
     return learn_bpe_merges(d, rounds=3)
 
 
+def q69_hits(spark, sf_dir):
+    """Link-analysis twin of q52: HITS hubs & authorities (operators/hits.
+    hits) over the same 50-node host graph — 3 iterations, L1-normalized
+    each half-step, normalizing sums as 1-row broadcast aggregates (no
+    driver collects in the loop). Hub score ranks listing/index pages for
+    re-crawl frequency; authority ranks fetch priority."""
+    from gc_spark.operators.hits import hits
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        (F.col("user_id") % 50).alias("src"),
+        ((F.col("user_id") * 7 + F.col("event_id")) % 50).alias("dst"),
+    )
+    s = hits(edges, iters=3)
+    return s.select("node", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth"))
+
+
+def q70_semantic_dedup(spark, sf_dir):
+    """SemDeDup (similarity.semantic_dedup): cluster in embedding space
+    (deterministic 8 lowest-id seed centroids — Lloyd refinement is the
+    production swap-in, the seed assignment keeps the oracle exact), then
+    drop within-cluster cosine-dups keeping the lowest id. Planted dups as
+    in q20 (every 50th vector ×0.5 → cosine 1.0, same cell) so the prune
+    provably fires; oracle replicates assignment + drop rule row-for-row."""
+    from gc_spark.operators.similarity import semantic_dedup, train_ivf_centroids
+
+    em = _t_wide(spark, sf_dir, "embeddings")
+    planted = em.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(0.5)).alias("embedding"),
+    )
+    un = em.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    ).unionByName(planted)
+    cents = train_ivf_centroids(un, num_cells=8, iters=0)
+    return semantic_dedup(un, cents, threshold=0.9)
+
+
+def q71_gopher_quality(spark, sf_dir):
+    """Gopher-rule quality gate (functions/text.gopher_quality_cols): word
+    count / mean word length / symbol ratio / alpha fraction / stopword
+    floor, plus the conjunction flag — one codegen'd map pass, the
+    LLM-corpus filter you run before anything expensive."""
+    from gc_spark.functions.text import gopher_quality_cols
+
+    d = _t_wide(spark, sf_dir, "documents")
+    return d.select("doc_id", *gopher_quality_cols(F.col("text")))
+
+
+def q72_pack_offsets(spark, sf_dir):
+    """Training-window packing (operators/packing.pack_offsets): per-source
+    concat-and-chunk placement of every doc in its shard's 512-token
+    stream — prefix-sum window partitioned by source, one shuffle total.
+    Token count = whitespace words (the q12 convention)."""
+    from gc_spark.operators.packing import pack_offsets
+
+    d = _t_wide(spark, sf_dir, "documents")
+    toks = F.size(F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != ""))
+    return pack_offsets(d, ctx_len=512, stream_cols=["source"], order_col="doc_id", tokens_col=toks)
+
+
+_PACK_ORACLE = """
+    WITH t AS (
+      SELECT source, doc_id,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), o AS (
+      SELECT source, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS e
+      FROM t
+    )
+    SELECT source, doc_id, n_tokens,
+           e - n_tokens AS start_off,
+           CAST(floor((e - n_tokens) / 512.0) AS BIGINT) AS bin_first,
+           greatest(CAST(floor((e - 1) / 512.0) AS BIGINT),
+                    CAST(floor((e - n_tokens) / 512.0) AS BIGINT)) AS bin_last,
+           greatest(CAST(floor((e - 1) / 512.0) AS BIGINT),
+                    CAST(floor((e - n_tokens) / 512.0) AS BIGINT))
+             - CAST(floor((e - n_tokens) / 512.0) AS BIGINT) + 1 AS n_bins
+    FROM o
+"""
+
+
+def q73_span_coalesce(spark, sf_dir):
+    """Interleaved-span normalization (operators/spans.coalesce_text_spans):
+    runs of consecutive text spans merge into one maximal span (media spans
+    are boundaries), offsets renumbered densely — a pure per-row array
+    fold, zero shuffle. Coalescing the deterministic builder's chunks
+    reconstructs each contiguous text segment exactly."""
+    from gc_spark.operators.spans import (
+        build_interleaved_spans,
+        coalesce_text_spans,
+        flatten_spans,
+    )
+
+    d = _t_wide(spark, sf_dir, "documents")
+    return flatten_spans(coalesce_text_spans(build_interleaved_spans(d)))
+
+
+_SPAN_COALESCE_ORACLE = """
+    WITH base AS (
+      SELECT doc_id, text,
+             UNNEST(range(0, CAST(greatest(ceil(length(text) / 80.0), 1) AS BIGINT))) AS i
+      FROM documents
+    ), flat AS (
+      SELECT doc_id, CAST(i + i // 3 AS INT) AS span_offset, 'text' AS kind,
+             substring(text, CAST(i * 80 + 1 AS INT), 80) AS span_text,
+             CAST(NULL AS VARCHAR) AS media_ref
+      FROM base
+      UNION ALL
+      SELECT doc_id, CAST(i + i // 3 + 1 AS INT), 'media', CAST(NULL AS VARCHAR),
+             'blob://doc/' || CAST(doc_id AS VARCHAR) || '/' || CAST(i AS VARCHAR)
+      FROM base WHERE i % 3 = 2
+    ), lagged AS (
+      SELECT *, lag(kind) OVER (PARTITION BY doc_id ORDER BY span_offset) AS prev_kind
+      FROM flat
+    ), runs AS (
+      SELECT *, SUM(CASE WHEN kind = 'media' OR prev_kind IS NULL
+                           OR prev_kind = 'media' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY span_offset) AS grp
+      FROM lagged
+    )
+    SELECT doc_id, CAST(grp - 1 AS INT) AS span_offset, min(kind) AS kind,
+           CASE WHEN min(kind) = 'text'
+                THEN string_agg(span_text, '' ORDER BY span_offset) END AS span_text,
+           max(media_ref) AS media_ref
+    FROM runs GROUP BY doc_id, grp
+"""
+
+
+_GOPHER_ORACLE = """
+    WITH tk AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS toks
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             ROUND(list_sum(list_transform(toks, t -> CAST(length(t) AS DOUBLE)))
+                   / len(toks), 6) AS mean_word_len,
+             ROUND(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+                   / CAST(len(toks) AS DOUBLE), 6) AS alpha_frac,
+             CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+                                  s -> list_contains(toks, s))) AS INTEGER) AS stop_hits,
+             ROUND(((length(text) - length(replace(text, '#', '')))
+                    + (length(text) - length(replace(text, '...', ''))) / 3.0)
+                   / CAST(len(toks) AS DOUBLE), 6) AS symbol_ratio
+      FROM tk
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits, symbol_ratio,
+           (n_words BETWEEN 20 AND 100000
+            AND mean_word_len BETWEEN 3.0 AND 10.0
+            AND symbol_ratio < 0.1
+            AND alpha_frac > 0.8
+            AND stop_hits >= 2) AS quality_pass
+    FROM m
+"""
+
+
+def _semantic_dedup_oracle() -> str:
+    """Twin of q70: argmax-cosine assignment to the 8 lowest-id unit seeds
+    (ties → larger cell id, matching ivf_cell_col's struct array_max), then
+    drop b if some a < b in the same cell has round(cos, 6) >= 0.9."""
+    return """
+        WITH un AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+          UNION ALL
+          SELECT vec_id + 10000000,
+                 list_transform(CAST(embedding AS DOUBLE[]), x -> x * 0.5)
+          FROM embeddings WHERE vec_id % 50 = 0
+        ), cents AS (
+          SELECT vec_id AS c,
+                 list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS ce
+          FROM un WHERE vec_id < 8
+        ), unit AS (
+          SELECT vec_id,
+                 list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS u
+          FROM un
+        ), asg AS (
+          SELECT vec_id, u, c AS cell FROM (
+            SELECT vec_id, u, c,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY list_dot_product(u, ce) DESC, c DESC) AS rn
+            FROM unit CROSS JOIN cents
+          ) WHERE rn = 1
+        ), dropped AS (
+          SELECT DISTINCT b.vec_id
+          FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE ROUND(list_dot_product(a.u, b.u), 6) >= 0.9
+        )
+        SELECT asg.vec_id, cell
+        FROM asg LEFT JOIN dropped d ON asg.vec_id = d.vec_id
+        WHERE d.vec_id IS NULL
+    """
+
+
+def _hits_oracle(iters: int = 3) -> str:
+    """Chained-CTE twin of operators/hits.hits: per iteration an authority
+    half-step (sum of in-neighbor hubs, L1-normalized) then a hub half-step
+    (sum of out-neighbor auths, L1-normalized)."""
+    parts = [
+        "WITH e AS (SELECT DISTINCT user_id % 50 AS src,"
+        " (user_id * 7 + event_id) % 50 AS dst FROM events)",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
+        "h0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS h FROM nodes)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"h{k - 1}"
+        parts.append(
+            f"ar{k} AS (SELECT e.dst AS node, SUM({p}.h) AS a"
+            f" FROM e JOIN {p} ON {p}.node = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"a{k} AS (SELECT nd.node, COALESCE(ar.a, 0) /"
+            f" (SELECT COALESCE(SUM(a), 1) FROM ar{k}) AS a"
+            f" FROM nodes nd LEFT JOIN ar{k} ar ON nd.node = ar.node)"
+        )
+        parts.append(
+            f"hr{k} AS (SELECT e.src AS node, SUM(a{k}.a) AS h"
+            f" FROM e JOIN a{k} ON a{k}.node = e.dst GROUP BY e.src)"
+        )
+        parts.append(
+            f"h{k} AS (SELECT nd.node, COALESCE(hr.h, 0) /"
+            f" (SELECT COALESCE(SUM(h), 1) FROM hr{k}) AS h"
+            f" FROM nodes nd LEFT JOIN hr{k} hr ON nd.node = hr.node)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT h.node, ROUND(h.h, 6) AS hub, ROUND(a.a, 6) AS auth"
+        f" FROM h{iters} h JOIN a{iters} a ON h.node = a.node"
+    )
+
+
 def _bpe_oracle(rounds: int = 3) -> str:
     """Chained-CTE twin of learn_bpe_merges: pair counts -> top-1 ->
     padded-space replace per round; corpus sha via ordered string_agg."""
@@ -1352,6 +1588,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_cdc_chunks": q66_cdc_chunks,
         "q67_length_buckets": q67_length_buckets,
         "q68_bpe_merges": q68_bpe_merges,
+        "q69_hits": q69_hits,
+        "q70_semantic_dedup": q70_semantic_dedup,
+        "q71_gopher_quality": q71_gopher_quality,
+        "q72_pack_offsets": q72_pack_offsets,
+        "q73_span_coalesce": q73_span_coalesce,
     }
 
 
@@ -1727,6 +1968,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q52_pagerank": _pagerank_oracle(iters=5, damping=0.85),
         "q68_bpe_merges": _bpe_oracle(rounds=3),
+        "q69_hits": _hits_oracle(iters=3),
+        "q70_semantic_dedup": _semantic_dedup_oracle(),
+        "q71_gopher_quality": _GOPHER_ORACLE,
+        "q72_pack_offsets": _PACK_ORACLE,
+        "q73_span_coalesce": _SPAN_COALESCE_ORACLE,
         "q61_budget_allocation": _pagerank_cte(iters=5, damping=0.85) + """
             SELECT node AS host,
                    CAST(least(greatest(

@@ -304,3 +304,63 @@ def winnow_fingerprints_col(col: Column, k: int = 8, w: int = 4) -> Column:
         ),
     )
     return F.array_sort(F.array_distinct(wins))
+
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_cols(
+    col: Column,
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> list[Column]:
+    """Gopher-style document quality rules (Rae et al. 2021, arXiv:
+    2112.11446 §A1.1) as pure native expressions — word-count bounds, mean
+    word length window, symbol-to-word ratio (# and ... as in the paper),
+    alphabetic-word fraction, and a stopword floor; `quality_pass` is the
+    conjunction. One filter pass over a 100 TB corpus stays entirely in
+    whole-stage codegen — no Python, no shuffle. Ratios are rounded to 6
+    digits BEFORE the threshold compare so pass/fail decisions are
+    reproducible across engines (same contract as similarity ops). Returns
+    aliased columns; project them in one select so the token array is
+    shared per-row."""
+    toks = F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != "")
+    n_words = F.size(toks)
+    nw = n_words.cast("double")
+    mean_wl = F.round(
+        F.aggregate(toks, F.lit(0.0), lambda s, t: s + F.length(t)) / nw, 6
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))) / nw, 6
+    )
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(toks, s),
+        )
+    )
+    n_hash = F.length(col) - F.length(F.replace(col, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(col) - F.length(F.replace(col, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = F.round((n_hash + n_ellipsis) / nw, 6)
+    quality_pass = (
+        n_words.between(min_words, max_words)
+        & mean_wl.between(min_mean_word_len, max_mean_word_len)
+        & (symbol_ratio < max_symbol_ratio)
+        & (alpha_frac > min_alpha_frac)
+        & (stop_hits >= min_stop_hits)
+    )
+    return [
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        stop_hits.cast("int").alias("stop_hits"),
+        symbol_ratio.alias("symbol_ratio"),
+        quality_pass.alias("quality_pass"),
+    ]

@@ -300,3 +300,55 @@ def ivf_ann(
         .orderBy(F.col("sim").desc(), id_col)
         .limit(k)
     )
+
+
+# -- SemDeDup: semantic (embedding-space) near-duplicate pruning -------------
+
+
+def unit_col(emb_col):
+    """Unit-normalized double vector — cosine becomes a plain dot."""
+    e = _emb_double(emb_col)
+    return F.transform(e, lambda x: x / _norm(e))
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.9,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the corpus in
+    embedding space, then inside each cluster drop every vector that has a
+    cosine-near-duplicate with a smaller id — the keep-lowest-id rule makes
+    the prune deterministic and restartable. Returns the KEPT rows as
+    (id, cell).
+
+    Scale shape: the pairwise cosine join is confined to a cluster (the
+    SemDeDup trick — k sized so |cluster| ~ n/k keeps the quadratic local),
+    expressed as a self-equi-join on cell, so Spark shuffles each cluster to
+    one place once; with the corpus pre-partitioned by cell (e.g. via
+    write_ivf_partitioned) the join is co-located and shuffle-free. All
+    vector math is unit-normalized ONCE before the join, so each candidate
+    pair costs a single dot product.
+
+    The drop rule is a pair predicate (exists u < v in the same cell with
+    cos(u,v) >= threshold), not a transitive closure — matching the paper,
+    which dedups against cluster "exemplars" rather than chaining. Cosines
+    are rounded to 6 digits before the threshold compare so the decision is
+    reproducible across engines (same contract as brute_force_topk)."""
+    assigned = assign_ivf_cells(df, centroids, emb_col).select(
+        F.col(id_col).alias("_id"), F.col("ivf_cell").alias("cell"), unit_col(F.col(emb_col)).alias("_u")
+    ).localCheckpoint(eager=False)
+    a = assigned.select(F.col("_id").alias("_ida"), "cell", F.col("_u").alias("_ua"))
+    b = assigned.select(F.col("_id").alias("_idb"), "cell", F.col("_u").alias("_ub"))
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(F.round(_dot(F.col("_ua"), F.col("_ub")), 6) >= F.lit(threshold))
+        .select(F.col("_idb").alias("_id"))
+        .distinct()
+    )
+    return assigned.join(dropped, "_id", "left_anti").select(
+        F.col("_id").alias(id_col), "cell"
+    )

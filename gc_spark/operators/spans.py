@@ -140,3 +140,51 @@ def span_sequence_fingerprint(df: DataFrame) -> DataFrame:
         F.size(F.filter("spans", lambda s: s["kind"] == "media")).alias("n_media"),
         F.sha2(F.concat_ws("\n", F.transform(ordered, line)), 256).alias("span_seq_sha"),
     )
+
+
+SPAN_ARRAY_T = "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+
+
+def coalesce_text_spans(df: DataFrame) -> DataFrame:
+    """Merge every run of CONSECUTIVE text spans into a single text span
+    (texts concatenated in offset order); media spans are run boundaries
+    and pass through unchanged; offsets are renumbered densely 0..n-1.
+
+    Why: extractors emit text in fixed-width chunks (build_interleaved_
+    spans) or per-HTML-node fragments; training consumers want maximal
+    text pieces between media items. Coalescing build_interleaved_spans'
+    output reconstructs each contiguous text segment exactly (chunks are
+    substrings, so concatenation is the inverse of chunking).
+
+    Scale shape: a per-row array fold (F.aggregate) — NO shuffle, no
+    explode/regroup round-trip; the whole operator is a map. The fold
+    copies the accumulator per element (O(k²) in spans-per-doc), which is
+    fine for document-scale span counts (tens); a doc with thousands of
+    spans should go through the exploded-row window form instead."""
+    ordered = F.array_sort(F.col("spans"), lambda a, b: a["offset"] - b["offset"])
+
+    def step(acc, s):
+        last = F.try_element_at(acc, F.lit(-1))
+        merged_last = F.struct(
+            F.lit("text").alias("kind"),
+            F.concat(last["text"], s["text"]).alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            last["offset"].alias("offset"),
+        )
+        # empty acc: last is NULL, the condition is NULL → otherwise-branch
+        return F.when(
+            (s["kind"] == F.lit("text")) & (last["kind"] == F.lit("text")),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged_last)),
+        ).otherwise(F.concat(acc, F.array(s)))
+
+    merged = F.aggregate(ordered, F.array().cast(SPAN_ARRAY_T), step)
+    renumbered = F.transform(
+        merged,
+        lambda s, i: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    return df.select("doc_id", renumbered.alias("spans"))
