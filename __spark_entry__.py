@@ -1249,6 +1249,142 @@ def q73_span_coalesce(spark, sf_dir):
     return flatten_spans(coalesce_text_spans(build_interleaved_spans(d)))
 
 
+def q74_winnow_overlap(spark, sf_dir):
+    """Partial-overlap detection (text_dedup.winnow_overlap_pairs): MOSS-
+    style pairing over winnowing fingerprints — df-capped rare-key
+    self-join, containment score shared/min(|fp|). Catches quotation/
+    inclusion duplication whole-doc minhash (q16) misses."""
+    from gc_spark.operators.text_dedup import winnow_overlap_pairs
+
+    d = _t_wide(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(d, k=8, w=4, max_df=10, min_shared=3)
+
+
+def q75_anchor_texts(spark, sf_dir):
+    """Anchor-text aggregation (operators/anchors.top_anchor_texts): top-3
+    anchor texts per link target with per-target in-link totals — counts
+    reduce to (target, anchor) cardinality map-side before the rank window,
+    so hot targets cost distinct-anchors, not in-links. Links synthesized
+    from events on the q52 host graph, anchor = event_type."""
+    from gc_spark.operators.anchors import top_anchor_texts
+
+    ev = _t(spark, sf_dir, "events")
+    links = ev.select(
+        ((F.col("user_id") * 7 + F.col("event_id")) % 50).alias("target"),
+        F.col("event_type").alias("anchor"),
+    )
+    return top_anchor_texts(links, k=3)
+
+
+def q76_mixture_weights(spark, sf_dir):
+    """Corpus mixing: temperature-scaled (alpha=0.7) per-(source, lang)
+    sampling weights and expected epoch draws (operators/sampling.
+    mixture_weights) — the alpha-sampling scheme multilingual corpora use;
+    one corpus scan, totals broadcast in-dataflow."""
+    from gc_spark.operators.sampling import mixture_weights
+
+    d = _t(spark, sf_dir, "documents")
+    return mixture_weights(d, ["source", "lang"], alpha=0.7)
+
+
+def q77_asof_state(spark, sf_dir):
+    """As-of join (operators/asof.asof_join): every fetch event gets the
+    per-host state snapshot in force at its own timestamp (latest snapshot
+    ts <= fetch ts) — union + ordered window carry-forward, ONE shuffle on
+    host, cost independent of how many state versions a host has. Oracle is
+    DuckDB's native ASOF LEFT JOIN."""
+    from gc_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    snaps = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy((F.col("user_id") % 20).alias("host"), F.col("ts"))
+        .agg(F.max("value").alias("budget"))
+    )
+    fetches = ev.filter(F.col("event_type") != "error").select(
+        "event_id", (F.col("user_id") % 20).alias("host"), "ts"
+    )
+    return asof_join(fetches, snaps, on="host", left_ts="ts", right_ts="ts")
+
+
+_ASOF_ORACLE = """
+    WITH snaps AS (
+      SELECT user_id % 20 AS host, ts, MAX(value) AS budget
+      FROM events WHERE event_type = 'error' GROUP BY 1, 2
+    ), fetches AS (
+      SELECT event_id, user_id % 20 AS host, ts
+      FROM events WHERE event_type <> 'error'
+    )
+    SELECT f.event_id, f.host, f.ts, s.ts AS asof_ts, s.budget
+    FROM fetches f ASOF LEFT JOIN snaps s
+      ON f.host = s.host AND f.ts >= s.ts
+"""
+
+
+_MIXTURE_ORACLE = """
+    WITH c AS (
+      SELECT source, lang, COUNT(*) AS n_docs FROM documents GROUP BY source, lang
+    ), t AS (
+      SELECT CAST(SUM(n_docs) AS DOUBLE) AS n FROM c
+    ), p AS (
+      SELECT source, lang, n_docs, pow(n_docs / (SELECT n FROM t), 0.7) AS pw FROM c
+    )
+    SELECT source, lang, n_docs,
+           ROUND(pw / (SELECT SUM(pw) FROM p), 6) AS weight,
+           CAST(ROUND(pw / (SELECT SUM(pw) FROM p) * (SELECT n FROM t), 0) AS BIGINT)
+             AS expected_per_epoch
+    FROM p
+"""
+
+
+_ANCHOR_ORACLE = """
+    WITH links AS (
+      SELECT (user_id * 7 + event_id) % 50 AS target, event_type AS anchor
+      FROM events
+    ), c AS (
+      SELECT target, anchor, COUNT(*) AS n FROM links GROUP BY target, anchor
+    ), r AS (
+      SELECT target, anchor, n,
+             ROW_NUMBER() OVER (PARTITION BY target ORDER BY n DESC, anchor ASC) AS "rank",
+             SUM(n) OVER (PARTITION BY target) AS total_links
+      FROM c
+    )
+    SELECT target, anchor, n, "rank", total_links FROM r WHERE "rank" <= 3
+"""
+
+
+_WINNOW_OVERLAP_ORACLE = """
+    WITH h AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, greatest(len(text) - 7, 1) + 1),
+               i -> CAST(('0x' || substr(sha256(substr(text, i, 8)), 1, 15)) AS BIGINT)
+             ) AS hs
+      FROM documents
+    ), w AS (
+      SELECT doc_id,
+             list_sort(list_distinct(list_transform(
+               range(1, greatest(len(hs) - 3, 1) + 1),
+               j -> list_min(list_slice(hs, j, j + 3))
+             ))) AS fp
+      FROM h
+    ), e AS (
+      SELECT doc_id, UNNEST(fp) AS f FROM w
+    ), rare AS (
+      SELECT f FROM e GROUP BY f HAVING COUNT(*) BETWEEN 2 AND 10
+    ), ek AS (
+      SELECT e.doc_id, e.f FROM e JOIN rare ON rare.f = e.f
+    ), p AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS shared
+      FROM ek a JOIN ek b ON a.f = b.f AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    )
+    SELECT p.a, p.b, p.shared,
+           ROUND(p.shared / least(CAST(len(wa.fp) AS DOUBLE), CAST(len(wb.fp) AS DOUBLE)), 6) AS overlap
+    FROM p JOIN w wa ON wa.doc_id = p.a JOIN w wb ON wb.doc_id = p.b
+"""
+
+
 _SPAN_COALESCE_ORACLE = """
     WITH base AS (
       SELECT doc_id, text,
@@ -1593,6 +1729,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_gopher_quality": q71_gopher_quality,
         "q72_pack_offsets": q72_pack_offsets,
         "q73_span_coalesce": q73_span_coalesce,
+        "q74_winnow_overlap": q74_winnow_overlap,
+        "q75_anchor_texts": q75_anchor_texts,
+        "q76_mixture_weights": q76_mixture_weights,
+        "q77_asof_state": q77_asof_state,
     }
 
 
@@ -1973,6 +2113,10 @@ def oracle_sql() -> dict[str, str]:
         "q71_gopher_quality": _GOPHER_ORACLE,
         "q72_pack_offsets": _PACK_ORACLE,
         "q73_span_coalesce": _SPAN_COALESCE_ORACLE,
+        "q74_winnow_overlap": _WINNOW_OVERLAP_ORACLE,
+        "q75_anchor_texts": _ANCHOR_ORACLE,
+        "q76_mixture_weights": _MIXTURE_ORACLE,
+        "q77_asof_state": _ASOF_ORACLE,
         "q61_budget_allocation": _pagerank_cte(iters=5, damping=0.85) + """
             SELECT node AS host,
                    CAST(least(greatest(

@@ -115,3 +115,38 @@ def reservoir_topk(
         .filter(F.col("sample_rank") <= k)
         .drop("_prank", "_draw")
     )
+
+
+def mixture_weights(df: DataFrame, group_cols: list[str], alpha: float = 0.7) -> DataFrame:
+    """Temperature-scaled corpus mixture weights — the sampling scheme
+    multilingual/multi-source LLM corpora use to keep small sources from
+    vanishing (alpha-sampling, e.g. mBERT/XLM-R's p_i ∝ (n_i/N)^alpha;
+    alpha=1 is proportional, alpha→0 uniform):
+
+        weight_g = (n_g / N)^alpha / Σ_h (n_h / N)^alpha
+
+    Returns one row per group: (…group_cols, n_docs, weight,
+    expected_per_epoch) where expected_per_epoch = round(weight * N) is the
+    number of documents an N-sized training epoch draws from the group
+    (before repetition caps). Two tiny aggregates (group cardinality rows)
+    crossJoin-broadcast back — the corpus is scanned ONCE for the group
+    counts; weights are rounded to 6 digits for cross-engine stability."""
+    counts = df.groupBy(*group_cols).agg(F.count("*").alias("n_docs"))
+    tot = counts.agg(
+        F.sum("n_docs").cast("double").alias("_n"),
+    )
+    powed = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "_p", F.pow(F.col("n_docs") / F.col("_n"), F.lit(alpha))
+    )
+    z = powed.agg(F.sum("_p").alias("_z"))
+    return (
+        powed.crossJoin(F.broadcast(z))
+        .select(
+            *group_cols,
+            "n_docs",
+            F.round(F.col("_p") / F.col("_z"), 6).alias("weight"),
+            F.round(F.col("_p") / F.col("_z") * F.col("_n"), 0)
+            .cast("long")
+            .alias("expected_per_epoch"),
+        )
+    )

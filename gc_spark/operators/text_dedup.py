@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from gc_spark.functions.text import winnow_fingerprints_col
+
 NUM_HASHES = 16
 BANDS = 4
 ROWS_PER_BAND = NUM_HASHES // BANDS
@@ -463,3 +465,66 @@ def connected_components(
         "cluster_id", F.col("doc_id")
     )
     return nodes.unionByName(roots).distinct()
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    max_df: int = 10,
+    min_shared: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Partial-overlap (containment) candidate pairs from winnowing
+    fingerprints — the MOSS pairing step (Schleimer et al. 2003 §4) on top
+    of functions/text.winnow_fingerprints_col: documents sharing >=
+    `min_shared` selected fingerprints, scored by
+
+        overlap = shared / min(|fp_a|, |fp_b|)
+
+    (containment, not Jaccard: a quotation of A inside a much larger B
+    scores high). Complements whole-document minhash (q16), which misses
+    partial overlap by construction.
+
+    Scale shape: fingerprints with document frequency > `max_df` are
+    dropped BEFORE the self-join — they are corpus-common boilerplate that
+    carries no pairing signal and, at 10^10 docs, the hot keys that would
+    make the join quadratic. What remains is a rare-key equi-join: one
+    shuffle on fingerprint, pair counts aggregate map-side. The df-filter
+    is the same cheap-filter/exact-confirm split the LSH path uses
+    (jaccard_verify_pairs is the downstream confirm)."""
+    fp = winnow_fingerprints_col(F.col(text_col), k=k, w=w)
+    base = df.select(F.col(id_col).alias("_id"), fp.alias("_fp")).localCheckpoint(
+        eager=False
+    )
+    nfp = base.select("_id", F.size("_fp").alias("_n"))
+    e = base.select("_id", F.explode("_fp").alias("_f"))
+    rare = (
+        e.groupBy("_f")
+        .agg(F.count("*").alias("_df"))
+        .filter((F.col("_df") >= 2) & (F.col("_df") <= max_df))
+        .select("_f")
+    )
+    ek = e.join(rare, "_f")
+    a = ek.select("_f", F.col("_id").alias("a"))
+    b = ek.select("_f", F.col("_id").alias("b"))
+    pairs = (
+        a.join(b, "_f")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    na = nfp.select(F.col("_id").alias("a"), F.col("_n").alias("_na"))
+    nb = nfp.select(F.col("_id").alias("b"), F.col("_n").alias("_nb"))
+    return (
+        pairs.join(na, "a")
+        .join(nb, "b")
+        .select(
+            "a",
+            "b",
+            "shared",
+            F.round(F.col("shared") / F.least("_na", "_nb"), 6).alias("overlap"),
+        )
+    )
