@@ -1307,6 +1307,80 @@ def q77_asof_state(spark, sf_dir):
     return asof_join(fetches, snaps, on="host", left_ts="ts", right_ts="ts")
 
 
+def q78_rendezvous_shards(spark, sf_dir):
+    """Frontier sharding (operators/sharding.rendezvous_shard_col): stable
+    rendezvous/HRW owner for every document URL across 8 fetcher shards —
+    map-only argmax over per-shard hash scores, zero shuffle. Portable
+    sha256 scores so the oracle reproduces assignments bit-for-bit
+    (production path is xxhash64)."""
+    from gc_spark.operators.sharding import assign_shards
+
+    d = _t(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit("/doc/"), F.col("doc_id").cast("string")
+        ).alias("url"),
+    )
+    return assign_shards(keyed, "url", num_shards=8, portable=True).select(
+        "doc_id", "shard"
+    )
+
+
+def q79_shard_rebalance(spark, sf_dir):
+    """Resize cost probe (operators/sharding.reassignment_fraction): the
+    fraction of URL keys that change owner when the fetcher fleet grows
+    8 → 10 shards — rendezvous hashing's minimal-disruption property,
+    measured (expected ≈ 2/10); one map pass + one scalar aggregate."""
+    from gc_spark.operators.sharding import reassignment_fraction
+
+    d = _t(spark, sf_dir, "documents")
+    keyed = d.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit("/doc/"), F.col("doc_id").cast("string")
+        ).alias("url")
+    )
+    return reassignment_fraction(keyed, "url", n_before=8, n_after=10, portable=True)
+
+
+def _rendezvous_cte(num_shards: int, key_expr: str) -> str:
+    return (
+        f"SELECT doc_id, url, s, CAST(('0x' || substr(sha256(url || '#' || CAST(s AS VARCHAR)), 1, 15)) AS BIGINT) AS sc"
+        f" FROM (SELECT doc_id, {key_expr} AS url FROM documents)"
+        f" CROSS JOIN (SELECT UNNEST(range(0, {num_shards})) AS s)"
+    )
+
+
+_SHARD_KEY = "'https://' || source || '/doc/' || CAST(doc_id AS VARCHAR)"
+
+_RENDEZVOUS_ORACLE = f"""
+    WITH scored AS ({_rendezvous_cte(8, _SHARD_KEY)}),
+    r AS (
+      SELECT doc_id, CAST(s AS INTEGER) AS shard,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sc DESC, s DESC) AS rn
+      FROM scored
+    )
+    SELECT doc_id, shard FROM r WHERE rn = 1
+"""
+
+_REBALANCE_ORACLE = f"""
+    WITH s8 AS ({_rendezvous_cte(8, _SHARD_KEY)}),
+    s10 AS ({_rendezvous_cte(10, _SHARD_KEY)}),
+    w8 AS (
+      SELECT doc_id, s AS shard FROM (
+        SELECT doc_id, s, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sc DESC, s DESC) AS rn
+        FROM s8) WHERE rn = 1
+    ), w10 AS (
+      SELECT doc_id, s AS shard FROM (
+        SELECT doc_id, s, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sc DESC, s DESC) AS rn
+        FROM s10) WHERE rn = 1
+    )
+    SELECT ROUND(AVG(CASE WHEN w8.shard <> w10.shard THEN 1.0 ELSE 0.0 END), 6) AS moved_frac,
+           COUNT(*) AS n_keys
+    FROM w8 JOIN w10 ON w8.doc_id = w10.doc_id
+"""
+
+
 _ASOF_ORACLE = """
     WITH snaps AS (
       SELECT user_id % 20 AS host, ts, MAX(value) AS budget
@@ -1733,6 +1807,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_anchor_texts": q75_anchor_texts,
         "q76_mixture_weights": q76_mixture_weights,
         "q77_asof_state": q77_asof_state,
+        "q78_rendezvous_shards": q78_rendezvous_shards,
+        "q79_shard_rebalance": q79_shard_rebalance,
     }
 
 
@@ -2117,6 +2193,8 @@ def oracle_sql() -> dict[str, str]:
         "q75_anchor_texts": _ANCHOR_ORACLE,
         "q76_mixture_weights": _MIXTURE_ORACLE,
         "q77_asof_state": _ASOF_ORACLE,
+        "q78_rendezvous_shards": _RENDEZVOUS_ORACLE,
+        "q79_shard_rebalance": _REBALANCE_ORACLE,
         "q61_budget_allocation": _pagerank_cte(iters=5, damping=0.85) + """
             SELECT node AS host,
                    CAST(least(greatest(

@@ -1,0 +1,83 @@
+"""Rendezvous (highest-random-weight) sharding — stable assignment of URLs
+(or hosts, or any key) to a set of workers.
+
+A distributed frontier must decide which fetcher owns which URL. Modulo
+hashing (`hash(url) % n`) reassigns ~all keys when n changes; rendezvous
+hashing (Thaler & Ravishankar 1998) reassigns only the keys whose new
+winner appears/disappears — adding a worker moves ~1/(n+1) of keys, the
+provable minimum. The same primitive assigns hosts to politeness queues
+and documents to embedding-index shards.
+
+Implementation is a pure expression: score(key, shard) = xxhash64(key,
+shard_salt); owner = argmax over the shard list via array_max on
+(score, shard) structs — lexicographic struct ordering gives deterministic
+tie-breaking (higher shard id wins a score tie), zero UDFs, zero shuffle.
+At 10^10 URLs this is a map-only pass; the shard list (10²-10⁴ workers)
+lives in the plan as literals, broadcast implicitly with the task binary.
+
+The portable twin (sha256-prefix scores, `portable=True`) exists so the
+DuckDB oracle can reproduce assignments bit-for-bit; production uses the
+xxhash64 path (JVM codegen, no string building).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _score(key_col: Column, shard: int, portable: bool) -> Column:
+    if portable:
+        # 60-bit sha256 prefix of "<key>#<shard>" — engine-portable
+        return F.conv(
+            F.substring(F.sha2(F.concat(key_col, F.lit(f"#{shard}")), 256), 1, 15),
+            16,
+            10,
+        ).cast("long")
+    return F.xxhash64(key_col, F.lit(shard))
+
+
+def rendezvous_shard_col(
+    key_col: Column, num_shards: int, portable: bool = False
+) -> Column:
+    """Winning shard id for each key: argmax_{s in 0..num_shards-1}
+    score(key, s)."""
+    scored = F.array(
+        *[
+            F.named_struct(
+                F.lit("s"), _score(key_col, s, portable), F.lit("c"), F.lit(s)
+            )
+            for s in range(num_shards)
+        ]
+    )
+    return F.array_max(scored)["c"]
+
+
+def assign_shards(
+    df: DataFrame,
+    key: str,
+    num_shards: int,
+    out_col: str = "shard",
+    portable: bool = False,
+) -> DataFrame:
+    return df.withColumn(
+        out_col, rendezvous_shard_col(F.col(key), num_shards, portable)
+    )
+
+
+def reassignment_fraction(
+    df: DataFrame, key: str, n_before: int, n_after: int, portable: bool = False
+) -> DataFrame:
+    """1-row frame: the fraction of keys whose owner changes when the shard
+    count moves n_before → n_after — the operational question every resize
+    asks. For rendezvous hashing growing n→n+k moves ≈ k/(n+k) of keys
+    (only keys won by the new shards move); modulo hashing moves ≈ 1-1/k'.
+    One map-only pass, one scalar aggregate."""
+    before = rendezvous_shard_col(F.col(key), n_before, portable)
+    after = rendezvous_shard_col(F.col(key), n_after, portable)
+    return df.select(
+        F.round(
+            F.avg((before != after).cast("double")), 6
+        ).alias("moved_frac"),
+        F.count("*").alias("n_keys"),
+    )

@@ -829,3 +829,73 @@ class TestSaltedDistinct:
         # (key, salt-expression) under the outer per-key sum
         assert plan.count("Aggregate [") == 2
         assert "Aggregate [k#" in plan and "_groupingexpression" in plan
+
+
+class TestRendezvousSharding:
+    """operators/sharding.py — rendezvous (HRW) key→shard assignment.
+
+    Reference parity note: the reference has no distributed frontier, so
+    there is no twin file; this is the scale-path primitive a multi-fetcher
+    deployment of the same crawl needs (stable URL ownership across fleet
+    resizes)."""
+
+    def _urls(self, spark, n=4000):
+        return spark.range(n).selectExpr(
+            "concat('https://h', id % 97, '.mil/doc/', id) AS url"
+        )
+
+    def test_deterministic_and_balanced(self, spark):
+        from gc_spark.operators.sharding import assign_shards
+
+        df = self._urls(spark)
+        a = assign_shards(df, "url", 8).groupBy("shard").count().collect()
+        b = assign_shards(df, "url", 8).groupBy("shard").count().collect()
+        assert sorted((r["shard"], r["count"]) for r in a) == sorted(
+            (r["shard"], r["count"]) for r in b
+        )
+        counts = [r["count"] for r in a]
+        assert len(counts) == 8
+        # uniform hashing: each shard within ±40% of the mean at n=4000
+        assert max(counts) < 1.4 * 4000 / 8 and min(counts) > 0.6 * 4000 / 8
+
+    def test_minimal_disruption_vs_modulo(self, spark):
+        """Growing 8→10 shards must move ≈2/10 of keys (rendezvous bound),
+        far below modulo hashing's ~90% churn on the same input."""
+        from pyspark.sql import functions as F
+
+        from gc_spark.operators.sharding import reassignment_fraction
+
+        df = self._urls(spark)
+        row = reassignment_fraction(df, "url", 8, 10).collect()[0]
+        assert row["n_keys"] == 4000
+        assert 0.12 < row["moved_frac"] < 0.28  # ideal 0.20
+        modulo_moved = (
+            df.select(
+                F.avg(
+                    (
+                        F.pmod(F.xxhash64("url"), F.lit(8))
+                        != F.pmod(F.xxhash64("url"), F.lit(10))
+                    ).cast("double")
+                ).alias("m")
+            ).collect()[0]["m"]
+        )
+        assert modulo_moved > 0.7
+
+    def test_portable_path_matches_own_argmax(self, spark):
+        """portable=True (sha256 scores) and the xxhash64 path are different
+        hash families but must both be pure functions of (key, n): re-running
+        yields identical assignments, and only-winner-moves holds per key."""
+        from pyspark.sql import functions as F
+
+        from gc_spark.operators.sharding import rendezvous_shard_col
+
+        df = self._urls(spark, 1000)
+        out = df.select(
+            rendezvous_shard_col(F.col("url"), 5, portable=True).alias("s5"),
+            rendezvous_shard_col(F.col("url"), 6, portable=True).alias("s6"),
+        )
+        moved = out.where("s5 != s6")
+        # every key that moved, moved TO the new shard (id 5) — the HRW
+        # invariant: adding a shard only steals keys it now wins
+        assert moved.where("s6 != 5").count() == 0
+        assert 0 < moved.count() < 1000 * 0.30
