@@ -1381,6 +1381,60 @@ _REBALANCE_ORACLE = f"""
 """
 
 
+def q80_exact_substring_mask(spark, sf_dir):
+    """Exact-substring dedup masking (operators/esdedup): per-doc coverage
+    of repeated >=8-token runs — stride-1 8-gram flagging (canonical =
+    globally first occurrence) + per-doc interval-union fold; the
+    distributed re-expression of Lee et al. 2022 suffix-array ESD. One
+    gram shuffle with map-side combine (only count>1 grams survive to the
+    join), one doc_id regroup, O(k) array fold — no per-token explode."""
+    from gc_spark.operators.esdedup import exact_substring_mask_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_substring_mask_stats(d, l=8).orderBy("doc_id")
+
+
+_ESD_ORACLE = """
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE array_length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+             regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS pos,
+             array_to_string(toks[i:i+7], ' ') AS gram
+      FROM base, UNNEST(range(1, n_tokens - 8 + 2)) AS t(i)
+      WHERE n_tokens >= 8
+    ),
+    ranked AS (
+      SELECT doc_id, pos,
+             COUNT(*) OVER (PARTITION BY gram) AS c,
+             ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+      FROM occ
+    ),
+    flagged AS (
+      SELECT doc_id, pos,
+             LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM ranked WHERE c > 1 AND rn > 1
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             SUM(CASE WHEN prev IS NULL THEN 8 ELSE LEAST(8, pos - prev) END) AS masked_tokens,
+             SUM(CASE WHEN prev IS NULL OR pos > prev + 8 THEN 1 ELSE 0 END) AS n_masked_spans
+      FROM flagged GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_tokens,
+           COALESCE(p.masked_tokens, 0) AS masked_tokens,
+           COALESCE(p.n_masked_spans, 0) AS n_masked_spans,
+           1.0 - CAST(COALESCE(p.masked_tokens, 0) AS DOUBLE)
+               / NULLIF(CAST(b.n_tokens AS DOUBLE), 0.0) AS kept_frac
+    FROM base b LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY b.doc_id
+"""
+
+
 _ASOF_ORACLE = """
     WITH snaps AS (
       SELECT user_id % 20 AS host, ts, MAX(value) AS budget
@@ -1809,6 +1863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q77_asof_state": q77_asof_state,
         "q78_rendezvous_shards": q78_rendezvous_shards,
         "q79_shard_rebalance": q79_shard_rebalance,
+        "q80_exact_substring_mask": q80_exact_substring_mask,
     }
 
 
@@ -2195,6 +2250,7 @@ def oracle_sql() -> dict[str, str]:
         "q77_asof_state": _ASOF_ORACLE,
         "q78_rendezvous_shards": _RENDEZVOUS_ORACLE,
         "q79_shard_rebalance": _REBALANCE_ORACLE,
+        "q80_exact_substring_mask": _ESD_ORACLE,
         "q61_budget_allocation": _pagerank_cte(iters=5, damping=0.85) + """
             SELECT node AS host,
                    CAST(least(greatest(

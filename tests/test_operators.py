@@ -899,3 +899,77 @@ class TestRendezvousSharding:
         # invariant: adding a shard only steals keys it now wins
         assert moved.where("s6 != 5").count() == 0
         assert 0 < moved.count() < 1000 * 0.30
+
+
+class TestExactSubstringMask:
+    """operators/esdedup.py — distributed Lee-et-al exact-substring dedup.
+
+    Planted fixture: docs share/omit runs around the L=4 threshold so the
+    canonical-keeps / later-copy-masks / interval-merge semantics are each
+    pinned by hand-computed expectations."""
+
+    W = "w{} "
+
+    def _corpus(self, spark):
+        run6 = " ".join(f"r{i}" for i in range(6))  # 6-token shared run
+        rows = [
+            # doc 0: canonical holder of run6 + unique tail
+            (0, run6 + " u0 u1 u2 u3"),
+            # doc 1: copies run6 (6 tokens masked, 1 span), unique elsewhere
+            (1, "v0 v1 " + run6 + " v2 v3"),
+            # doc 2: self-repeat — a 4-token run appearing twice in-doc
+            (2, "s0 s1 s2 s3 mid0 mid1 s0 s1 s2 s3"),
+            # doc 3: shorter than L — never masked even if identical to 4's prefix
+            (3, "t0 t1 t2"),
+            # doc 4: no repeats
+            (4, "a0 a1 a2 a3 a4 a5 a6"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_planted_semantics(self, spark):
+        from gc_spark.operators.esdedup import exact_substring_mask_stats
+
+        out = {
+            r["doc_id"]: r
+            for r in exact_substring_mask_stats(self._corpus(spark), l=4).collect()
+        }
+        # canonical doc keeps everything
+        assert out[0]["masked_tokens"] == 0 and out[0]["kept_frac"] == 1.0
+        # doc 1: the whole 6-token run masked as ONE merged interval
+        assert out[1]["masked_tokens"] == 6
+        assert out[1]["n_masked_spans"] == 1
+        assert abs(out[1]["kept_frac"] - (1 - 6 / 10)) < 1e-9
+        # doc 2: second in-doc occurrence of the 4-run masked; first kept
+        assert out[2]["masked_tokens"] == 4
+        assert out[2]["n_masked_spans"] == 1
+        # short doc and unique doc untouched
+        assert out[3]["masked_tokens"] == 0 and out[3]["n_tokens"] == 3
+        assert out[4]["masked_tokens"] == 0
+
+    def test_hash_grams_path_matches_string_path(self, spark):
+        """Production shuffles xxhash64(gram) (8 bytes) instead of the gram
+        string; absent collisions the stats must be identical."""
+        from gc_spark.operators.esdedup import exact_substring_mask_stats
+
+        d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        s = exact_substring_mask_stats(d, l=8, hash_grams=False).collect()
+        h = exact_substring_mask_stats(d, l=8, hash_grams=True).collect()
+        key = lambda rows: sorted((r["doc_id"], r["masked_tokens"], r["n_masked_spans"]) for r in rows)
+        assert key(s) == key(h)
+
+    def test_disjoint_runs_two_spans(self, spark):
+        """Two repeated runs separated by a unique gap merge into TWO spans;
+        overlapping gram windows within each run merge into one."""
+        from gc_spark.operators.esdedup import exact_substring_mask_stats
+
+        runa = " ".join(f"x{i}" for i in range(5))
+        runb = " ".join(f"y{i}" for i in range(4))
+        rows = [
+            (0, runa + " " + runb),  # canonical for both runs
+            (1, runa + " g0 g1 g2 " + runb),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in exact_substring_mask_stats(df, l=4).collect()}
+        assert out[1]["masked_tokens"] == 9  # 5 + 4
+        assert out[1]["n_masked_spans"] == 2
+        assert out[0]["masked_tokens"] == 0
