@@ -1435,6 +1435,120 @@ _ESD_ORACLE = """
 """
 
 
+def q81_bm25_topk(spark, sf_dir):
+    """BM25 retrieval (operators/bm25.bm25_topk): top-15 docs for a 3-term
+    query — postings filtered to query terms right above the scan (a
+    |q|/|V| sliver reaches the shuffle), df/N/avgdl broadcast, one global
+    k-row top-k. Lucene idf, k1=1.2 b=0.75, scores rounded to 6 dp before
+    ranking so the oracle ranks identically."""
+    from gc_spark.operators.bm25 import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_topk(d, ["spark", "query", "merge"], k=15)
+
+
+_BM25_ORACLE = """
+    WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+    len AS (SELECT doc_id, array_length(toks) AS dl FROM d),
+    stats AS (SELECT AVG(dl) AS avgdl, CAST(COUNT(*) AS DOUBLE) AS n FROM len),
+    post AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM d, UNNEST(toks) AS t(term)
+      WHERE term IN ('spark', 'query', 'merge')
+      GROUP BY doc_id, term
+    ),
+    dfq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS dfreq FROM post GROUP BY term),
+    sc AS (
+      SELECT p.doc_id,
+             SUM(
+               ln(1.0 + (s.n - f.dfreq + 0.5) / (f.dfreq + 0.5))
+               * p.tf * 2.2
+               / (p.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))
+             ) AS raw
+      FROM post p JOIN dfq f USING (term) JOIN len l USING (doc_id) CROSS JOIN stats s
+      GROUP BY p.doc_id
+    ),
+    r AS (
+      SELECT doc_id, ROUND(raw, 6) AS score,
+             ROW_NUMBER() OVER (ORDER BY ROUND(raw, 6) DESC, doc_id ASC) AS rank
+      FROM sc
+    )
+    SELECT doc_id, score, rank FROM r WHERE rank <= 15
+"""
+
+
+def q82_snapshot_diff(spark, sf_dir):
+    """Cross-snapshot delta (operators/snapshot_diff): two deterministic
+    snapshot views of documents (old drops doc_id%11==3; new drops
+    doc_id%13==5 and appends ' v2' to text of doc_id%10==2) classified
+    added/removed/changed by content sha — map-side hashing, one
+    full-outer id join, delta-sized output."""
+    from gc_spark.operators.snapshot_diff import snapshot_content_diff
+
+    d = _t(spark, sf_dir, "documents")
+    old = d.where(F.col("doc_id") % 11 != 3)
+    new = d.where(F.col("doc_id") % 13 != 5).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 2, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_content_diff(old, new).orderBy("doc_id")
+
+
+_SNAPDIFF_ORACLE = """
+    WITH old AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 3),
+    new AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 2 THEN text || ' v2' ELSE text END AS text
+      FROM documents WHERE doc_id % 13 <> 5
+    ),
+    j AS (
+      SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN sha256(COALESCE(o.text, '')) <> sha256(COALESCE(n.text, '')) THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    )
+    SELECT doc_id, status FROM j WHERE status <> 'unchanged' ORDER BY doc_id
+"""
+
+
+def q83_budget_select(spark, sf_dir):
+    """Token-budget corpus cut (operators/budget_select): per source keep
+    the longest docs (n_chars desc, doc_id asc) until 700 tokens are
+    spent — one window cumsum per group, greedy prefix with the
+    budget-crossing doc kept."""
+    from gc_spark.operators.budget_select import token_budget_select
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_toks"),
+    )
+    return token_budget_select(
+        d, budget=700, score_col="n_chars", tokens_col="n_toks"
+    ).select("doc_id", "source", "n_toks", "cum_tokens")
+
+
+_BUDGET_ORACLE = """
+    WITH t AS (
+      SELECT doc_id, source, n_chars,
+             array_length(regexp_split_to_array(trim(text), '\\s+')) AS n_toks
+      FROM documents
+    ),
+    c AS (
+      SELECT *, SUM(n_toks) OVER (
+        PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, source, n_toks, cum_tokens FROM c WHERE cum_tokens - n_toks < 700
+"""
+
+
 _ASOF_ORACLE = """
     WITH snaps AS (
       SELECT user_id % 20 AS host, ts, MAX(value) AS budget
@@ -1864,6 +1978,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q78_rendezvous_shards": q78_rendezvous_shards,
         "q79_shard_rebalance": q79_shard_rebalance,
         "q80_exact_substring_mask": q80_exact_substring_mask,
+        "q81_bm25_topk": q81_bm25_topk,
+        "q82_snapshot_diff": q82_snapshot_diff,
+        "q83_budget_select": q83_budget_select,
     }
 
 
@@ -2251,6 +2368,9 @@ def oracle_sql() -> dict[str, str]:
         "q78_rendezvous_shards": _RENDEZVOUS_ORACLE,
         "q79_shard_rebalance": _REBALANCE_ORACLE,
         "q80_exact_substring_mask": _ESD_ORACLE,
+        "q81_bm25_topk": _BM25_ORACLE,
+        "q82_snapshot_diff": _SNAPDIFF_ORACLE,
+        "q83_budget_select": _BUDGET_ORACLE,
         "q61_budget_allocation": _pagerank_cte(iters=5, damping=0.85) + """
             SELECT node AS host,
                    CAST(least(greatest(

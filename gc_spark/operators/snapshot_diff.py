@@ -1,0 +1,48 @@
+"""Snapshot content diff — classify every document across two corpus
+snapshots as added / removed / changed / unchanged by content hash.
+
+This is the incremental-recrawl delta the CDC chunker (operators/recrawl,
+cdc) feeds on: crawl N and crawl N+1 land as two document tables; the
+diff decides what downstream (re-embedding, re-indexing, re-dedup) must
+reprocess. At 100 TB the comparison never touches text twice: each side
+reduces to (id, sha256(text)) map-side, then ONE full-outer shuffle join
+on id — the only wide op — and the verdict is a null/hash-equality case
+split. Emitting only the non-`unchanged` rows keeps the output
+delta-sized (the common case is ~99% unchanged).
+
+No reference twin: the reference diffs per-URL via its previous-manifest
+anti-join (S14/J1); this is the corpus-level generalization with change
+detection, not just presence (SURVEY.md §6 family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def snapshot_content_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """(id, status) with status in added|removed|changed (|unchanged)."""
+
+    def hashed(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.col(id_col), F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256).alias(tag)
+        )
+
+    j = hashed(old, "_old").join(hashed(new, "_new"), id_col, "full_outer")
+    status = (
+        F.when(F.col("_old").isNull(), F.lit("added"))
+        .when(F.col("_new").isNull(), F.lit("removed"))
+        .when(F.col("_old") != F.col("_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = j.select(F.col(id_col), status.alias("status"))
+    if not include_unchanged:
+        out = out.where(F.col("status") != "unchanged")
+    return out

@@ -973,3 +973,84 @@ class TestExactSubstringMask:
         assert out[1]["masked_tokens"] == 9  # 5 + 4
         assert out[1]["n_masked_spans"] == 2
         assert out[0]["masked_tokens"] == 0
+
+
+class TestBm25:
+    def test_invariants(self, spark):
+        from gc_spark.operators.bm25 import bm25_topk
+
+        rows = [
+            (0, "spark query merge spark spark"),  # all 3 terms, high tf
+            (1, "spark alone here with filler words padding out length"),
+            (2, "no relevant terms at all in this one"),
+            (3, "query merge"),  # short doc, 2 rare-ish terms
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = bm25_topk(df, ["spark", "query", "merge"], k=10).collect()
+        got = {r["doc_id"]: (r["score"], r["rank"]) for r in out}
+        assert 2 not in got  # no query term -> never scored
+        assert got[0][1] == 1  # most matches wins
+        assert all(r["score"] > 0 for r in out)
+        ranks = sorted(r["rank"] for r in out)
+        assert ranks == list(range(1, len(out) + 1))
+
+    def test_k_cutoff(self, spark):
+        from gc_spark.operators.bm25 import bm25_topk
+
+        df = spark.createDataFrame(
+            [(i, "term filler%d" % i) for i in range(30)], "doc_id long, text string"
+        )
+        assert bm25_topk(df, ["term"], k=7).count() == 7
+
+
+class TestSnapshotDiff:
+    def test_classification(self, spark):
+        from gc_spark.operators.snapshot_diff import snapshot_content_diff
+
+        old = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c"), (4, None)], "doc_id long, text string"
+        )
+        new = spark.createDataFrame(
+            [(2, "b"), (3, "c CHANGED"), (4, None), (5, "e")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r["status"]
+            for r in snapshot_content_diff(old, new).collect()
+        }
+        assert got == {1: "removed", 3: "changed", 5: "added"}
+        full = {
+            r["doc_id"]: r["status"]
+            for r in snapshot_content_diff(old, new, include_unchanged=True).collect()
+        }
+        assert full[2] == "unchanged" and full[4] == "unchanged"  # null == null text
+
+
+class TestBudgetSelect:
+    def test_greedy_prefix_keeps_crossing_doc(self, spark):
+        from gc_spark.operators.budget_select import token_budget_select
+
+        rows = [
+            # (doc_id, source, score, toks) — selection order by score desc
+            (1, "s1", 30, 5),
+            (2, "s1", 20, 4),
+            (3, "s1", 10, 3),
+            (4, "s2", 9, 100),  # single giant doc still kept (crossing)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string, score long, toks long")
+        out = token_budget_select(
+            df, budget=8, score_col="score", tokens_col="toks", group_col="source"
+        ).collect()
+        got = {r["doc_id"]: r["cum_tokens"] for r in out}
+        # s1: cum 5 (keep), 9 (crossing doc kept), 12 (starts at 9 >= 8, drop)
+        assert got == {1: 5, 2: 9, 4: 100}
+
+    def test_tie_broken_by_id(self, spark):
+        from gc_spark.operators.budget_select import token_budget_select
+
+        rows = [(2, "s", 10, 6), (1, "s", 10, 6)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, score long, toks long")
+        out = token_budget_select(
+            df, budget=6, score_col="score", tokens_col="toks", group_col="source"
+        ).collect()
+        assert [r["doc_id"] for r in out] == [1]  # lower id wins the tie
