@@ -1549,6 +1549,120 @@ _BUDGET_ORACLE = """
 """
 
 
+def q84_host_reputation(spark, sf_dir):
+    """Wilson lower-bound host trust (operators/reputation): per-source
+    quality fraction scored with the small-sample-penalizing Wilson
+    interval — one host-cardinality groupBy + closed-form arithmetic,
+    formula textually mirrored in the oracle so both engines run the same
+    IEEE ops."""
+    from gc_spark.operators.reputation import host_reputation
+
+    d = _t(spark, sf_dir, "documents")
+    return host_reputation(d, good=(F.col("n_chars") >= 250)).orderBy("host")
+
+
+_REPUTATION_ORACLE = """
+    WITH a AS (
+      SELECT source AS host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END) AS BIGINT) AS n_good
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT host, n_docs, n_good,
+             CAST(n_docs AS DOUBLE) AS n,
+             CAST(n_good AS DOUBLE) / CAST(n_docs AS DOUBLE) AS p
+      FROM a
+    )
+    SELECT host, n_docs, n_good,
+           ROUND(
+             (p + (1.96 * 1.96) / (2.0 * n)
+                - 1.96 * sqrt(p * (1.0 - p) / n + (1.96 * 1.96) / (4.0 * n * n)))
+             / (1.0 + (1.96 * 1.96) / n), 6) AS wilson_lb,
+           ROUND(
+             (p + (1.96 * 1.96) / (2.0 * n)
+                - 1.96 * sqrt(p * (1.0 - p) / n + (1.96 * 1.96) / (4.0 * n * n)))
+             / (1.0 + (1.96 * 1.96) / n), 6) >= 0.5 AS trusted
+    FROM w ORDER BY host
+"""
+
+
+def q85_incremental_lsh(spark, sf_dir):
+    """Incremental near-dup detection (text_dedup.incremental_lsh_
+    candidates): a crawl increment (every 5th doc re-idded +100000, same
+    text — guaranteed collisions with its original) banded and joined
+    against the stored LSH index; old×old pairs never recomputed. Result
+    equals the pairs-involving-new-docs slice of a full recompute (the
+    oracle)."""
+    from gc_spark.operators.text_dedup import (
+        incremental_lsh_candidates,
+        lsh_band_rows,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    index = lsh_band_rows(d, portable=True)
+    new = d.where(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    return incremental_lsh_candidates(index, new, portable=True).orderBy("a", "b")
+
+
+_INCR_LSH_ORACLE = """
+    WITH un AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) + 1),
+                            i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), i, i + 2), ' ')) AS shingles
+      FROM un
+    ), pairs AS (
+      SELECT doc_id,
+             list_transform(shingles, s -> struct_pack(
+                 a := CAST('0x' || substr(sha256(s), 1, 14) AS BIGINT),
+                 b := CAST('0x' || substr(sha256(s), 15, 14) AS BIGINT))) AS ab
+      FROM sh
+    ), sig AS (
+      SELECT doc_id,
+             list_transform(range(0, 16), i ->
+                 list_min(list_transform(ab, p -> p.a + i * p.b))) AS mh
+      FROM pairs
+    ), bands AS (
+      SELECT doc_id, CAST(b AS INT) AS band,
+             CAST('0x' || substr(sha256(array_to_string(list_slice(mh, b * 4 + 1, b * 4 + 4), ',')), 1, 15) AS BIGINT) AS band_hash
+      FROM (SELECT doc_id, mh, UNNEST(range(0, 4)) AS b FROM sig)
+    )
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+    FROM bands x JOIN bands y
+      ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+    WHERE x.doc_id >= 100000 OR y.doc_id >= 100000
+    ORDER BY a, b
+"""
+
+
+def q86_heavy_hitters(spark, sf_dir):
+    """Exact top-10 terms in two passes (operators/heavy_hitters): per-
+    partition Misra-Gries candidates (map-only, O(capacity) memory), then
+    exact counts on the broadcast candidate set — the term stream never
+    takes a full groupBy shuffle. Exact because freq(10th) >> N/65 here;
+    oracle is the naive exact top-k."""
+    from gc_spark.operators.heavy_hitters import exact_topk_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_topk_terms(d, k=10, capacity=64)
+
+
+_HH_ORACLE = """
+    WITH t AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term FROM documents
+    ),
+    c AS (SELECT term, COUNT(*) AS cnt FROM t WHERE term <> '' GROUP BY term),
+    r AS (SELECT term, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) AS rank FROM c)
+    SELECT term, cnt, rank FROM r WHERE rank <= 10
+"""
+
+
 _ASOF_ORACLE = """
     WITH snaps AS (
       SELECT user_id % 20 AS host, ts, MAX(value) AS budget
@@ -1981,6 +2095,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q81_bm25_topk": q81_bm25_topk,
         "q82_snapshot_diff": q82_snapshot_diff,
         "q83_budget_select": q83_budget_select,
+        "q84_host_reputation": q84_host_reputation,
+        "q85_incremental_lsh": q85_incremental_lsh,
+        "q86_heavy_hitters": q86_heavy_hitters,
     }
 
 
@@ -2371,6 +2488,9 @@ def oracle_sql() -> dict[str, str]:
         "q81_bm25_topk": _BM25_ORACLE,
         "q82_snapshot_diff": _SNAPDIFF_ORACLE,
         "q83_budget_select": _BUDGET_ORACLE,
+        "q84_host_reputation": _REPUTATION_ORACLE,
+        "q85_incremental_lsh": _INCR_LSH_ORACLE,
+        "q86_heavy_hitters": _HH_ORACLE,
         "q61_budget_allocation": _pagerank_cte(iters=5, damping=0.85) + """
             SELECT node AS host,
                    CAST(least(greatest(

@@ -108,27 +108,22 @@ def minhash_signature(
     return df.withColumn("minhash", sig)
 
 
-def minhash_lsh_candidates(
+def lsh_band_rows(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     portable: bool = False,
-    ids_as_csv: bool = False,
 ) -> DataFrame:
-    """LSH banding: bucket docs whose band signature collides.
-
-    Returns one row per (band, band_hash) bucket with >1 member:
-    (band, band_hash, n_docs, doc_ids sorted) — the candidate groups a
-    pair-verify stage consumes. `ids_as_csv` renders doc_ids as a
-    comma-joined string (sortable/hashable downstream); `portable` switches
-    both the minhash and band-hash kernels to the sha256-prefix hash so the
-    whole query is reproducible in ANSI SQL.
-    """
+    """(id, band, band_hash) — the persistable LSH index rows for each doc.
+    This is what an incremental pipeline stores between crawls (bucketed by
+    (band, band_hash) on disk so appends co-locate without reshuffling the
+    index); minhash_lsh_candidates and incremental_lsh_candidates both
+    build on it."""
     sig = minhash_signature(df, text_col, portable)
     band_hash = (
         (lambda c: sha60_col(c)) if portable else (lambda c: F.xxhash64(c))
     )
-    bands = sig.select(
+    return sig.select(
         F.col(id_col),
         F.posexplode(
             F.array(
@@ -147,6 +142,61 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "band_hash"),
     )
+
+
+def incremental_lsh_candidates(
+    index_bands: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+) -> DataFrame:
+    """Near-dup candidate pairs (a < b) introduced by a crawl increment,
+    WITHOUT recomputing the corpus: new docs are banded and joined against
+    the stored index (old×new) plus themselves (new×new); old×old pairs —
+    the O(N²) part already known from previous runs — are never touched.
+
+    Scale shape: the index side is read bucketed by (band, band_hash), so
+    the old×new join co-locates with zero index shuffle; the new side is
+    increment-sized and typically broadcastable. Signatures depend only on
+    the doc text, so the result equals exactly the pairs-involving-new-docs
+    slice of a full recompute (asserted by the q85 oracle)."""
+    nb = lsh_band_rows(new_docs, text_col, id_col, portable)
+    old_new = (
+        nb.alias("n")
+        .join(index_bands.alias("o"), ["band", "band_hash"])
+        .where(F.col(f"o.{id_col}") != F.col(f"n.{id_col}"))
+        .select(
+            F.least(F.col(f"o.{id_col}"), F.col(f"n.{id_col}")).alias("a"),
+            F.greatest(F.col(f"o.{id_col}"), F.col(f"n.{id_col}")).alias("b"),
+        )
+    )
+    new_new = (
+        nb.alias("x")
+        .join(nb.alias("y"), ["band", "band_hash"])
+        .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b"))
+    )
+    return old_new.union(new_new).distinct()
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+    ids_as_csv: bool = False,
+) -> DataFrame:
+    """LSH banding: bucket docs whose band signature collides.
+
+    Returns one row per (band, band_hash) bucket with >1 member:
+    (band, band_hash, n_docs, doc_ids sorted) — the candidate groups a
+    pair-verify stage consumes. `ids_as_csv` renders doc_ids as a
+    comma-joined string (sortable/hashable downstream); `portable` switches
+    both the minhash and band-hash kernels to the sha256-prefix hash so the
+    whole query is reproducible in ANSI SQL.
+    """
+    bands = lsh_band_rows(df, text_col, id_col, portable)
     ids = F.sort_array(F.collect_list(id_col))
     if ids_as_csv:
         ids = F.array_join(F.transform(ids, lambda x: x.cast("string")), ",")

@@ -1054,3 +1054,88 @@ class TestBudgetSelect:
             df, budget=6, score_col="score", tokens_col="toks", group_col="source"
         ).collect()
         assert [r["doc_id"] for r in out] == [1]  # lower id wins the tie
+
+
+class TestHostReputation:
+    def test_wilson_penalizes_small_samples(self, spark):
+        from gc_spark.operators.reputation import host_reputation
+
+        rows = (
+            [("tiny", 1)]                      # 1/1 good — perfect but no evidence
+            + [("big", 1)] * 90 + [("big", 0)] * 10  # 90/100 good
+        )
+        df = spark.createDataFrame(rows, "source string, ok int")
+        got = {
+            r["host"]: r
+            for r in host_reputation(df, good=F.col("ok") == 1).collect()
+        }
+        assert got["tiny"]["n_good"] == 1 and got["tiny"]["n_docs"] == 1
+        # 1/1 Wilson LB ~0.207 < 90/100 Wilson LB ~0.825
+        assert got["tiny"]["wilson_lb"] < got["big"]["wilson_lb"]
+        assert not got["tiny"]["trusted"] and got["big"]["trusted"]
+
+
+class TestIncrementalLsh:
+    def test_matches_full_recompute_slice(self, spark):
+        """Increment pairs == pairs-involving-new-docs of a full-corpus
+        LSH run; old×old pairs never appear."""
+        from gc_spark.operators.text_dedup import (
+            incremental_lsh_candidates,
+            lsh_band_rows,
+        )
+
+        base = " ".join(f"tok{i % 11}" for i in range(40))
+        old = spark.createDataFrame(
+            [(1, base), (2, base), (3, "wholly different words " * 8)],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [(100, base), (101, "unique fresh content " * 8)],
+            "doc_id long, text string",
+        )
+        inc = {
+            (r["a"], r["b"])
+            for r in incremental_lsh_candidates(
+                lsh_band_rows(old), new
+            ).collect()
+        }
+        full_bands = lsh_band_rows(old.union(new))
+        full = {
+            (r["a"], r["b"])
+            for r in full_bands.alias("x")
+            .join(full_bands.alias("y"), ["band", "band_hash"])
+            .where(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(
+                F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
+            )
+            .distinct()
+            .collect()
+            if r["a"] >= 100 or r["b"] >= 100
+        }
+        assert inc == full
+        assert (1, 100) in inc  # identical text collides
+        assert all(a >= 100 or b >= 100 for a, b in inc)  # no old×old
+
+
+class TestHeavyHitters:
+    def test_exact_under_mg_guarantee(self, spark):
+        """capacity=16 << 501 distinct terms, but the two heavy terms
+        (30%/10% of a 10k stream) satisfy freq > N/(capacity+1) and must
+        come out with EXACT counts."""
+        from gc_spark.operators.heavy_hitters import exact_topk_terms
+
+        toks = (
+            ["heavy"] * 3000
+            + ["second"] * 1000
+            + [f"noise{i % 500}" for i in range(6000)]
+        )
+        # deterministic interleave so heavies spread across partitions
+        toks = [toks[(i * 7919) % len(toks)] for i in range(len(toks))]
+        df = spark.createDataFrame(
+            [(i, " ".join(toks[i * 100 : (i + 1) * 100])) for i in range(100)],
+            "doc_id long, text string",
+        ).repartition(8)
+        out = exact_topk_terms(df, k=2, capacity=16).collect()
+        got = {r["term"]: (r["cnt"], r["rank"]) for r in out}
+        assert got["heavy"] == (3000, 1)
+        assert got["second"] == (1000, 2)
