@@ -1663,6 +1663,68 @@ _HH_ORACLE = """
 """
 
 
+def q87_boilerplate_lines(spark, sf_dir):
+    """Host-template detection (operators/boilerplate): per-host line
+    document-frequency over a deterministically planted corpus (75% of
+    each source's docs get a NAV header + Copyright footer) — per-doc
+    distinct lines map-side, one (host,line) groupBy, host doc-counts
+    broadcast back. source = f(doc_id%20) correlates with doc_id%4, so 15
+    of 20 sources plant at 100% frequency and 5 plant nothing — 30 rows at
+    threshold 0.5."""
+    from gc_spark.operators.boilerplate import boilerplate_lines
+
+    d = _t(spark, sf_dir, "documents")
+    planted = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 4 != 0,
+            F.concat(
+                F.lit("NAV "), F.col("source"), F.lit(" MENU\n"),
+                F.col("text"),
+                F.lit("\nCopyright "), F.col("source"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return boilerplate_lines(planted, threshold=0.5).orderBy("host", "line")
+
+
+_BOILERPLATE_ORACLE = """
+    WITH planted AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 4 <> 0
+                  THEN 'NAV ' || source || ' MENU' || chr(10) || text || chr(10) || 'Copyright ' || source
+                  ELSE text END AS text
+      FROM documents
+    ),
+    hostn AS (SELECT source AS host, COUNT(*) AS hn FROM planted GROUP BY source),
+    lines AS (
+      SELECT host, doc_id, line FROM (
+        SELECT source AS host, doc_id,
+               unnest(list_distinct(string_split(text, chr(10)))) AS line
+        FROM planted
+      ) WHERE trim(line) <> ''
+    ),
+    c AS (SELECT host, line, COUNT(*) AS n_docs_with_line FROM lines GROUP BY host, line)
+    SELECT c.host, c.line, c.n_docs_with_line,
+           ROUND(CAST(n_docs_with_line AS DOUBLE) / CAST(hn AS DOUBLE), 6) AS doc_frac
+    FROM c JOIN hostn USING (host)
+    WHERE ROUND(CAST(n_docs_with_line AS DOUBLE) / CAST(hn AS DOUBLE), 6) >= 0.5
+    ORDER BY host, line
+"""
+
+
+def q88_compression_ratio(spark, sf_dir):
+    """zlib compression-ratio quality signal (operators/compress_quality):
+    the Gopher-style repetitiveness detector — Arrow-batched pandas UDF
+    (the one metric that genuinely needs Python), map-only. No SQL oracle
+    (DuckDB has no zlib): driver records the rows-only check; byte-level
+    correctness is pinned by unit tests against zlib directly."""
+    from gc_spark.operators.compress_quality import compression_ratio
+
+    d = _t(spark, sf_dir, "documents")
+    return compression_ratio(d).orderBy("doc_id")
+
+
 _ASOF_ORACLE = """
     WITH snaps AS (
       SELECT user_id % 20 AS host, ts, MAX(value) AS budget
@@ -2098,6 +2160,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q84_host_reputation": q84_host_reputation,
         "q85_incremental_lsh": q85_incremental_lsh,
         "q86_heavy_hitters": q86_heavy_hitters,
+        "q87_boilerplate_lines": q87_boilerplate_lines,
+        "q88_compression_ratio": q88_compression_ratio,
     }
 
 
@@ -2491,6 +2555,7 @@ def oracle_sql() -> dict[str, str]:
         "q84_host_reputation": _REPUTATION_ORACLE,
         "q85_incremental_lsh": _INCR_LSH_ORACLE,
         "q86_heavy_hitters": _HH_ORACLE,
+        "q87_boilerplate_lines": _BOILERPLATE_ORACLE,
         "q61_budget_allocation": _pagerank_cte(iters=5, damping=0.85) + """
             SELECT node AS host,
                    CAST(least(greatest(

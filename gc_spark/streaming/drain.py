@@ -124,3 +124,44 @@ def streaming_drain(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_url_dedup(
+    spark: SparkSession,
+    src_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    watermark: str = "10 minutes",
+):
+    """Bounded-state streaming URL dedup via dropDuplicatesWithinWatermark.
+
+    The foreachBatch drain above dedups against the DURABLE seen sink —
+    the long-horizon guarantee. This operator is the in-stream complement:
+    collapse the burst duplicates a discovery feed produces (the same URL
+    found on many pages within minutes) BEFORE they hit the drain at all.
+
+    Why WithinWatermark and not plain dropDuplicates: a plain streaming
+    dropDuplicates keeps every key in the state store forever — state
+    grows with crawl history and a 10^10-URL frontier OOMs the store.
+    WithinWatermark evicts keys once the event-time watermark passes them,
+    so state is bounded by (discovery rate × watermark window) regardless
+    of total crawl size; anything re-discovered later than the window is
+    correctly left to the durable seen-table anti-join.
+
+    Returns the started query (AvailableNow trigger, parquet sink)."""
+    stream = (
+        spark.readStream.schema(discovery_schema())
+        .parquet(src_path)
+        .withColumn("canonical_url", canonicalize_url_col(F.col("url")))
+        .withColumn("url_hash64", url_hash64(F.col("canonical_url")))
+    )
+    deduped = stream.withWatermark("discovered_at", watermark).dropDuplicatesWithinWatermark(
+        ["url_hash64"]
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1139,3 +1139,104 @@ class TestHeavyHitters:
         got = {r["term"]: (r["cnt"], r["rank"]) for r in out}
         assert got["heavy"] == (3000, 1)
         assert got["second"] == (1000, 2)
+
+
+class TestStreamingUrlDedup:
+    def test_within_watermark_burst_collapse(self, spark, tmp_path):
+        """Duplicate URLs across micro-batch files inside the watermark
+        window come out once; distinct URLs all survive; a second
+        AvailableNow run over an extra file with only-old URLs emits
+        nothing new (state restored from checkpoint)."""
+        import datetime
+
+        from gc_spark.streaming.drain import discovery_schema, streaming_url_dedup
+
+        src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+        ts = datetime.datetime(2024, 1, 1, 12, 0)
+
+        def write(urls, minute):
+            rows = [
+                {
+                    "source": "synthetic",
+                    "url": u,
+                    "host": u.split("/")[2],
+                    "allowed_domains": [],
+                    "discovered_at": ts + datetime.timedelta(minutes=minute),
+                }
+                for u in urls
+            ]
+            spark.createDataFrame(rows, schema=discovery_schema()).write.mode(
+                "append"
+            ).parquet(src)
+
+        write([f"https://h.mil/p{i}" for i in range(10)], 0)
+        write([f"https://h.mil/p{i}" for i in range(5, 15)], 1)  # 5 dups
+        q = streaming_url_dedup(spark, src, out, ckpt)
+        q.awaitTermination(120)
+        got = spark.read.parquet(out)
+        assert got.count() == 15
+        assert got.select("url").distinct().count() == 15
+
+        write([f"https://h.mil/p{i}" for i in range(3)], 2)  # all already seen
+        q2 = streaming_url_dedup(spark, src, out, ckpt)
+        q2.awaitTermination(120)
+        assert spark.read.parquet(out).count() == 15
+
+
+class TestBoilerplate:
+    def _docs(self, spark):
+        rows = [
+            (1, "h1", "MENU\nreal content one\nfooter"),
+            (2, "h1", "MENU\nreal content two\nfooter"),
+            (3, "h1", "MENU\nreal content three\nfooter"),
+            (4, "h1", "no template here at all"),
+            (5, "h2", "MENU\nother host content"),  # below h2's threshold? 1/2
+            (6, "h2", "totally clean"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    def test_detect_threshold(self, spark):
+        from gc_spark.operators.boilerplate import boilerplate_lines
+
+        got = {
+            (r["host"], r["line"]): r["doc_frac"]
+            for r in boilerplate_lines(self._docs(spark), threshold=0.6).collect()
+        }
+        assert got == {("h1", "MENU"): 0.75, ("h1", "footer"): 0.75}
+
+    def test_strip_preserves_order_and_content(self, spark):
+        from gc_spark.operators.boilerplate import (
+            boilerplate_lines,
+            strip_boilerplate,
+        )
+
+        d = self._docs(spark)
+        bp = boilerplate_lines(d, threshold=0.6)
+        got = {r["doc_id"]: r["text"] for r in strip_boilerplate(d, bp).collect()}
+        assert got[1] == "real content one"
+        assert got[4] == "no template here at all"
+        assert got[5] == "MENU\nother host content"  # h2's MENU not template
+
+
+class TestCompressionRatio:
+    def test_matches_zlib_and_separates_spam(self, spark):
+        import zlib
+
+        from gc_spark.operators.compress_quality import compression_ratio
+
+        spam = "buy now " * 200
+        prose = (
+            "The politeness scheduler drains each host queue in rank order, "
+            "carrying budgets between batches while respecting crawl delay "
+            "directives parsed from robots files across distinct domains."
+        )
+        df = spark.createDataFrame(
+            [(1, spam), (2, prose), (3, ""), (4, None)],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+        assert got[1]["comp_len"] == len(zlib.compress(spam.encode(), 6))
+        assert got[2]["comp_len"] == len(zlib.compress(prose.encode(), 6))
+        assert got[1]["ratio"] < 0.1 < got[2]["ratio"]
+        assert got[3]["ratio"] is None and got[3]["raw_len"] == 0
+        assert got[4]["raw_len"] == 0
