@@ -1725,6 +1725,64 @@ def q88_compression_ratio(spark, sf_dir):
     return compression_ratio(d).orderBy("doc_id")
 
 
+def q89_ewma_failure(spark, sf_dir):
+    """Adaptive host health (operators/ewma): geometric-discount failure
+    rate per host via the closed form alpha*sum(x_i*(1-alpha)^(n-i)) —
+    one rank window + one same-key groupBy (no second exchange), no fold,
+    no UDF. The signal an adaptive retry/budget policy keys on."""
+    from gc_spark.operators.ewma import ewma_by_group
+
+    e = _t(spark, sf_dir, "events")
+    return ewma_by_group(
+        e,
+        group_col=(F.col("user_id") % 20),
+        order_col="ts",
+        value=F.when(F.col("event_type") == "error", 1.0).otherwise(0.0),
+        alpha=0.3,
+    ).orderBy("group")
+
+
+_EWMA_ORACLE = """
+    WITH r AS (
+      SELECT user_id % 20 AS g,
+             CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END AS x,
+             ROW_NUMBER() OVER (PARTITION BY user_id % 20 ORDER BY ts) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id % 20) AS n
+      FROM events
+    )
+    SELECT g AS "group", COUNT(*) AS n_events,
+           ROUND(0.3 * SUM(x * pow(1.0 - 0.3, n - rn)), 6) AS ewma
+    FROM r GROUP BY g ORDER BY g
+"""
+
+
+def q90_quantization_error(spark, sf_dir):
+    """int8 embedding quantization acceptance gate (operators/quantize):
+    per-dimension (min,max) via ONE no-explode aggregate (map-side
+    partials, 1-row broadcast back), then map-only quantize/dequantize
+    and per-vector max-abs-err + MSE in a single array transform."""
+    from gc_spark.operators.quantize import quantization_error_stats
+
+    e = _t(spark, sf_dir, "embeddings")
+    return quantization_error_stats(e, dim=64).orderBy("vec_id")
+
+
+_QUANT_ORACLE = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    d AS (SELECT vec_id, generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM e),
+    s AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM d GROUP BY dim),
+    p AS (
+      SELECT vec_id, x, mn, mx,
+             CASE WHEN mx - mn = 0.0 THEN 0.0
+                  ELSE round((x - mn) / (mx - mn) * 255.0) END AS q
+      FROM d JOIN s USING (dim)
+    ),
+    r AS (SELECT vec_id, ABS(mn + q * (mx - mn) / 255.0 - x) AS err FROM p)
+    SELECT vec_id, MAX(err) AS max_abs_err, SUM(err * err) / 64.0 AS mse
+    FROM r GROUP BY vec_id ORDER BY vec_id
+"""
+
+
 _ASOF_ORACLE = """
     WITH snaps AS (
       SELECT user_id % 20 AS host, ts, MAX(value) AS budget
@@ -2162,6 +2220,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q86_heavy_hitters": q86_heavy_hitters,
         "q87_boilerplate_lines": q87_boilerplate_lines,
         "q88_compression_ratio": q88_compression_ratio,
+        "q89_ewma_failure": q89_ewma_failure,
+        "q90_quantization_error": q90_quantization_error,
     }
 
 
@@ -2556,6 +2616,8 @@ def oracle_sql() -> dict[str, str]:
         "q85_incremental_lsh": _INCR_LSH_ORACLE,
         "q86_heavy_hitters": _HH_ORACLE,
         "q87_boilerplate_lines": _BOILERPLATE_ORACLE,
+        "q89_ewma_failure": _EWMA_ORACLE,
+        "q90_quantization_error": _QUANT_ORACLE,
         "q61_budget_allocation": _pagerank_cte(iters=5, damping=0.85) + """
             SELECT node AS host,
                    CAST(least(greatest(

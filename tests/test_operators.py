@@ -1240,3 +1240,98 @@ class TestCompressionRatio:
         assert got[1]["ratio"] < 0.1 < got[2]["ratio"]
         assert got[3]["ratio"] is None and got[3]["raw_len"] == 0
         assert got[4]["raw_len"] == 0
+
+
+class TestEwma:
+    def test_closed_form_matches_hand_fold(self, spark):
+        from gc_spark.operators.ewma import ewma_by_group
+
+        rows = [("h", i, x) for i, x in enumerate([1.0, 0.0, 1.0])]
+        df = spark.createDataFrame(rows, "g string, t long, x double")
+        out = ewma_by_group(
+            df, group_col=F.col("g"), order_col="t", value=F.col("x"), alpha=0.5
+        ).collect()[0]
+        # 0.5*(1*0.25 + 0*0.5 + 1*1) = 0.625 — equals the sequential fold
+        ew = 0.0
+        for x in [1.0, 0.0, 1.0]:
+            ew = 0.5 * x + 0.5 * ew
+        assert abs(out["ewma"] - ew) < 1e-9 and out["n_events"] == 3
+
+    def test_recency_beats_volume(self, spark):
+        """A host with 10 old failures then 5 clean fetches must score
+        BELOW a host with 1 failure in its last 2 events — the property a
+        windowed mean gets wrong."""
+        from gc_spark.operators.ewma import ewma_by_group
+
+        seq_a = [1.0] * 10 + [0.0] * 5
+        seq_b = [0.0] * 13 + [1.0, 0.0]
+        rows = [("a", i, x) for i, x in enumerate(seq_a)] + [
+            ("b", i, x) for i, x in enumerate(seq_b)
+        ]
+        df = spark.createDataFrame(rows, "g string, t long, x double")
+        got = {
+            r["group"]: r["ewma"]
+            for r in ewma_by_group(
+                df, F.col("g"), "t", F.col("x"), alpha=0.3
+            ).collect()
+        }
+        assert got["a"] < got["b"]
+
+    def test_single_exchange_plan(self, spark):
+        """The groupBy must reuse the window's hash partitioning — exactly
+        one Exchange in the physical plan."""
+        from gc_spark.operators.ewma import ewma_by_group
+
+        df = spark.range(100).selectExpr("id % 5 AS g", "id AS t", "1.0 AS x")
+        plan = (
+            ewma_by_group(df, F.col("g"), "t", F.col("x"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestQuantization:
+    def test_known_errors(self, spark):
+        from gc_spark.operators.quantize import quantization_error_stats
+
+        rows = [
+            (1, [0.0, 0.0]),
+            (2, [255.0, 10.0]),
+            (3, [127.5, 5.0]),  # dim0 midpoint -> rounds to 128 -> err 0.5
+            (4, [7.7, 7.7]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = {r["vec_id"]: r for r in quantization_error_stats(df, dim=2).collect()}
+        assert got[1]["max_abs_err"] == 0.0  # endpoints exact
+        assert got[2]["max_abs_err"] == 0.0
+        assert abs(got[3]["max_abs_err"] - 0.5) < 1e-9
+        # dim0 step = 255/255 = 1.0 dominates: 7.7 -> q=8 -> deq=8.0 -> err 0.3
+        assert abs(got[4]["max_abs_err"] - 0.3) < 1e-9
+
+    def test_constant_dim_exact(self, spark):
+        from gc_spark.operators.quantize import quantization_error_stats
+
+        df = spark.createDataFrame(
+            [(1, [3.0, 1.0]), (2, [3.0, 2.0])], "vec_id long, embedding array<double>"
+        )
+        got = {r["vec_id"]: r for r in quantization_error_stats(df, dim=2).collect()}
+        # dim0 constant: mx==mn -> q=0, deq=mn=3.0, zero error
+        assert got[1]["max_abs_err"] == 0.0 and got[2]["max_abs_err"] == 0.0
+
+    def test_no_explode_in_stats_plan(self, spark):
+        """Pass-1 stats must be a plain aggregate over array elements —
+        no Generate/explode node anywhere in the plan."""
+        from gc_spark.operators.quantize import quantization_error_stats
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0]), (2, [0.5, 4.0])], "vec_id long, embedding array<double>"
+        )
+        plan = (
+            quantization_error_stats(df, dim=2)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Generate" not in plan
