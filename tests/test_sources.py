@@ -759,3 +759,44 @@ class TestNativeExtractorParity:
         out = run_extractors(pages)
         assert out.count() == pages.count()
         assert out.select("url").distinct().count() == pages.count()
+
+
+class TestBucketedTables:
+    def test_bucketed_join_no_exchange(self, spark, tmp_path):
+        """Two tables bucketed on the same key join with ZERO Exchange in
+        the physical plan — the layout the per-batch seen-set anti-join
+        relies on at frontier scale. (A per-task in-bucket Sort remains:
+        Spark 3+ only trusts bucket sort metadata with one file per
+        bucket + the legacy outputOrdering flag — memory-local and cheap
+        next to the network shuffle that's eliminated.)"""
+        from pyspark.sql import functions as F
+
+        from gc_spark.sources.bucketed import read_bucketed, write_bucketed
+
+        seen = spark.range(10000).select(
+            F.xxhash64("id").alias("url_hash64"), F.col("id").alias("first_batch")
+        )
+        frontier = spark.range(5000, 15000).select(
+            F.xxhash64("id").alias("url_hash64"), F.col("id").alias("prio")
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            write_bucketed(
+                seen, "t_seen", str(tmp_path / "seen"), ["url_hash64"], 8
+            )
+            write_bucketed(
+                frontier, "t_frontier", str(tmp_path / "frontier"), ["url_hash64"], 8
+            )
+            a = read_bucketed(spark, "t_seen")
+            b = read_bucketed(spark, "t_frontier")
+            joined = b.join(a, "url_hash64", "left_anti")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan
+            assert "SortMergeJoin" in plan
+            assert "Bucketed: true" in plan
+            assert joined.count() == 5000  # ids 10000..14999 unseen
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql("DROP TABLE IF EXISTS t_seen")
+            spark.sql("DROP TABLE IF EXISTS t_frontier")
