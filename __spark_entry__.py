@@ -1767,6 +1767,188 @@ def q90_quantization_error(spark, sf_dir):
     return quantization_error_stats(e, dim=64).orderBy("vec_id")
 
 
+def q91_bfs_depth(spark, sf_dir):
+    """Multi-source BFS crawl depth (operators/bfs.bfs_depths): link graph
+    synthesized from part — chain edges k->k+1 within each 16-block plus
+    skip edges k->k+2 from even offsets (so min-depth semantics are
+    actually exercised: two paths to most nodes); seeds at block starts.
+    Depth cap 6 leaves deep-offset nodes unreached — the crawl-cap filter
+    the reference bakes into per-site spider control flow."""
+    from gc_spark.operators.bfs import bfs_depths
+
+    p = _t(spark, sf_dir, "part")
+    chain = p.filter(F.col("p_partkey") % 16 < 15).select(
+        F.col("p_partkey").cast("long").alias("src"),
+        (F.col("p_partkey") + 1).cast("long").alias("dst"),
+    )
+    skip = p.filter(
+        (F.col("p_partkey") % 16 <= 13) & (F.col("p_partkey") % 2 == 0)
+    ).select(
+        F.col("p_partkey").cast("long").alias("src"),
+        (F.col("p_partkey") + 2).cast("long").alias("dst"),
+    )
+    seeds = p.filter(F.col("p_partkey") % 16 == 0).select(
+        F.col("p_partkey").cast("long").alias("node")
+    )
+    return bfs_depths(chain.unionByName(skip), seeds, max_depth=6)
+
+
+def q92_range_coalesce(spark, sf_dir):
+    """Byte-range coalescing (operators/ranges.coalesce_ranges): per-blob
+    gaps-and-islands merge of overlapping/near-adjacent (gap<=8) fetch
+    ranges before the media wave — one request per island instead of one
+    per raw range. Ranges synthesized per lineitem row."""
+    from gc_spark.operators.ranges import coalesce_ranges
+
+    li = _t(spark, sf_dir, "lineitem")
+    start = ((F.col("l_partkey") % 20) * 50 + F.col("l_linenumber")).cast("long")
+    ranges = li.select(
+        F.col("l_orderkey").alias("media_ref"),
+        start.alias("start"),
+        (start + 30 + (F.col("l_suppkey") % 40) * 2).cast("long").alias("end"),
+    )
+    return coalesce_ranges(ranges, gap=8)
+
+
+def q93_containment_quotes(spark, sf_dir):
+    """Shingle-containment quote detection (operators/containment): planted
+    quote docs (first 12 tokens of every 7th document, id+1000000) come
+    back contained in their source with containment 1.0; threshold 0.9.
+    Exact mode (df_cap=None) so the oracle is the honest inverted join;
+    the df-capped prefix-filter path is pinned by the unit test."""
+    from gc_spark.operators.containment import containment_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text")
+    quotes = base.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(
+            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 12), " "
+        ).alias("text"),
+    )
+    return containment_pairs(base.unionByName(quotes), threshold=0.9).orderBy(
+        "a", "b"
+    )
+
+
+def q94_ngram_novelty(spark, sf_dir):
+    """First-occurrence 5-gram novelty by crawl order (operators/novelty):
+    seq = doc_id (stands in for the engine's dense crawl seq); one
+    corpus-wide min(seq) per gram hash, joined back. Late mirrors of
+    syndicated content score ~0 — the recrawl/curation signal."""
+    from gc_spark.operators.novelty import novelty_scores
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("doc_id").alias("seq"), "text"
+    )
+    return novelty_scores(d, n=5).orderBy("doc_id")
+
+
+_BFS_ORACLE = """
+    WITH RECURSIVE bfs_edges AS (
+      SELECT CAST(p_partkey AS BIGINT) AS src, CAST(p_partkey + 1 AS BIGINT) AS dst
+      FROM part WHERE p_partkey % 16 < 15
+      UNION ALL
+      SELECT CAST(p_partkey AS BIGINT), CAST(p_partkey + 2 AS BIGINT)
+      FROM part WHERE p_partkey % 16 <= 13 AND p_partkey % 2 = 0
+    ), bfs AS (
+      SELECT CAST(p_partkey AS BIGINT) AS node, 0 AS depth
+      FROM part WHERE p_partkey % 16 = 0
+      UNION
+      SELECT e.dst, b.depth + 1
+      FROM bfs b JOIN bfs_edges e ON e.src = b.node
+      WHERE b.depth < 6
+    )
+    SELECT node, CAST(MIN(depth) AS INT) AS depth FROM bfs GROUP BY node
+"""
+
+
+_RANGES_ORACLE = """
+    WITH r AS (
+      SELECT l_orderkey AS media_ref,
+             CAST((l_partkey % 20) * 50 + l_linenumber AS BIGINT) AS s,
+             CAST((l_partkey % 20) * 50 + l_linenumber
+                  + 30 + (l_suppkey % 40) * 2 AS BIGINT) AS e
+      FROM lineitem
+    ), m AS (
+      SELECT media_ref, s, e,
+             MAX(e) OVER (PARTITION BY media_ref ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_max
+      FROM r
+    ), f AS (
+      SELECT media_ref, s, e,
+             CASE WHEN run_max IS NULL OR s > run_max + 8 THEN 1 ELSE 0 END AS ni
+      FROM m
+    ), g AS (
+      SELECT media_ref, s, e,
+             SUM(ni) OVER (PARTITION BY media_ref ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM f
+    )
+    SELECT media_ref, MIN(s) AS start, MAX(e) AS "end",
+           COUNT(*) AS n_ranges
+    FROM g GROUP BY media_ref, island
+"""
+
+
+_CONTAINMENT_ORACLE = """
+    WITH base AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+    ), un AS (
+      SELECT doc_id, text FROM base
+      UNION ALL
+      SELECT doc_id + 1000000,
+             array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), 1, 12), ' ')
+      FROM base
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) + 1),
+               i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), i, i + 2), ' ')
+             )) AS shingles
+      FROM un
+    ), ex AS (
+      SELECT doc_id,
+             CAST('0x' || substr(sha256(UNNEST(shingles)), 1, 15) AS BIGINT) AS shh
+      FROM sh
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS size_a FROM ex GROUP BY doc_id
+    ), inter AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+      FROM ex x JOIN ex y ON x.shh = y.shh AND x.doc_id <> y.doc_id
+      GROUP BY x.doc_id, y.doc_id
+    )
+    SELECT i.a, i.b, i.inter, s.size_a,
+           ROUND(CAST(i.inter AS DOUBLE) / s.size_a, 6) AS containment
+    FROM inter i JOIN sizes s ON s.doc_id = i.a
+    WHERE ROUND(CAST(i.inter AS DOUBLE) / s.size_a, 6) >= 0.9
+    ORDER BY a, b
+"""
+
+
+_NOVELTY_ORACLE = """
+    WITH g AS (
+      SELECT doc_id, doc_id AS seq,
+             UNNEST(list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 4, 1) + 1),
+               i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), i, i + 4), ' ')
+             ))) AS gram
+      FROM documents
+    ), h AS (
+      SELECT doc_id, seq,
+             CAST('0x' || substr(sha256(gram), 1, 15) AS BIGINT) AS gh
+      FROM g
+    ), f AS (
+      SELECT gh, MIN(seq) AS first_seq FROM h GROUP BY gh
+    )
+    SELECT doc_id, seq, COUNT(*) AS n_grams,
+           ROUND(AVG(CASE WHEN seq = first_seq THEN CAST(1 AS DOUBLE)
+                          ELSE CAST(0 AS DOUBLE) END), 6) AS novel_frac
+    FROM h JOIN f USING (gh)
+    GROUP BY doc_id, seq ORDER BY doc_id
+"""
+
+
 _QUANT_ORACLE = """
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     d AS (SELECT vec_id, generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM e),
@@ -2222,6 +2404,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q88_compression_ratio": q88_compression_ratio,
         "q89_ewma_failure": q89_ewma_failure,
         "q90_quantization_error": q90_quantization_error,
+        "q91_bfs_depth": q91_bfs_depth,
+        "q92_range_coalesce": q92_range_coalesce,
+        "q93_containment_quotes": q93_containment_quotes,
+        "q94_ngram_novelty": q94_ngram_novelty,
     }
 
 
@@ -2618,6 +2804,10 @@ def oracle_sql() -> dict[str, str]:
         "q87_boilerplate_lines": _BOILERPLATE_ORACLE,
         "q89_ewma_failure": _EWMA_ORACLE,
         "q90_quantization_error": _QUANT_ORACLE,
+        "q91_bfs_depth": _BFS_ORACLE,
+        "q92_range_coalesce": _RANGES_ORACLE,
+        "q93_containment_quotes": _CONTAINMENT_ORACLE,
+        "q94_ngram_novelty": _NOVELTY_ORACLE,
         "q61_budget_allocation": _pagerank_cte(iters=5, damping=0.85) + """
             SELECT node AS host,
                    CAST(least(greatest(
