@@ -1844,6 +1844,98 @@ def q94_ngram_novelty(spark, sf_dir):
     return novelty_scores(d, n=5).orderBy("doc_id")
 
 
+def q95_robots_wildcards(spark, sf_dir):
+    """Full Google-REP robots matching (operators/robots.parse_robots_rules
+    + match_robots): wildcard `*`, end-anchor `$`, Allow/Disallow with
+    longest-match precedence and allow-on-tie, default-allow. Bodies are
+    synthesized per host (8 hosts from nation) including an inactive
+    gcbot group and a host-specific `Disallow: /pH/*.pdf$`; paths from
+    part hit every branch. The URL side never shuffles: rules collapse to
+    one array per host, broadcast, winner picked by a per-row fold."""
+    from gc_spark.operators.robots import match_robots, parse_robots_rules
+
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 8)
+    robots = n.select(
+        F.concat(F.lit("h"), F.col("n_nationkey")).alias("host"),
+        F.concat(
+            F.lit("User-agent: gcbot\nDisallow: /\n"),
+            F.lit(
+                "User-agent: *\nDisallow: /private/*\n"
+                "Allow: /private/*.html$\nDisallow: /tmp/\n"
+            ),
+            F.lit("Disallow: /p"),
+            F.col("n_nationkey"),
+            F.lit("/*.pdf$\n"),
+        ).alias("body"),
+    )
+    rules = parse_robots_rules(robots)
+    p = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey").cast("string")
+    urls = p.select(
+        F.concat(F.lit("h"), (F.col("p_partkey") % 8).cast("string")).alias("host"),
+        F.when(F.col("p_partkey") % 5 == 0, F.concat(F.lit("/private/doc"), pk, F.lit(".html")))
+        .when(F.col("p_partkey") % 5 == 1, F.concat(F.lit("/private/doc"), pk, F.lit(".pdf")))
+        .when(F.col("p_partkey") % 5 == 2, F.concat(F.lit("/tmp/f"), pk))
+        .when(
+            F.col("p_partkey") % 5 == 3,
+            F.concat(F.lit("/p"), (F.col("p_partkey") % 8).cast("string"), F.lit("/doc"), pk, F.lit(".pdf")),
+        )
+        .otherwise(F.concat(F.lit("/pub/doc"), pk, F.lit(".html")))
+        .alias("path"),
+    )
+    return match_robots(urls, rules)
+
+
+_ROBOTS_WILDCARD_ORACLE = """
+    WITH hosts AS (
+      SELECT 'h' || CAST(n_nationkey AS VARCHAR) AS host, n_nationkey AS h
+      FROM nation WHERE n_nationkey < 8
+    ), rules AS (
+      SELECT host, 'disallow' AS rule_type, '/private/*' AS pattern FROM hosts
+      UNION ALL SELECT host, 'allow', '/private/*.html$' FROM hosts
+      UNION ALL SELECT host, 'disallow', '/tmp/' FROM hosts
+      UNION ALL SELECT host, 'disallow',
+                '/p' || CAST(h AS VARCHAR) || '/*.pdf$' FROM hosts
+    ), urls AS (
+      SELECT 'h' || CAST(p_partkey % 8 AS VARCHAR) AS host,
+             CASE CAST(p_partkey % 5 AS INT)
+               WHEN 0 THEN '/private/doc' || CAST(p_partkey AS VARCHAR) || '.html'
+               WHEN 1 THEN '/private/doc' || CAST(p_partkey AS VARCHAR) || '.pdf'
+               WHEN 2 THEN '/tmp/f' || CAST(p_partkey AS VARCHAR)
+               WHEN 3 THEN '/p' || CAST(p_partkey % 8 AS VARCHAR)
+                        || '/doc' || CAST(p_partkey AS VARCHAR) || '.pdf'
+               ELSE '/pub/doc' || CAST(p_partkey AS VARCHAR) || '.html'
+             END AS path
+      FROM part
+    ), rx AS (
+      SELECT host, rule_type, pattern,
+             '^' || replace(replace(
+                      CASE WHEN pattern LIKE '%$'
+                           THEN substr(pattern, 1, length(pattern) - 1)
+                           ELSE pattern END,
+                      '.', '\\.'), '*', '.*')
+                 || CASE WHEN pattern LIKE '%$' THEN '$' ELSE '' END AS regex,
+             length(pattern) AS plen
+      FROM rules
+    ), m AS (
+      SELECT u.host, u.path, r.rule_type, r.pattern, r.plen
+      FROM urls u LEFT JOIN rx r
+        ON u.host = r.host AND regexp_matches(u.path, r.regex)
+    ), w AS (
+      SELECT host, path, rule_type, pattern,
+             ROW_NUMBER() OVER (PARTITION BY host, path
+               ORDER BY (pattern IS NOT NULL) DESC, plen DESC,
+                        rule_type ASC, pattern ASC) AS rn
+      FROM m
+    )
+    SELECT host, path,
+           CASE WHEN pattern IS NULL THEN TRUE
+                ELSE rule_type = 'allow' END AS allowed,
+           rule_type, pattern AS matched_pattern
+    FROM w WHERE rn = 1
+"""
+
+
 _BFS_ORACLE = """
     WITH RECURSIVE bfs_edges AS (
       SELECT CAST(p_partkey AS BIGINT) AS src, CAST(p_partkey + 1 AS BIGINT) AS dst
@@ -2408,6 +2500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_range_coalesce": q92_range_coalesce,
         "q93_containment_quotes": q93_containment_quotes,
         "q94_ngram_novelty": q94_ngram_novelty,
+        "q95_robots_wildcards": q95_robots_wildcards,
     }
 
 
@@ -2808,6 +2901,7 @@ def oracle_sql() -> dict[str, str]:
         "q92_range_coalesce": _RANGES_ORACLE,
         "q93_containment_quotes": _CONTAINMENT_ORACLE,
         "q94_ngram_novelty": _NOVELTY_ORACLE,
+        "q95_robots_wildcards": _ROBOTS_WILDCARD_ORACLE,
         "q61_budget_allocation": _pagerank_cte(iters=5, damping=0.85) + """
             SELECT node AS host,
                    CAST(least(greatest(

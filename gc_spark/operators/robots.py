@@ -71,6 +71,117 @@ def parse_robots(
     )
 
 
+RULE_PAT = r"(?i)^\s*(allow|disallow)\s*:\s*([^#\s]+)"
+
+
+def parse_robots_rules(
+    df: DataFrame, agent: str = "*", host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """(host, body) → (host, rule_type, pattern) for `agent`, keeping BOTH
+    Allow and Disallow lines with their patterns verbatim (wildcards
+    preserved for match_robots). Same group-semantics fold as parse_robots
+    — one pure-expression pass per body, no UDF."""
+    lines = F.split(F.col(body_col), r"\r?\n")
+    ua = lambda l: F.regexp_extract(l, UA_PAT, 1)  # noqa: E731
+    rty = lambda l: F.lower(F.regexp_extract(l, RULE_PAT, 1))  # noqa: E731
+    pat = lambda l: F.regexp_extract(l, RULE_PAT, 2)  # noqa: E731
+
+    init = F.named_struct(
+        F.lit("in_ua"), F.lit(False),
+        F.lit("active"), F.lit(False),
+        F.lit("rules"),
+        F.array().cast("array<struct<rule_type:string,pattern:string>>"),
+    )
+
+    def step(acc, l):
+        is_ua = ua(l) != ""
+        matches = ua(l).isin(agent, "*") if agent != "*" else (ua(l) == "*")
+        new_active = F.when(acc["in_ua"], acc["active"] | matches).otherwise(matches)
+        has_rule = pat(l) != ""
+        rules = F.when(
+            ~is_ua & has_rule & acc["active"],
+            F.array_append(
+                acc["rules"],
+                F.named_struct(
+                    F.lit("rule_type"), rty(l), F.lit("pattern"), pat(l)
+                ),
+            ),
+        ).otherwise(acc["rules"])
+        return F.named_struct(
+            F.lit("in_ua"), is_ua,
+            F.lit("active"), F.when(is_ua, new_active).otherwise(acc["active"]),
+            F.lit("rules"), rules,
+        )
+
+    folded = F.aggregate(lines, init, step)["rules"]
+    return (
+        df.select(F.col(host_col).alias("host"), folded.alias("_rules"))
+        .select("host", F.explode("_rules").alias("_r"))
+        .select("host", F.col("_r.rule_type").alias("rule_type"), F.col("_r.pattern").alias("pattern"))
+        .distinct()
+    )
+
+
+def robots_regex_col(pattern) -> "F.Column":
+    """Google-REP pattern → anchored regex: `*` = any chars, trailing `$` =
+    end anchor, everything else a prefix match. `.` is the only regex
+    metachar that appears in real robots paths; it's escaped (the same
+    replace chain is reproducible in ANSI SQL, which is what keeps
+    match_robots oracle-able)."""
+    ends = pattern.endswith("$")
+    core = F.when(ends, F.regexp_replace(pattern, r"\$$", "")).otherwise(pattern)
+    esc = F.replace(F.replace(core, F.lit("."), F.lit("\\.")), F.lit("*"), F.lit(".*"))
+    return F.concat(F.lit("^"), esc, F.when(ends, F.lit("$")).otherwise(F.lit("")))
+
+
+def match_robots(
+    urls: DataFrame,
+    rules: DataFrame,
+    host_col: str = "host",
+    path_col: str = "path",
+) -> DataFrame:
+    """Per-URL robots verdict under full Google-REP semantics: the rule with
+    the LONGEST pattern wins; allow wins length ties; no matching rule =
+    allowed (default-allow, like the reference's ROBOTSTXT_OBEY=False
+    posture but with the full loop available).
+
+    Scale shape: rules collapse to ONE array per host and broadcast-join
+    onto the frontier; the winner is picked by a per-row array fold
+    (filter matching rules → sort by (−len, rule_type, pattern) → first).
+    ZERO shuffle of the URL side — the plan a 10^10-URL frontier needs
+    (a window over (host, path) would re-shuffle the whole frontier
+    purely to rank 2-5 candidate rules per URL)."""
+    per_host = rules.groupBy(host_col).agg(
+        F.collect_list(
+            F.struct(
+                (-F.length("pattern")).alias("neg_len"),
+                F.col("rule_type"),
+                F.col("pattern"),
+                robots_regex_col(F.col("pattern")).alias("regex"),
+            )
+        ).alias("_rules")
+    )
+    j = urls.join(F.broadcast(per_host), host_col, "left")
+    matching = F.filter(
+        F.coalesce(
+            F.col("_rules"),
+            F.array().cast(
+                "array<struct<neg_len:int,rule_type:string,pattern:string,regex:string>>"
+            ),
+        ),
+        lambda r: F.regexp_like(F.col(path_col), r["regex"]),
+    )
+    winner = F.get(F.array_sort(matching), 0)  # null when nothing matches (ANSI-safe)
+    return j.select(
+        "*",
+        F.when(winner.isNull(), F.lit(True))
+        .otherwise(winner["rule_type"] == "allow")
+        .alias("allowed"),
+        winner["rule_type"].alias("rule_type"),
+        winner["pattern"].alias("matched_pattern"),
+    ).drop("_rules")
+
+
 def parse_crawl_delay(
     df: DataFrame, agent: str = "*", host_col: str = "host", body_col: str = "body"
 ) -> DataFrame:

@@ -163,3 +163,73 @@ class TestNoveltyScores:
         got = {r["doc_id"]: r for r in novelty_scores(docs, n=5).collect()}
         assert got[1]["novel_frac"] == 1.0
         assert got[2]["novel_frac"] == 0.5
+
+
+class TestRobotsWildcards:
+    def test_google_rep_semantics(self, spark):
+        from gc_spark.operators.robots import match_robots, parse_robots_rules
+
+        body = (
+            "User-agent: *\nDisallow: /private/*\nAllow: /private/*.html$\n"
+            "Disallow: /tmp/\nUser-agent: bot\nDisallow: /\n"
+        )
+        robots = spark.createDataFrame(
+            [("h1", body), ("h2", "User-agent: other\nDisallow: /\n")],
+            "host string, body string",
+        )
+        rules = parse_robots_rules(robots)
+        # Allow survives the parse; bot-only and other-only groups don't
+        got_rules = {(r["host"], r["rule_type"], r["pattern"]) for r in rules.collect()}
+        assert got_rules == {
+            ("h1", "disallow", "/private/*"),
+            ("h1", "allow", "/private/*.html$"),
+            ("h1", "disallow", "/tmp/"),
+        }
+        urls = spark.createDataFrame(
+            [
+                ("h1", "/private/a.html"),   # allow: longest match wins
+                ("h1", "/private/a.htmlx"),  # $ anchor: allow doesn't fire
+                ("h1", "/private/a.pdf"),    # disallow wildcard
+                ("h1", "/tmp/x"),            # plain prefix disallow
+                ("h1", "/pub/x"),            # no match -> allowed
+                ("h2", "/anything"),         # no *-group rules -> allowed
+                ("h3", "/no/robots"),        # host absent -> allowed
+            ],
+            "host string, path string",
+        )
+        got = {
+            (r["host"], r["path"]): (r["allowed"], r["matched_pattern"])
+            for r in match_robots(urls, rules).collect()
+        }
+        assert got[("h1", "/private/a.html")] == (True, "/private/*.html$")
+        assert got[("h1", "/private/a.htmlx")] == (False, "/private/*")
+        assert got[("h1", "/private/a.pdf")] == (False, "/private/*")
+        assert got[("h1", "/tmp/x")] == (False, "/tmp/")
+        assert got[("h1", "/pub/x")] == (True, None)
+        assert got[("h2", "/anything")] == (True, None)
+        assert got[("h3", "/no/robots")] == (True, None)
+
+    def test_allow_wins_length_tie(self, spark):
+        from gc_spark.operators.robots import match_robots
+
+        rules = spark.createDataFrame(
+            [("h", "allow", "/a/bb"), ("h", "disallow", "/a/bb")],
+            "host string, rule_type string, pattern string",
+        )
+        urls = spark.createDataFrame([("h", "/a/bbq")], "host string, path string")
+        r = match_robots(urls, rules).collect()[0]
+        assert r["allowed"] is True and r["rule_type"] == "allow"
+
+    def test_url_side_broadcast_only(self, spark):
+        """The frontier side must reach the verdict through a broadcast
+        join — no SortMergeJoin / no shuffle of the URL frame."""
+        from gc_spark.operators.robots import match_robots
+
+        rules = spark.createDataFrame(
+            [("h", "disallow", "/x*")], "host string, rule_type string, pattern string"
+        )
+        urls = spark.createDataFrame([("h", "/x1")], "host string, path string")
+        plan = (
+            match_robots(urls, rules)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
