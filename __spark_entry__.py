@@ -1886,6 +1886,115 @@ def q95_robots_wildcards(spark, sf_dir):
     return match_robots(urls, rules)
 
 
+def q96_mirror_hosts(spark, sf_dir):
+    """Mirror-host detection (operators/mirrors.mirror_host_pairs): host
+    pairs sharing >= 2 identical content fingerprints. Mirrors planted by
+    re-hosting every 4th document under 'mirror-'||source; the inverted
+    fingerprint self-join recovers each (source, mirror-source) pair plus
+    any organic cross-source duplicates."""
+    from gc_spark.operators.mirrors import mirror_host_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    mirrored = d.filter(F.col("doc_id") % 4 == 0).select(
+        F.concat(F.lit("mirror-"), F.col("source")).alias("source"), "text"
+    )
+    corpus = d.select("source", "text").unionByName(mirrored)
+    return mirror_host_pairs(corpus, host_col="source", min_shared=2)
+
+
+def q97_fetch_eta(spark, sf_dir):
+    """Politeness-aware fetch ETA (operators/eta.schedule_eta): per-URL
+    wave and eta_sec under per-host crawl delays and 2 connections —
+    the long-pole report an operator reads before the crawl, not after.
+    Frontier synthesized from part (10 hosts, delay 1-3s)."""
+    from gc_spark.operators.eta import schedule_eta
+
+    p = _t(spark, sf_dir, "part")
+    fr = p.select(
+        F.concat(F.lit("h"), (F.col("p_partkey") % 10).cast("string")).alias("host"),
+        F.concat(F.lit("u"), F.col("p_partkey").cast("string")).alias("url"),
+        (F.col("p_partkey") % 100).cast("int").alias("priority"),
+        (1.0 + (F.col("p_partkey") % 10) % 3).cast("double").alias("crawl_delay"),
+    )
+    return schedule_eta(fr, delay_col="crawl_delay", connections=2)
+
+
+def q98_bigram_xent(spark, sf_dir):
+    """Interpolated bigram LM scoring (operators/lm.interpolated_bigram_
+    xent): Jelinek-Mercer p = 0.7·c(w1w2)/c(w1) + 0.3·c(w2)/N over the
+    corpus itself — the word-order-sensitive upgrade of q59's unigram
+    cross-entropy. Bigram table joins by key (too big to broadcast at
+    corpus scale); unigram lookups broadcast."""
+    from gc_spark.operators.lm import interpolated_bigram_xent
+
+    d = _t(spark, sf_dir, "documents")
+    return interpolated_bigram_xent(d).orderBy("doc_id")
+
+
+_MIRRORS_ORACLE = """
+    WITH corpus AS (
+      SELECT source AS h, text FROM documents
+      UNION ALL
+      SELECT 'mirror-' || source, text FROM documents WHERE doc_id % 4 = 0
+    ), fp AS (
+      SELECT DISTINCT h, CAST('0x' || substr(sha256(text), 1, 15) AS BIGINT) AS fp
+      FROM corpus
+    )
+    SELECT a.h AS host_a, b.h AS host_b, COUNT(*) AS shared
+    FROM fp a JOIN fp b ON a.fp = b.fp AND a.h < b.h
+    GROUP BY a.h, b.h HAVING COUNT(*) >= 2
+"""
+
+
+_ETA_ORACLE = """
+    WITH fr AS (
+      SELECT 'h' || CAST(p_partkey % 10 AS VARCHAR) AS host,
+             'u' || CAST(p_partkey AS VARCHAR) AS url,
+             CAST(p_partkey % 100 AS INT) AS priority,
+             CAST(1.0 + (p_partkey % 10) % 3 AS DOUBLE) AS crawl_delay
+      FROM part
+    ), r AS (
+      SELECT host, url, priority, crawl_delay,
+             CAST(floor((ROW_NUMBER() OVER (PARTITION BY host
+               ORDER BY priority, url) - 1) / 2.0) AS BIGINT) AS wave
+      FROM fr
+    )
+    SELECT host, url, priority, crawl_delay, wave,
+           CAST(wave * crawl_delay AS DOUBLE) AS eta_sec
+    FROM r
+"""
+
+
+_BIGRAM_XENT_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), big AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+                    i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS bg
+      FROM toks
+    ), bigf AS (
+      SELECT doc_id, bg FROM big WHERE contains(bg, ' ')
+    ), bc AS (
+      SELECT bg, CAST(COUNT(*) AS DOUBLE) AS cb FROM bigf GROUP BY bg
+    ), uni AS (
+      SELECT UNNEST(t) AS term FROM toks
+    ), uc AS (
+      SELECT term, CAST(COUNT(*) AS DOUBLE) AS cu FROM uni GROUP BY term
+    ), tot AS (SELECT SUM(cu) AS n FROM uc),
+    pt AS (
+      SELECT bg, 0.7 * cb / c1.cu
+                 + (1.0 - 0.7) * c2.cu / (SELECT n FROM tot) AS p
+      FROM bc
+      JOIN uc c1 ON c1.term = split_part(bg, ' ', 1)
+      JOIN uc c2 ON c2.term = split_part(bg, ' ', 2)
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams, ROUND(-AVG(ln(p)), 6) AS xent
+    FROM bigf JOIN pt USING (bg)
+    GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 _ROBOTS_WILDCARD_ORACLE = """
     WITH hosts AS (
       SELECT 'h' || CAST(n_nationkey AS VARCHAR) AS host, n_nationkey AS h
@@ -2501,6 +2610,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q93_containment_quotes": q93_containment_quotes,
         "q94_ngram_novelty": q94_ngram_novelty,
         "q95_robots_wildcards": q95_robots_wildcards,
+        "q96_mirror_hosts": q96_mirror_hosts,
+        "q97_fetch_eta": q97_fetch_eta,
+        "q98_bigram_xent": q98_bigram_xent,
     }
 
 
@@ -2902,6 +3014,9 @@ def oracle_sql() -> dict[str, str]:
         "q93_containment_quotes": _CONTAINMENT_ORACLE,
         "q94_ngram_novelty": _NOVELTY_ORACLE,
         "q95_robots_wildcards": _ROBOTS_WILDCARD_ORACLE,
+        "q96_mirror_hosts": _MIRRORS_ORACLE,
+        "q97_fetch_eta": _ETA_ORACLE,
+        "q98_bigram_xent": _BIGRAM_XENT_ORACLE,
         "q61_budget_allocation": _pagerank_cte(iters=5, damping=0.85) + """
             SELECT node AS host,
                    CAST(least(greatest(

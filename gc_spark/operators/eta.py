@@ -1,0 +1,54 @@
+"""Fetch-schedule ETA: when will each frontier URL actually be fetched?
+
+Politeness turns the frontier into per-host queues drained `connections`
+at a time with `crawl_delay` seconds between waves — so a 1M-URL host with
+delay 2s and 2 connections takes ~11.6 days no matter how many executors
+exist. Surfacing that BEFORE the crawl (per-URL ETA, per-host makespan)
+is what lets an operator rebalance budgets (pagerank.allocate_budgets /
+robots crawl-delay budgets) instead of discovering the long pole days in.
+
+ETA model: within each host, URLs rank by priority; wave = floor(rank /
+connections); eta_sec = wave * delay. Closed-form per row after one rank
+window per host — the same window shape as politeness.topk_per_host, and
+at production scale the same two-phase salted ranking applies when a
+single host dominates a partition (operators/politeness.py holds that
+machinery; this module keeps the plain window and is fed post-budget
+frontiers, which are already host-bounded).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def schedule_eta(
+    frontier: DataFrame,
+    host_col: str = "host",
+    order_cols: tuple = ("priority", "url"),
+    delay_col: str | None = None,
+    connections: int = 2,
+    default_delay: float = 1.0,
+) -> DataFrame:
+    """frontier + (wave, eta_sec): the politeness-respecting fetch time of
+    every URL, deterministic given the (priority, url) drain order. Pass
+    `delay_col` for per-host crawl delays (robots.parse_crawl_delay);
+    otherwise `default_delay` applies everywhere."""
+    w = Window.partitionBy(host_col).orderBy(*[F.col(c) for c in order_cols])
+    delay = F.col(delay_col) if delay_col else F.lit(default_delay)
+    wave = F.floor((F.row_number().over(w) - 1) / connections)
+    return frontier.select(
+        "*",
+        wave.cast("long").alias("wave"),
+        (wave * delay).cast("double").alias("eta_sec"),
+    )
+
+
+def host_makespan(eta: DataFrame, host_col: str = "host") -> DataFrame:
+    """(host, n_urls, makespan_sec): the drain completion time per host —
+    the long-pole report. Same-key aggregate over schedule_eta's output, so
+    it reuses the window's partitioning (no second Exchange)."""
+    return eta.groupBy(host_col).agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.max("eta_sec").alias("makespan_sec"),
+    )

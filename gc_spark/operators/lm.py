@@ -39,6 +39,60 @@ def unigram_lm(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def interpolated_bigram_xent(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.7,
+) -> DataFrame:
+    """(id, n_bigrams, xent) — per-doc cross-entropy under an interpolated
+    bigram LM trained on the corpus itself: p(w1 w2) = lam·c(w1w2)/c(w1) +
+    (1−lam)·c(w2)/N (Jelinek-Mercer with the unigram-count denominator).
+    The bigram layer catches word-salad text that fools the unigram model
+    (q59): common words in impossible orders score high.
+
+    Scale shape: bigram counts are corpus-vocabulary² sized — too big to
+    broadcast, so the probability table joins the corpus on the bigram
+    string (one hash-keyed shuffle). The two unigram lookups and the token
+    total ARE vocabulary-sized and broadcast. Docs with <2 tokens have no
+    bigram and drop out (callers gate on q59's unigram score for those)."""
+    from gc_spark.functions.text import word_ngrams_col
+
+    big = df.select(
+        F.col(id_col), F.explode(word_ngrams_col(F.col(text_col), 2)).alias("bg")
+    ).filter(F.col("bg").contains(" "))
+    bcounts = big.groupBy("bg").agg(F.count(F.lit(1)).cast("double").alias("cb"))
+    uni = df.select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term")
+    )
+    ucounts = uni.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("cu"))
+    total = ucounts.agg(F.sum("cu").alias("n"))
+    c1 = ucounts.select(F.col("term").alias("w1"), F.col("cu").alias("c1"))
+    c2 = ucounts.select(F.col("term").alias("w2"), F.col("cu").alias("c2"))
+    pt = (
+        bcounts.withColumn("w1", F.substring_index("bg", " ", 1))
+        .withColumn("w2", F.substring_index("bg", " ", -1))
+        .join(F.broadcast(c1), "w1")
+        .join(F.broadcast(c2), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bg",
+            (
+                F.lit(lam) * F.col("cb") / F.col("c1")
+                + F.lit(1.0 - lam) * F.col("c2") / F.col("n")
+            ).alias("p"),
+        )
+    )
+    return (
+        big.join(pt, "bg")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(-F.avg(F.log("p")), 6).alias("xent"),
+        )
+    )
+
+
 def cross_entropy_score(
     df: DataFrame,
     lm: DataFrame,

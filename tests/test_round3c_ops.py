@@ -233,3 +233,80 @@ class TestRobotsWildcards:
             match_robots(urls, rules)._jdf.queryExecution().executedPlan().toString()
         )
         assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+class TestMirrorHosts:
+    def test_planted_mirror_and_cap(self, spark):
+        from gc_spark.operators.mirrors import mirror_host_pairs
+
+        docs = spark.createDataFrame(
+            [
+                ("a", "doc one"), ("a", "doc two"), ("a", "shared everywhere"),
+                ("b", "doc one"), ("b", "doc two"), ("b", "only b"),
+                ("c", "doc three"), ("c", "shared everywhere"),
+                ("d", "shared everywhere"),
+            ],
+            "host string, text string",
+        )
+        got = {
+            (r["host_a"], r["host_b"]): r["shared"]
+            for r in mirror_host_pairs(docs, min_shared=2).collect()
+        }
+        assert got == {("a", "b"): 2}  # only the real mirror pair
+        # host_cap=2 drops 'shared everywhere' (on 3 hosts) from the index
+        capped = mirror_host_pairs(docs, min_shared=1, host_cap=2).collect()
+        assert {(r["host_a"], r["host_b"]) for r in capped} == {("a", "b")}
+
+
+class TestScheduleEta:
+    def test_waves_and_makespan(self, spark):
+        from gc_spark.operators.eta import host_makespan, schedule_eta
+
+        fr = spark.createDataFrame(
+            [("h", f"u{i}", i, 2.0) for i in range(5)] + [("g", "u9", 0, 1.0)],
+            "host string, url string, priority int, crawl_delay double",
+        )
+        eta = schedule_eta(fr, delay_col="crawl_delay", connections=2)
+        got = {r["url"]: (r["wave"], r["eta_sec"]) for r in eta.collect()}
+        # h: ranks 1..5 -> waves 0,0,1,1,2 at delay 2
+        assert got["u0"] == (0, 0.0) and got["u1"] == (0, 0.0)
+        assert got["u2"] == (1, 2.0) and got["u3"] == (1, 2.0)
+        assert got["u4"] == (2, 4.0)
+        assert got["u9"] == (0, 0.0)
+        ms = {r["host"]: (r["n_urls"], r["makespan_sec"]) for r in host_makespan(eta).collect()}
+        assert ms == {"h": (5, 4.0), "g": (1, 0.0)}
+
+
+class TestBigramXent:
+    def test_closed_form(self, spark):
+        import math
+
+        from gc_spark.operators.lm import interpolated_bigram_xent
+
+        docs = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+        r = interpolated_bigram_xent(docs).collect()[0]
+        # bigrams: "a b"x2 (p=.7*2/2+.3*2/4=.85), "b a" (p=.7*1/2+.3*2/4=.5)
+        expect = -(2 * math.log(0.85) + math.log(0.5)) / 3
+        assert r["n_bigrams"] == 3
+        assert abs(r["xent"] - round(expect, 6)) < 1e-9
+
+    def test_word_salad_scores_worse(self, spark):
+        from gc_spark.operators.lm import interpolated_bigram_xent
+
+        fluent = "the cat sat on the mat and the cat sat on the mat again"
+        salad = "mat the on cat and sat the mat on again the sat cat the"
+        docs = spark.createDataFrame(
+            [(1, fluent), (2, fluent), (3, fluent), (4, salad)],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r["xent"] for r in interpolated_bigram_xent(docs).collect()}
+        assert got[4] > got[1]  # same unigram profile, impossible order
+
+    def test_single_token_doc_dropped(self, spark):
+        from gc_spark.operators.lm import interpolated_bigram_xent
+
+        docs = spark.createDataFrame(
+            [(1, "hello"), (2, "hello world")], "doc_id long, text string"
+        )
+        got = {r["doc_id"] for r in interpolated_bigram_xent(docs).collect()}
+        assert got == {2}
