@@ -65,7 +65,13 @@ def interpolated_bigram_xent(
     uni = df.select(
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term")
     )
-    ucounts = uni.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("cu"))
+    # vocab-sized after the shuffle and consumed three times (c1, c2,
+    # total): checkpoint so the corpus-sized token explode runs ONCE
+    ucounts = (
+        uni.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("cu"))
+        .localCheckpoint(eager=False)
+    )
     total = ucounts.agg(F.sum("cu").alias("n"))
     c1 = ucounts.select(F.col("term").alias("w1"), F.col("cu").alias("c1"))
     c2 = ucounts.select(F.col("term").alias("w2"), F.col("cu").alias("c2"))
