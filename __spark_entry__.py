@@ -1931,6 +1931,125 @@ def q98_bigram_xent(spark, sf_dir):
     return interpolated_bigram_xent(d).orderBy("doc_id")
 
 
+def q99_url_param_rules(spark, sf_dir):
+    """DUST-style URL-rule learning (operators/dust.learn_param_rules):
+    which query parameters never change the content fingerprint and can be
+    stripped by the canonicalizer. Synthetic URL space from events digits:
+    'page' drives the content (not strippable), 'sid' and 'ref' are
+    session/tracking noise (strippable). The operator parses the raw query
+    string with str_to_map; the oracle derives the same groups
+    analytically."""
+    from gc_spark.operators.dust import learn_param_rules
+
+    e = _t(spark, sf_dir, "events").select(
+        (F.col("event_id") % 10).alias("d0"),
+        (F.floor(F.col("event_id") / 10) % 10).alias("d1"),
+        (F.floor(F.col("event_id") / 100) % 10).alias("d2"),
+        (F.floor(F.col("event_id") / 1000) % 10).alias("d3"),
+    )
+    from gc_spark.operators.text_dedup import sha60_col
+
+    urls = e.select(
+        F.concat(F.lit("h"), F.col("d3").cast("string")).alias("host"),
+        F.concat(F.lit("/p/"), F.col("d2").cast("string")).alias("path"),
+        F.concat(
+            F.lit("page="),
+            (F.col("d1") % 3).cast("string"),
+            F.lit("&ref="),
+            F.floor(F.col("d0") / 5).cast("string"),
+            F.lit("&sid="),
+            (F.col("d0") % 5).cast("string"),
+        ).alias("query"),
+        sha60_col(
+            F.concat(
+                F.lit("h"),
+                F.col("d3").cast("string"),
+                F.lit("/p/"),
+                F.col("d2").cast("string"),
+                F.lit("#"),
+                (F.col("d1") % 3).cast("string"),
+            )
+        ).alias("fp"),
+    )
+    return learn_param_rules(urls, min_groups=2)
+
+
+def q100_soft404_templates(spark, sf_dir):
+    """Soft-404 / template-page detection (operators/soft404.template_
+    pages): per-host body fingerprints claimed by an outsized share of the
+    host's URLs. Planted: every 5th URL shares the host's 'soft404' body,
+    every 7th-shifted-3 shares a 'consent' wall; the rest are unique."""
+    from gc_spark.operators.soft404 import template_pages
+    from gc_spark.operators.text_dedup import sha60_col
+
+    p = _t(spark, sf_dir, "part")
+    host = F.concat(F.lit("h"), (F.col("p_partkey") % 10).cast("string"))
+    body = (
+        F.when(F.col("p_partkey") % 5 == 0, F.concat(F.lit("soft404 "), host))
+        .when(F.col("p_partkey") % 7 == 3, F.concat(F.lit("consent "), host))
+        .otherwise(F.concat(F.lit("body "), F.col("p_partkey").cast("string")))
+    )
+    pages = p.select(
+        host.alias("host"),
+        F.concat(F.lit("u"), F.col("p_partkey").cast("string")).alias("url"),
+        sha60_col(body).alias("fp"),
+    )
+    return template_pages(pages, min_share=0.1, min_count=5)
+
+
+def q101_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (operators/dsir.importance_weights): hashed
+    unigram+bigram bucket distributions of a target slice (src0-src2, the
+    'high-quality' proxy) vs the whole corpus; per-doc log-ratio weight is
+    the data-selection score. Bucket tables are B-sized and broadcast."""
+    from gc_spark.operators.dsir import importance_weights
+
+    d = _t_wide(spark, sf_dir, "documents")
+    target = d.filter(F.col("source").isin("src0", "src1", "src2"))
+    return importance_weights(d, target, buckets=4096)
+
+
+def q102_link_farms(spark, sf_dir):
+    """Reciprocal-link / link-farm detection (operators/linkspam.
+    reciprocity_stats). Organic host graph from events (each host links to
+    ~21 pseudo-random targets; reciprocity ~4%) plus a planted 10-host
+    clique linked in both directions from part — the clique's ratio 1.0
+    trips the farm flag, organic hosts stay clean."""
+    from gc_spark.operators.linkspam import reciprocity_stats
+
+    ev = _t(spark, sf_dir, "events")
+    organic = ev.select(
+        F.concat(F.lit("n"), (F.col("event_id") % 499).cast("string")).alias("src"),
+        F.concat(
+            F.lit("n"),
+            ((F.floor(F.col("event_id") / 499) + F.col("event_id") * 7) % 499).cast(
+                "string"
+            ),
+        ).alias("dst"),
+    )
+    p = _t(spark, sf_dir, "part")
+    farm = p.select(
+        F.concat(F.lit("f"), (F.col("p_partkey") % 10).cast("string")).alias("src"),
+        F.concat(
+            F.lit("f"), (F.floor(F.col("p_partkey") / 10) % 10).cast("string")
+        ).alias("dst"),
+    )
+    return reciprocity_stats(
+        organic.unionByName(farm), min_ratio=0.5, min_degree=5
+    )
+
+
+def q103_pq_codes(spark, sf_dir):
+    """Product quantization (operators/pq.pq_assign): 64-dim embeddings →
+    4 subspaces × 16 sampled codewords; per-vector reconstruction MSE and
+    code string. The broadcast-codebook + single-shuffle assignment is the
+    IVF-PQ serving layout for billion-vector ANN."""
+    from gc_spark.operators.pq import pq_assign
+
+    e = _t_wide(spark, sf_dir, "embeddings")
+    return pq_assign(e, dim=64, m=4, k=16)
+
+
 _MIRRORS_ORACLE = """
     WITH corpus AS (
       SELECT source AS h, text FROM documents
@@ -1992,6 +2111,164 @@ _BIGRAM_XENT_ORACLE = """
     SELECT doc_id, COUNT(*) AS n_bigrams, ROUND(-AVG(ln(p)), 6) AS xent
     FROM bigf JOIN pt USING (bg)
     GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+_DUST_ORACLE = """
+    WITH e AS (
+      SELECT event_id % 10 AS d0, (event_id // 10) % 10 AS d1,
+             (event_id // 100) % 10 AS d2, (event_id // 1000) % 10 AS d3
+      FROM events
+    ), u AS (
+      SELECT 'h' || CAST(d3 AS VARCHAR) AS host,
+             CAST(d2 AS VARCHAR) AS path,
+             CAST(d1 % 3 AS VARCHAR) AS page,
+             CAST(d0 // 5 AS VARCHAR) AS ref,
+             CAST(d0 % 5 AS VARCHAR) AS sid,
+             CAST('0x' || substr(sha256(
+               'h' || CAST(d3 AS VARCHAR) || '/p/' || CAST(d2 AS VARCHAR)
+               || '#' || CAST(d1 % 3 AS VARCHAR)), 1, 15) AS BIGINT) AS fp
+      FROM e
+    ), grp AS (
+      SELECT host, 'page' AS param,
+             host || '|' || path || '|' || ref || '|' || sid AS gkey,
+             page AS val, fp FROM u
+      UNION ALL
+      SELECT host, 'ref', host || '|' || path || '|' || page || '|' || sid,
+             ref, fp FROM u
+      UNION ALL
+      SELECT host, 'sid', host || '|' || path || '|' || page || '|' || ref,
+             sid, fp FROM u
+    ), agg AS (
+      SELECT host, param, gkey,
+             COUNT(DISTINCT val) AS nv, COUNT(DISTINCT fp) AS nf
+      FROM grp GROUP BY 1, 2, 3
+    )
+    SELECT host, param, COUNT(*) AS groups_multi,
+           CAST(SUM(CASE WHEN nf > 1 THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+           (COUNT(*) >= 2
+            AND SUM(CASE WHEN nf > 1 THEN 1 ELSE 0 END) = 0) AS strippable
+    FROM agg WHERE nv >= 2 GROUP BY host, param
+"""
+
+
+_SOFT404_ORACLE = """
+    WITH pages AS (
+      SELECT 'h' || CAST(p_partkey % 10 AS VARCHAR) AS host,
+             'u' || CAST(p_partkey AS VARCHAR) AS url,
+             CAST('0x' || substr(sha256(
+               CASE WHEN p_partkey % 5 = 0
+                      THEN 'soft404 h' || CAST(p_partkey % 10 AS VARCHAR)
+                    WHEN p_partkey % 7 = 3
+                      THEN 'consent h' || CAST(p_partkey % 10 AS VARCHAR)
+                    ELSE 'body ' || CAST(p_partkey AS VARCHAR) END
+             ), 1, 15) AS BIGINT) AS fp
+      FROM part
+    ), by_fp AS (
+      SELECT host, fp, COUNT(DISTINCT url) AS n_urls
+      FROM pages GROUP BY host, fp
+    ), totals AS (
+      SELECT host, COUNT(DISTINCT url) AS host_urls FROM pages GROUP BY host
+    )
+    SELECT b.host, b.fp, b.n_urls,
+           ROUND(CAST(b.n_urls AS DOUBLE) / t.host_urls, 6) AS share,
+           (CAST(b.n_urls AS DOUBLE) / t.host_urls >= 0.1
+            AND b.n_urls >= 5) AS is_template
+    FROM by_fp b JOIN totals t USING (host)
+    WHERE b.n_urls >= 2
+"""
+
+
+_DSIR_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents
+    ), feats AS (
+      SELECT doc_id, source, UNNEST(t) AS f FROM toks
+      UNION ALL
+      SELECT doc_id, source, bg AS f FROM (
+        SELECT doc_id, source,
+               UNNEST(list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+                      i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS bg
+        FROM toks
+      ) WHERE contains(bg, ' ')
+    ), hashed AS (
+      SELECT doc_id, source,
+             CAST('0x' || substr(sha256(f), 1, 15) AS BIGINT) % 4096 AS bucket
+      FROM feats
+    ), tc AS (
+      SELECT bucket, CAST(COUNT(*) AS DOUBLE) AS c FROM hashed
+      WHERE source IN ('src0', 'src1', 'src2') GROUP BY bucket
+    ), rc AS (
+      SELECT bucket, CAST(COUNT(*) AS DOUBLE) AS c FROM hashed GROUP BY bucket
+    ), tt AS (SELECT SUM(c) AS t FROM tc), rt AS (SELECT SUM(c) AS t FROM rc),
+    ratio AS (
+      SELECT COALESCE(tc.bucket, rc.bucket) AS bucket,
+             ln(((COALESCE(tc.c, 0.0) + 1.0) / ((SELECT t FROM tt) + 4096.0))
+                / ((COALESCE(rc.c, 0.0) + 1.0) / ((SELECT t FROM rt) + 4096.0)))
+               AS log_ratio
+      FROM tc FULL OUTER JOIN rc ON tc.bucket = rc.bucket
+    ), doc_feats AS (
+      SELECT doc_id, bucket, COUNT(*) AS c FROM hashed GROUP BY doc_id, bucket
+    )
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
+           ROUND(SUM(c * log_ratio), 6) AS weight
+    FROM doc_feats JOIN ratio USING (bucket)
+    GROUP BY doc_id
+"""
+
+
+_LINKFARM_ORACLE = """
+    WITH raw AS (
+      SELECT 'n' || CAST(event_id % 499 AS VARCHAR) AS src,
+             'n' || CAST((event_id // 499 + event_id * 7) % 499 AS VARCHAR) AS dst
+      FROM events
+      UNION ALL
+      SELECT 'f' || CAST(p_partkey % 10 AS VARCHAR),
+             'f' || CAST((p_partkey // 10) % 10 AS VARCHAR)
+      FROM part
+    ), edges AS (
+      SELECT DISTINCT src, dst FROM raw WHERE src <> dst
+    ), marked AS (
+      SELECT e.src, e.dst,
+             CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END AS rec
+      FROM edges e LEFT JOIN edges r ON r.src = e.dst AND r.dst = e.src
+    )
+    SELECT src AS host, COUNT(*) AS out_degree,
+           CAST(SUM(rec) AS BIGINT) AS reciprocal,
+           ROUND(CAST(SUM(rec) AS DOUBLE) / COUNT(*), 6) AS ratio,
+           (CAST(SUM(rec) AS DOUBLE) / COUNT(*) >= 0.5
+            AND COUNT(*) >= 5) AS is_farm
+    FROM marked GROUP BY src
+"""
+
+
+_PQ_ORACLE = """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cb0 AS (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code FROM e
+      QUALIFY code < 16
+    ), subs AS (SELECT UNNEST(range(0, 4)) AS s),
+    cb AS (
+      SELECT s, code, list_slice(v, s * 16 + 1, s * 16 + 16) AS cvec
+      FROM cb0, subs
+    ), vs AS (
+      SELECT vec_id, s, list_slice(v, s * 16 + 1, s * 16 + 16) AS svec
+      FROM e, subs
+    ), d AS (
+      SELECT vec_id, vs.s, code,
+             ROUND(list_sum(list_transform(range(1, 17),
+               i -> (svec[i] - cvec[i]) * (svec[i] - cvec[i]))), 9) AS d2
+      FROM vs JOIN cb ON vs.s = cb.s
+    ), best AS (
+      SELECT vec_id, s, code, d2 FROM d
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, code) = 1
+    )
+    SELECT vec_id, ROUND(SUM(d2) / 64.0, 6) AS mse,
+           STRING_AGG(CAST(s AS VARCHAR) || ':' || CAST(code AS VARCHAR),
+                      '-' ORDER BY s) AS codes
+    FROM best GROUP BY vec_id
 """
 
 
@@ -2613,6 +2890,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q96_mirror_hosts": q96_mirror_hosts,
         "q97_fetch_eta": q97_fetch_eta,
         "q98_bigram_xent": q98_bigram_xent,
+        "q99_url_param_rules": q99_url_param_rules,
+        "q100_soft404_templates": q100_soft404_templates,
+        "q101_dsir_weights": q101_dsir_weights,
+        "q102_link_farms": q102_link_farms,
+        "q103_pq_codes": q103_pq_codes,
     }
 
 
@@ -3017,6 +3299,11 @@ def oracle_sql() -> dict[str, str]:
         "q96_mirror_hosts": _MIRRORS_ORACLE,
         "q97_fetch_eta": _ETA_ORACLE,
         "q98_bigram_xent": _BIGRAM_XENT_ORACLE,
+        "q99_url_param_rules": _DUST_ORACLE,
+        "q100_soft404_templates": _SOFT404_ORACLE,
+        "q101_dsir_weights": _DSIR_ORACLE,
+        "q102_link_farms": _LINKFARM_ORACLE,
+        "q103_pq_codes": _PQ_ORACLE,
         "q61_budget_allocation": _pagerank_cte(iters=5, damping=0.85) + """
             SELECT node AS host,
                    CAST(least(greatest(

@@ -1,0 +1,184 @@
+"""Unit tests for the round-3d operators: DUST URL-rule learning, soft-404
+template detection, DSIR importance weights, link-farm reciprocity, and
+product quantization."""
+
+from pyspark.sql import functions as F
+
+
+class TestDustRules:
+    def test_session_param_strippable_content_param_not(self, spark):
+        from gc_spark.operators.dust import learn_param_rules
+
+        # page drives content; sid never does. Two independent multi-value
+        # groups per param so min_groups=2 is satisfiable.
+        rows = []
+        for path in ("/a", "/b"):
+            for page in (0, 1):
+                for sid in (0, 1, 2):
+                    rows.append(
+                        (
+                            "h1",
+                            path,
+                            f"page={page}&sid={sid}",
+                            f"content-{path}-{page}",
+                        )
+                    )
+        df = spark.createDataFrame(
+            rows, "host string, path string, query string, fp string"
+        )
+        got = {
+            (r["host"], r["param"]): r
+            for r in learn_param_rules(df, min_groups=2).collect()
+        }
+        sid = got[("h1", "sid")]
+        assert sid["strippable"] and sid["violations"] == 0
+        # 2 paths x 2 pages = 4 groups where sid varied
+        assert sid["groups_multi"] == 4
+        page = got[("h1", "page")]
+        assert not page["strippable"] and page["violations"] == page["groups_multi"]
+
+    def test_insufficient_support_is_not_trusted(self, spark):
+        from gc_spark.operators.dust import learn_param_rules
+
+        df = spark.createDataFrame(
+            [
+                ("h1", "/a", "sid=1", "c"),
+                ("h1", "/a", "sid=2", "c"),
+            ],
+            "host string, path string, query string, fp string",
+        )
+        [r] = learn_param_rules(df, min_groups=2).collect()
+        assert r["groups_multi"] == 1 and not r["strippable"]
+
+    def test_single_value_groups_carry_no_evidence(self, spark):
+        from gc_spark.operators.dust import learn_param_rules
+
+        # sid never varies within a group -> no multi-value groups -> no row
+        df = spark.createDataFrame(
+            [("h1", "/a", "sid=1", "c1"), ("h1", "/b", "sid=1", "c2")],
+            "host string, path string, query string, fp string",
+        )
+        assert learn_param_rules(df).count() == 0
+
+
+class TestSoft404:
+    def test_template_share_threshold(self, spark):
+        from gc_spark.operators.soft404 import template_pages
+
+        rows = [("h1", f"u{i}", "ERR" if i % 2 == 0 else f"b{i}") for i in range(20)]
+        rows += [("h2", f"u{i}", f"b{i}") for i in range(20)]
+        df = spark.createDataFrame(rows, "host string, url string, fp string")
+        out = template_pages(df, min_share=0.1, min_count=5).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["host"], r["fp"], r["n_urls"], r["is_template"]) == (
+            "h1",
+            "ERR",
+            10,
+            True,
+        )
+        assert abs(r["share"] - 0.5) < 1e-9
+
+    def test_small_clusters_not_flagged(self, spark):
+        from gc_spark.operators.soft404 import template_pages
+
+        rows = [("h1", f"u{i}", "DUP" if i < 3 else f"b{i}") for i in range(100)]
+        df = spark.createDataFrame(rows, "host string, url string, fp string")
+        [r] = template_pages(df, min_share=0.1, min_count=5).collect()
+        assert r["fp"] == "DUP" and not r["is_template"]  # share 3% < 10%
+
+
+class TestDsir:
+    def test_target_like_docs_score_higher(self, spark):
+        from gc_spark.operators.dsir import importance_weights
+
+        # target vocabulary is disjoint from the noise vocabulary, so a
+        # target-voc doc must outscore a noise-voc doc.
+        docs = spark.createDataFrame(
+            [
+                (0, "alpha beta gamma alpha beta"),
+                (1, "alpha beta gamma beta alpha"),
+                (2, "zz yy xx ww vv"),
+                (3, "zz zz yy yy xx"),
+            ],
+            "doc_id long, text string",
+        )
+        target = docs.filter(F.col("doc_id") < 2)
+        got = {
+            r["doc_id"]: r["weight"]
+            for r in importance_weights(docs, target, buckets=64).collect()
+        }
+        assert got[0] > got[2] and got[1] > got[3]
+        assert got[0] > 0 > got[2]
+
+    def test_counts_include_bigrams(self, spark):
+        from gc_spark.operators.dsir import importance_weights
+
+        docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+        [r] = importance_weights(docs, docs, buckets=16).collect()
+        # 3 unigrams + 2 bigrams
+        assert r["n_feats"] == 5
+        # target == raw -> every ratio is exactly 1 -> weight 0
+        assert r["weight"] == 0.0
+
+
+class TestLinkFarms:
+    def test_clique_flagged_chain_not(self, spark):
+        from gc_spark.operators.linkspam import reciprocity_stats
+
+        farm = [
+            (f"f{a}", f"f{b}") for a in range(6) for b in range(6) if a != b
+        ]
+        chain = [(f"c{i}", f"c{i+1}") for i in range(10)]
+        df = spark.createDataFrame(farm + chain, "src string, dst string")
+        got = {r["host"]: r for r in reciprocity_stats(df).collect()}
+        for a in range(6):
+            r = got[f"f{a}"]
+            assert r["is_farm"] and r["ratio"] == 1.0 and r["out_degree"] == 5
+        for i in range(10):
+            r = got[f"c{i}"]
+            assert not r["is_farm"] and r["reciprocal"] == 0
+
+    def test_self_loops_and_dup_edges_ignored(self, spark):
+        from gc_spark.operators.linkspam import reciprocity_stats
+
+        df = spark.createDataFrame(
+            [("a", "a"), ("a", "b"), ("a", "b"), ("b", "a")],
+            "src string, dst string",
+        )
+        got = {r["host"]: r for r in reciprocity_stats(df).collect()}
+        assert got["a"]["out_degree"] == 1 and got["a"]["reciprocal"] == 1
+        assert got["b"]["out_degree"] == 1 and got["b"]["reciprocal"] == 1
+
+
+class TestPq:
+    def test_codebook_members_reconstruct_exactly(self, spark):
+        from gc_spark.operators.pq import pq_assign
+
+        # 4 vectors, dim 4, m=2, k=4: every vector IS a codeword, so each
+        # reconstructs itself with zero error and codes matching its rank.
+        vecs = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0, 0.0]),
+            (2, [0.0, 0.0, 1.0, 0.0]),
+            (3, [0.0, 0.0, 0.0, 1.0]),
+        ]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+        out = {r["vec_id"]: r for r in pq_assign(df, dim=4, m=2, k=4).collect()}
+        assert all(out[i]["mse"] == 0.0 for i in range(4))
+        assert out[0]["codes"] == "0:0-1:0"
+        # first half [0,0] ties codes 2 and 3 at distance 0 -> min code 2
+        assert out[3]["codes"] == "0:2-1:3"
+
+    def test_non_codeword_assigned_to_nearest(self, spark):
+        from gc_spark.operators.pq import pq_assign
+
+        vecs = [
+            (0, [0.0, 0.0]),
+            (1, [10.0, 10.0]),
+            (2, [9.0, 9.5]),  # not in codebook (k=2): nearest is code 1
+        ]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+        out = {r["vec_id"]: r for r in pq_assign(df, dim=2, m=1, k=2).collect()}
+        assert out[2]["codes"] == "0:1"
+        assert abs(out[2]["mse"] - (1.0 + 0.25) / 2.0) < 1e-6
