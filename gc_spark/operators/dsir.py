@@ -12,15 +12,16 @@ with features hashed into B buckets and both distributions add-1 smoothed
 over the B-bucket space (buckets unseen in a corpus get the floor
 1/(T+B), so the ratio is defined everywhere).
 
-Scale shape: the bucket tables are B-sized (B ~ 10k-1M) regardless of
-corpus size — ONE aggregate each over target and raw, then a broadcast
-log-ratio lookup joined map-side into the per-doc feature counts. The only
-corpus-sized shuffle is the per-(doc, bucket) count. No driver actions and
-no Python: tokenize/ngram/hash are native expressions, the hash is the
-portable sha256-prefix (text_dedup.sha60_col) so oracles can reproduce it;
-feature totals ride along as 1-row crossJoins (unigram_lm pattern,
-operators/lm.py), and identical count subplans collapse via
-ReusedExchange.
+Scale shape: ONE scan of each corpus. The raw corpus shuffles once to
+(doc, bucket) grain; the raw bucket distribution is a second, B-sized
+rollup OF THAT aggregate (never a re-scan — the planner reuses the
+(doc, bucket) exchange), and the target corpus contributes one B-sized
+aggregate. Bucket totals attach via an empty-partition window over the
+B-sized counts (moves B rows, not the corpus), and the finished log-ratio
+table (B rows) broadcasts into the per-doc rollup. No driver actions and
+no Python: tokenize/ngram/hash are native expressions, and the hash is
+the portable sha256-prefix (text_dedup.sha60_col) so oracles can
+reproduce it.
 
 The reference has no training-data selection at all; this extends the
 corpus-quality family (q59 unigram LM, q71 Gopher rules, q98 bigram LM).
@@ -48,11 +49,12 @@ def _features(df: DataFrame, text_col: str, buckets: int, *extra_cols):
     )
 
 
-def _bucket_counts(feats: DataFrame) -> DataFrame:
-    """(bucket, c) raw feature counts; B-sized output, map-side combined."""
-    return feats.groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("double").alias("c")
-    )
+def _with_total(counts: DataFrame) -> DataFrame:
+    """Attach sum(c) as a column via an empty-partition window — one
+    single-partition pass over the B-sized counts, never the corpus."""
+    from pyspark.sql import Window
+
+    return counts.withColumn("t", F.sum("c").over(Window.partitionBy()))
 
 
 def importance_weights(
@@ -65,18 +67,35 @@ def importance_weights(
     """(id, n_feats, weight) per raw document; higher weight = more
     target-like."""
     b = float(buckets)
-    t_counts = _bucket_counts(_features(target, text_col, buckets))
-    r_counts = _bucket_counts(_features(raw, text_col, buckets))
-    t_total = t_counts.agg(F.sum("c").alias("_tt"))
-    r_total = r_counts.agg(F.sum("c").alias("_tr"))
+    doc_feats = (
+        _features(raw, text_col, buckets, F.col(id_col))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    # raw bucket distribution rolls up FROM doc_feats (exchange reuse:
+    # the raw corpus is scanned and shuffled exactly once)
+    r_counts = _with_total(
+        doc_feats.groupBy("bucket").agg(F.sum("_c").cast("double").alias("c"))
+    )
+    t_counts = _with_total(
+        _features(target, text_col, buckets)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
 
-    # full outer join of the two B-sized tables; missing side -> add-1
-    # floor (coalesce c to 0). Totals attach as broadcast 1-row frames.
+    # full outer join of the two B-sized tables; a bucket missing on one
+    # side falls back to that side's add-1 floor (coalesce c to 0); the
+    # missing total backfills via the window-computed max (totals are
+    # constant columns, max is just "any non-null").
+    from pyspark.sql import Window
+
+    t = t_counts.select("bucket", F.col("c").alias("_ct"), F.col("t").alias("_tt"))
+    r = r_counts.select("bucket", F.col("c").alias("_cr"), F.col("t").alias("_tr"))
+    w = Window.partitionBy()
     ratio = (
-        t_counts.withColumnRenamed("c", "_ct")
-        .join(r_counts.withColumnRenamed("c", "_cr"), "bucket", "full")
-        .crossJoin(F.broadcast(t_total))
-        .crossJoin(F.broadcast(r_total))
+        t.join(r, "bucket", "full")
+        .withColumn("_tt", F.coalesce(F.col("_tt"), F.max("_tt").over(w)))
+        .withColumn("_tr", F.coalesce(F.col("_tr"), F.max("_tr").over(w)))
         .select(
             "bucket",
             F.log(
@@ -84,12 +103,6 @@ def importance_weights(
                 / ((F.coalesce(F.col("_cr"), F.lit(0.0)) + 1.0) / (F.col("_tr") + b))
             ).alias("log_ratio"),
         )
-    )
-
-    doc_feats = (
-        _features(raw, text_col, buckets, F.col(id_col))
-        .groupBy(id_col, "bucket")
-        .agg(F.count(F.lit(1)).alias("_c"))
     )
 
     return (
