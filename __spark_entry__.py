@@ -2050,6 +2050,59 @@ def q103_pq_codes(spark, sf_dir):
     return pq_assign(e, dim=64, m=4, k=16)
 
 
+def q104_source_kl(spark, sf_dir):
+    """Per-source KL divergence from the corpus unigram distribution
+    (operators/lm.source_kl) — the mixture-design diagnostic telling which
+    sources' vocabulary usage diverges from the blend (pairs with q76
+    mixture_weights). One corpus scan; corpus table rolls up from the
+    (source, term) aggregate."""
+    from gc_spark.operators.lm import source_kl
+
+    d = _t_wide(spark, sf_dir, "documents")
+    return source_kl(d)
+
+
+def q105_oov_rate(spark, sf_dir):
+    """Per-doc out-of-vocabulary rate against the corpus's own top-V
+    vocabulary (operators/vocab.oov_rate, V=16 — the synthetic corpus has
+    31 distinct terms, so the rare half of the vocabulary is genuinely
+    out-of-vocabulary). Top-V is
+    TakeOrderedAndProject (per-partition heaps, no global sort); the V-row
+    vocab broadcasts."""
+    from gc_spark.operators.vocab import oov_rate
+
+    d = _t_wide(spark, sf_dir, "documents")
+    return oov_rate(d, v=16)
+
+
+def q106_triangles(spark, sf_dir):
+    """Triangle counts + local clustering coefficient on the host graph
+    (operators/triangles.triangle_stats, degree-oriented node-iterator —
+    the skew-safe wedge join). Organic sparse graph from events plus a
+    planted K5 clique from nation whose members must come out with
+    coeff 1.0."""
+    from gc_spark.operators.triangles import triangle_stats
+
+    ev = _t(spark, sf_dir, "events")
+    organic = ev.select(
+        F.concat(F.lit("g"), (F.col("event_id") % 211).cast("string")).alias("src"),
+        F.concat(
+            F.lit("g"),
+            ((F.col("event_id") * 3 + F.floor(F.col("event_id") / 211)) % 211).cast(
+                "string"
+            ),
+        ).alias("dst"),
+    )
+    n = _t(spark, sf_dir, "nation")
+    clique = n.select(
+        F.concat(F.lit("k"), (F.col("n_nationkey") % 5).cast("string")).alias("src"),
+        F.concat(
+            F.lit("k"), (F.floor(F.col("n_nationkey") / 5) % 5).cast("string")
+        ).alias("dst"),
+    )
+    return triangle_stats(organic.unionByName(clique))
+
+
 _MIRRORS_ORACLE = """
     WITH corpus AS (
       SELECT source AS h, text FROM documents
@@ -2269,6 +2322,81 @@ _PQ_ORACLE = """
            STRING_AGG(CAST(s AS VARCHAR) || ':' || CAST(code AS VARCHAR),
                       '-' ORDER BY s) AS codes
     FROM best GROUP BY vec_id
+"""
+
+
+_SOURCE_KL_ORACLE = """
+    WITH gt AS (
+      SELECT source AS grp,
+             UNNEST(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents
+    ), c AS (
+      SELECT grp, term, CAST(COUNT(*) AS DOUBLE) AS cg FROM gt GROUP BY 1, 2
+    ), corp AS (
+      SELECT term, SUM(cg) AS cc FROM c GROUP BY term
+    ), tc AS (SELECT SUM(cc) AS t FROM corp),
+    tg AS (SELECT grp, SUM(cg) AS t FROM c GROUP BY grp)
+    SELECT c.grp AS source, CAST(SUM(cg) AS BIGINT) AS n_tokens,
+           ROUND(SUM((cg / tg.t) * ln((cg / tg.t) / (cc / (SELECT t FROM tc)))),
+                 6) AS kl
+    FROM c JOIN corp USING (term) JOIN tg ON c.grp = tg.grp
+    GROUP BY c.grp
+"""
+
+
+_OOV_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents
+    ), vocab AS (
+      SELECT term FROM (
+        SELECT term, COUNT(*) AS n FROM toks GROUP BY term
+      ) QUALIFY ROW_NUMBER() OVER (ORDER BY n DESC, term ASC) <= 16
+    )
+    SELECT t.doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS oov,
+           ROUND(CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*), 6) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON t.term = v.term
+    GROUP BY t.doc_id
+"""
+
+
+_TRIANGLES_ORACLE = """
+    WITH raw AS (
+      SELECT 'g' || CAST(event_id % 211 AS VARCHAR) AS src,
+             'g' || CAST((event_id * 3 + event_id // 211) % 211 AS VARCHAR)
+               AS dst
+      FROM events
+      UNION ALL
+      SELECT 'k' || CAST(n_nationkey % 5 AS VARCHAR),
+             'k' || CAST((n_nationkey // 5) % 5 AS VARCHAR)
+      FROM nation
+    ), edges AS (
+      SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+      FROM raw WHERE src <> dst
+    ), deg AS (
+      SELECT h, COUNT(*) AS degree FROM (
+        SELECT lo AS h FROM edges UNION ALL SELECT hi FROM edges
+      ) GROUP BY h
+    ), tri AS (
+      SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+      JOIN edges e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+    ), per AS (
+      SELECT h, COUNT(*) AS triangles FROM (
+        SELECT a AS h FROM tri UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY h
+    )
+    SELECT d.h AS host, d.degree, COALESCE(p.triangles, 0) AS triangles,
+           CASE WHEN d.degree >= 2
+                THEN ROUND(2.0 * COALESCE(p.triangles, 0)
+                           / (d.degree * (d.degree - 1.0)), 6)
+                ELSE CAST(0.0 AS DOUBLE) END AS coeff
+    FROM deg d LEFT JOIN per p ON p.h = d.h
 """
 
 
@@ -2895,6 +3023,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q101_dsir_weights": q101_dsir_weights,
         "q102_link_farms": q102_link_farms,
         "q103_pq_codes": q103_pq_codes,
+        "q104_source_kl": q104_source_kl,
+        "q105_oov_rate": q105_oov_rate,
+        "q106_triangles": q106_triangles,
     }
 
 
@@ -3304,6 +3435,9 @@ def oracle_sql() -> dict[str, str]:
         "q101_dsir_weights": _DSIR_ORACLE,
         "q102_link_farms": _LINKFARM_ORACLE,
         "q103_pq_codes": _PQ_ORACLE,
+        "q104_source_kl": _SOURCE_KL_ORACLE,
+        "q105_oov_rate": _OOV_ORACLE,
+        "q106_triangles": _TRIANGLES_ORACLE,
         "q61_budget_allocation": _pagerank_cte(iters=5, damping=0.85) + """
             SELECT node AS host,
                    CAST(least(greatest(

@@ -121,3 +121,50 @@ def cross_entropy_score(
             F.round(-F.avg(F.log("p")), 6).alias("xent"),
         )
     )
+
+
+def source_kl(
+    df: DataFrame, text_col: str = "text", group_col: str = "source"
+) -> DataFrame:
+    """(group, n_tokens, kl) — KL(P_group || P_corpus) of the unigram
+    distributions, the mixture-design diagnostic: how far each source's
+    vocabulary usage sits from the blended corpus (0 = indistinguishable;
+    sources with high KL dominate or starve tokens when mixture weights
+    (operators/..mixture, q76) are tuned by doc counts alone).
+
+    KL = sum_t p_g(t) * ln(p_g(t) / p_c(t)) over terms with p_g > 0; p_c is
+    positive wherever p_g is (the corpus contains the group), so the sum is
+    always defined.
+
+    Scale shape: ONE corpus scan and one corpus-sized shuffle to
+    (group, term) counts; the corpus-wide term table rolls up FROM that
+    aggregate (vocab-sized, exchange-reused), group totals attach via a
+    window partitioned by group (vocab-per-group-sized), and the corpus
+    total via an empty-partition window over the vocab-sized rollup. The
+    final join is (group, term) ⋈ term — vocab-sized on both sides.
+    """
+    from pyspark.sql import Window
+
+    gt = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
+        )
+        .groupBy("grp", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("_cg"))
+    )
+    corpus = gt.groupBy("term").agg(F.sum("_cg").alias("_cc"))
+    corpus = corpus.withColumn(
+        "_tc", F.sum("_cc").over(Window.partitionBy())
+    )
+    gt = gt.withColumn("_tg", F.sum("_cg").over(Window.partitionBy("grp")))
+    joined = gt.join(corpus, "term")
+    pg = F.col("_cg") / F.col("_tg")
+    pc = F.col("_cc") / F.col("_tc")
+    return (
+        joined.groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.sum("_cg").cast("long").alias("n_tokens"),
+            F.round(F.sum(pg * F.log(pg / pc)), 6).alias("kl"),
+        )
+    )

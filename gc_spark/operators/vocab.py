@@ -1,0 +1,63 @@
+"""Vocabulary truncation and out-of-vocabulary (OOV) statistics. Training
+pipelines fix a top-V token vocabulary (or a tokenizer trained on one —
+operators/bpe learns the merges); every document then carries an OOV rate:
+the share of its tokens that fall outside the vocabulary. High-OOV docs
+are a quality/domain-shift signal (wrong language, OCR noise, code in a
+prose corpus) and a standard pre-filter before tokenizer-bound training.
+
+Scale shape: the corpus shuffles once to term counts; top-V selection is
+`orderBy(count desc, term).limit(V)` which Spark plans as
+TakeOrderedAndProject — per-partition top-V heaps merged at the driver,
+NO global sort, safe at any vocabulary size (V rows cross the wire per
+partition, not the vocabulary). The V-row vocab broadcasts; per-doc OOV is
+a map-side broadcast join + one rollup to doc grain. Ties at the V
+boundary break deterministically by (count desc, term asc).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def top_vocabulary(df: DataFrame, v: int, text_col: str = "text") -> DataFrame:
+    """(term, n) — the top-V terms by frequency, ties to the lexically
+    smaller term. TakeOrderedAndProject: no single-partition sort."""
+    return (
+        df.select(
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(v)
+    )
+
+
+def oov_rate(
+    df: DataFrame,
+    v: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_tokens, oov, oov_rate) per document against the corpus's own
+    top-V vocabulary."""
+    vocab = top_vocabulary(df, v, text_col).select("term", F.lit(1).alias("_iv"))
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
+    )
+    return (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("_iv").isNull(), 1).otherwise(0)).alias("oov"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "oov",
+            F.round(F.col("oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+    )

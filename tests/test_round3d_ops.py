@@ -182,3 +182,80 @@ class TestPq:
         out = {r["vec_id"]: r for r in pq_assign(df, dim=2, m=1, k=2).collect()}
         assert out[2]["codes"] == "0:1"
         assert abs(out[2]["mse"] - (1.0 + 0.25) / 2.0) < 1e-6
+
+
+class TestSourceKl:
+    def test_identical_sources_have_zero_kl(self, spark):
+        from gc_spark.operators.lm import source_kl
+
+        docs = spark.createDataFrame(
+            [("s1", "a b c"), ("s2", "a b c")], "source string, text string"
+        )
+        got = {r["source"]: r for r in source_kl(docs).collect()}
+        assert got["s1"]["kl"] == 0.0 and got["s2"]["kl"] == 0.0
+        assert got["s1"]["n_tokens"] == 3
+
+    def test_divergent_source_scores_higher(self, spark):
+        from gc_spark.operators.lm import source_kl
+
+        docs = spark.createDataFrame(
+            [("bal", "a b"), ("bal", "c d"), ("skew", "a a a a")],
+            "source string, text string",
+        )
+        got = {r["source"]: r["kl"] for r in source_kl(docs).collect()}
+        assert got["skew"] > got["bal"] > 0
+
+
+class TestOovRate:
+    def test_rare_terms_fall_out_of_vocab(self, spark):
+        from gc_spark.operators.vocab import oov_rate
+
+        docs = spark.createDataFrame(
+            [(0, "hot hot hot cold"), (1, "hot hot rare1 rare2")],
+            "doc_id long, text string",
+        )
+        # V=2 keeps {hot, cold} (count desc, term asc: hot=5, cold=1 ties
+        # with rare1/rare2 at 1 -> cold wins lexically)
+        got = {r["doc_id"]: r for r in oov_rate(docs, v=2).collect()}
+        assert got[0]["oov"] == 0
+        assert got[1]["oov"] == 2 and abs(got[1]["oov_rate"] - 0.5) < 1e-9
+
+    def test_tie_break_is_lexical(self, spark):
+        from gc_spark.operators.vocab import top_vocabulary
+
+        docs = spark.createDataFrame(
+            [(0, "bb aa cc")], "doc_id long, text string"
+        )
+        terms = [r["term"] for r in top_vocabulary(docs, 2).collect()]
+        assert sorted(terms) == ["aa", "bb"]
+
+
+class TestTriangles:
+    def test_triangle_with_tail(self, spark):
+        from gc_spark.operators.triangles import triangle_stats
+
+        # triangle a-b-c plus a tail c-d (degree order exercises orientation)
+        df = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")],
+            "src string, dst string",
+        )
+        got = {r["host"]: r for r in triangle_stats(df).collect()}
+        assert got["a"]["triangles"] == 1 and got["a"]["coeff"] == 1.0
+        assert got["c"]["triangles"] == 1
+        # c has degree 3: coeff = 2*1/(3*2) = 1/3
+        assert abs(got["c"]["coeff"] - 1.0 / 3.0) < 1e-5
+        assert got["d"]["triangles"] == 0 and got["d"]["coeff"] == 0.0
+
+    def test_k4_counts_and_duplicate_reversed_edges(self, spark):
+        from gc_spark.operators.triangles import triangle_stats
+
+        hosts = ["w", "x", "y", "z"]
+        edges = [
+            (a, b) for a in hosts for b in hosts if a != b
+        ]  # both directions + implied dups -> one K4
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r["host"]: r for r in triangle_stats(df).collect()}
+        for h in hosts:
+            assert got[h]["degree"] == 3
+            assert got[h]["triangles"] == 3  # C(3,2)
+            assert got[h]["coeff"] == 1.0
