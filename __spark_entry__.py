@@ -2103,6 +2103,28 @@ def q106_triangles(spark, sf_dir):
     return triangle_stats(organic.unionByName(clique))
 
 
+def q107_window_chunks(spark, sf_dir):
+    """Sliding-window chunking (operators/chunking.window_chunks, W=50
+    S=25): per-doc overlapping token windows with start offset and chunk
+    fingerprint — the segmentation pass before packing (q72) or chunk-
+    grain dedup (q50). Entirely map-side."""
+    from gc_spark.operators.chunking import window_chunks
+
+    d = _t_wide(spark, sf_dir, "documents")
+    return window_chunks(d, window=50, stride=25)
+
+
+def q108_temperature_sample(spark, sf_dir):
+    """Temperature-scaled mixture sampling (operators/sampling.
+    temperature_sample, alpha=0.3, target=200 over the lang groups —
+    'en' is 44% of the corpus, so alpha<1 visibly upsamples the small
+    languages). Deterministic salted-hash draws; quota table broadcast."""
+    from gc_spark.operators.sampling import temperature_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return temperature_sample(d, target=200, alpha=0.3, group_col="lang")
+
+
 _MIRRORS_ORACLE = """
     WITH corpus AS (
       SELECT source AS h, text FROM documents
@@ -2397,6 +2419,42 @@ _TRIANGLES_ORACLE = """
                            / (d.degree * (d.degree - 1.0)), 6)
                 ELSE CAST(0.0 AS DOUBLE) END AS coeff
     FROM deg d LEFT JOIN per p ON p.h = d.h
+"""
+
+
+_CHUNKS_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), idx AS (
+      SELECT doc_id, t, UNNEST(range(0, (len(t) - 1) // 25 + 1)) AS i
+      FROM toks
+    )
+    SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           CAST(i * 25 + 1 AS INT) AS start_token,
+           CAST(len(list_slice(t, i * 25 + 1, i * 25 + 50)) AS INT) AS n_tokens,
+           CAST('0x' || substr(sha256(
+             array_to_string(list_slice(t, i * 25 + 1, i * 25 + 50), ' ')
+           ), 1, 15) AS BIGINT) AS chunk_fp
+    FROM idx
+"""
+
+
+_TEMPERATURE_ORACLE = """
+    WITH n AS (
+      SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n FROM documents GROUP BY lang
+    ), tot AS (SELECT SUM(n) AS t FROM n),
+    q AS (
+      SELECT lang, n, pow(n / (SELECT t FROM tot), 0.3) AS pa FROM n
+    ), sq AS (SELECT SUM(pa) AS s FROM q),
+    quota AS (
+      SELECT lang,
+             least(1.0, 200.0 * (pa / (SELECT s FROM sq)) / n) AS keep_prob
+      FROM q
+    )
+    SELECT d.doc_id, d.lang, ROUND(keep_prob, 6) AS keep_prob
+    FROM documents d JOIN quota USING (lang)
+    WHERE (CAST('0x' || substr(sha256('temp|' || CAST(doc_id AS VARCHAR)), 1, 15)
+           AS BIGINT) % 1000000) / 1000000.0 < keep_prob
 """
 
 
@@ -3026,6 +3084,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q104_source_kl": q104_source_kl,
         "q105_oov_rate": q105_oov_rate,
         "q106_triangles": q106_triangles,
+        "q107_window_chunks": q107_window_chunks,
+        "q108_temperature_sample": q108_temperature_sample,
     }
 
 
@@ -3438,6 +3498,8 @@ def oracle_sql() -> dict[str, str]:
         "q104_source_kl": _SOURCE_KL_ORACLE,
         "q105_oov_rate": _OOV_ORACLE,
         "q106_triangles": _TRIANGLES_ORACLE,
+        "q107_window_chunks": _CHUNKS_ORACLE,
+        "q108_temperature_sample": _TEMPERATURE_ORACLE,
         "q61_budget_allocation": _pagerank_cte(iters=5, damping=0.85) + """
             SELECT node AS host,
                    CAST(least(greatest(

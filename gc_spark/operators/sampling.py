@@ -150,3 +150,52 @@ def mixture_weights(df: DataFrame, group_cols: list[str], alpha: float = 0.7) ->
             .alias("expected_per_epoch"),
         )
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    target: int,
+    alpha: float = 0.3,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-scaled mixture sampling (public literature: the
+    alpha-sampling of T5/mT5, Raffel et al. 2020 / Xue et al. 2021):
+    sample ~`target` docs total with per-group quotas proportional to
+    p_g^alpha (alpha < 1 upsamples small groups relative to their raw
+    share — the standard fix for low-resource starvation). Deterministic:
+    each row draws hash(salt|id) % 10^6 and keeps iff below its group's
+    keep probability min(1, target*q_g/n_g), so re-runs and engines agree
+    row-for-row (no rand(), no resample drift across incremental runs).
+
+    Scale shape: one group-size aggregate (groups-sized output, the
+    p^alpha normalization happens on that tiny frame via an
+    empty-partition window), broadcast back; the keep decision is
+    map-side. Same salted-draw kernel as stratified_sample.
+    """
+    from pyspark.sql import Window
+
+    n = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    n = n.withColumn("_p", F.col("_n") / F.sum("_n").over(Window.partitionBy()))
+    n = n.withColumn(
+        "_q",
+        F.pow(F.col("_p"), alpha)
+        / F.sum(F.pow(F.col("_p"), alpha)).over(Window.partitionBy()),
+    )
+    quota = n.select(
+        group_col,
+        F.least(F.lit(1.0), F.lit(float(target)) * F.col("_q") / F.col("_n")).alias(
+            "keep_prob"
+        ),
+    )
+    draw = (
+        sample_hash_col(F.col(id_col).cast("string"), salt) % 1000000
+    ) / 1000000.0
+    return (
+        df.join(F.broadcast(quota), group_col)
+        .filter(draw < F.col("keep_prob"))
+        .select(
+            id_col, group_col, F.round(F.col("keep_prob"), 6).alias("keep_prob")
+        )
+    )

@@ -259,3 +259,73 @@ class TestTriangles:
             assert got[h]["degree"] == 3
             assert got[h]["triangles"] == 3  # C(3,2)
             assert got[h]["coeff"] == 1.0
+
+
+class TestWindowChunks:
+    def test_overlap_and_tail(self, spark):
+        from gc_spark.operators.chunking import window_chunks
+
+        docs = spark.createDataFrame(
+            [(0, " ".join(f"t{i}" for i in range(7)))],
+            "doc_id long, text string",
+        )
+        out = sorted(
+            window_chunks(docs, window=4, stride=3).collect(),
+            key=lambda r: r["chunk_idx"],
+        )
+        # starts 1, 4, 7: windows t0-t3, t3-t6, t6 (short tail)
+        assert [(r["start_token"], r["n_tokens"]) for r in out] == [
+            (1, 4),
+            (4, 4),
+            (7, 1),
+        ]
+
+    def test_short_doc_single_chunk(self, spark):
+        from gc_spark.operators.chunking import window_chunks
+
+        docs = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+        [r] = window_chunks(docs, window=50, stride=25).collect()
+        assert (r["chunk_idx"], r["start_token"], r["n_tokens"]) == (0, 1, 2)
+
+    def test_identical_windows_share_fingerprint(self, spark):
+        from gc_spark.operators.chunking import window_chunks
+
+        docs = spark.createDataFrame(
+            [(0, "x y z"), (1, "x y z")], "doc_id long, text string"
+        )
+        fps = [r["chunk_fp"] for r in window_chunks(docs, 50, 25).collect()]
+        assert len(fps) == 2 and fps[0] == fps[1]
+
+
+class TestTemperatureSample:
+    def test_alpha_upsamples_small_groups(self, spark):
+        from gc_spark.operators.sampling import temperature_sample
+
+        rows = [(i, "big") for i in range(900)] + [
+            (1000 + i, "small") for i in range(100)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = temperature_sample(df, target=500, alpha=0.3).collect()
+        probs = {r["source"]: r["keep_prob"] for r in out}
+        # alpha=0.3: small group's keep PROBABILITY must exceed big's
+        assert probs["small"] > probs["big"]
+        # and the draw is deterministic: same call, same rows
+        again = temperature_sample(df, target=500, alpha=0.3).collect()
+        assert sorted(r["doc_id"] for r in out) == sorted(
+            r["doc_id"] for r in again
+        )
+
+    def test_alpha_one_is_proportional(self, spark):
+        from gc_spark.operators.sampling import temperature_sample
+
+        rows = [(i, "a") for i in range(400)] + [
+            (1000 + i, "b") for i in range(100)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        probs = {
+            r["source"]: r["keep_prob"]
+            for r in temperature_sample(df, target=100, alpha=1.0).collect()
+        }
+        # alpha=1 -> keep_prob identical across groups (target/N)
+        assert abs(probs["a"] - probs["b"]) < 1e-9
+        assert abs(probs["a"] - 0.2) < 1e-9
