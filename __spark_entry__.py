@@ -2125,6 +2125,33 @@ def q108_temperature_sample(spark, sf_dir):
     return temperature_sample(d, target=200, alpha=0.3, group_col="lang")
 
 
+def q109_kcore(spark, sf_dir):
+    """Bounded k-core peeling (operators/kcore.kcore_peel, k=10, 4
+    rounds): the organic host graph (undirected degree ~9) peels away in
+    cascades; a planted K12 clique from part (degree 11 >= 10) survives
+    every round."""
+    from gc_spark.operators.kcore import kcore_peel
+
+    ev = _t(spark, sf_dir, "events")
+    organic = ev.select(
+        F.concat(F.lit("v"), (F.col("event_id") % 1999).cast("string")).alias("src"),
+        F.concat(
+            F.lit("v"),
+            ((F.col("event_id") * 3 + F.floor(F.col("event_id") / 1999)) % 1999).cast(
+                "string"
+            ),
+        ).alias("dst"),
+    )
+    p = _t(spark, sf_dir, "part")
+    clique = p.select(
+        F.concat(F.lit("c"), (F.col("p_partkey") % 12).cast("string")).alias("src"),
+        F.concat(
+            F.lit("c"), (F.floor(F.col("p_partkey") / 12) % 12).cast("string")
+        ).alias("dst"),
+    )
+    return kcore_peel(organic.unionByName(clique), k=10, rounds=4)
+
+
 _MIRRORS_ORACLE = """
     WITH corpus AS (
       SELECT source AS h, text FROM documents
@@ -2455,6 +2482,51 @@ _TEMPERATURE_ORACLE = """
     FROM documents d JOIN quota USING (lang)
     WHERE (CAST('0x' || substr(sha256('temp|' || CAST(doc_id AS VARCHAR)), 1, 15)
            AS BIGINT) % 1000000) / 1000000.0 < keep_prob
+"""
+
+
+_KCORE_ORACLE = """
+    WITH raw AS (
+      SELECT 'v' || CAST(event_id % 1999 AS VARCHAR) AS src,
+             'v' || CAST((event_id * 3 + event_id // 1999) % 1999 AS VARCHAR)
+               AS dst
+      FROM events
+      UNION ALL
+      SELECT 'c' || CAST(p_partkey % 12 AS VARCHAR),
+             'c' || CAST((p_partkey // 12) % 12 AS VARCHAR)
+      FROM part
+    ), canon AS (
+      SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+      FROM raw WHERE src <> dst
+    ), e0 AS (
+      SELECT lo AS u, hi AS v FROM canon
+      UNION ALL SELECT hi, lo FROM canon
+    ), k0 AS (
+      SELECT u FROM (SELECT u, COUNT(*) AS n FROM e0 GROUP BY u)
+      WHERE n >= 10
+    ), e1 AS (
+      SELECT e.u, e.v FROM e0 e
+      JOIN k0 a ON e.u = a.u JOIN k0 b ON e.v = b.u
+    ), k1 AS (
+      SELECT u FROM (SELECT u, COUNT(*) AS n FROM e1 GROUP BY u)
+      WHERE n >= 10
+    ), e2 AS (
+      SELECT e.u, e.v FROM e1 e
+      JOIN k1 a ON e.u = a.u JOIN k1 b ON e.v = b.u
+    ), k2 AS (
+      SELECT u FROM (SELECT u, COUNT(*) AS n FROM e2 GROUP BY u)
+      WHERE n >= 10
+    ), e3 AS (
+      SELECT e.u, e.v FROM e2 e
+      JOIN k2 a ON e.u = a.u JOIN k2 b ON e.v = b.u
+    ), k3 AS (
+      SELECT u FROM (SELECT u, COUNT(*) AS n FROM e3 GROUP BY u)
+      WHERE n >= 10
+    ), e4 AS (
+      SELECT e.u, e.v FROM e3 e
+      JOIN k3 a ON e.u = a.u JOIN k3 b ON e.v = b.u
+    )
+    SELECT u AS host, COUNT(*) AS degree FROM e4 GROUP BY u
 """
 
 
@@ -3086,6 +3158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q106_triangles": q106_triangles,
         "q107_window_chunks": q107_window_chunks,
         "q108_temperature_sample": q108_temperature_sample,
+        "q109_kcore": q109_kcore,
     }
 
 
@@ -3500,6 +3573,7 @@ def oracle_sql() -> dict[str, str]:
         "q106_triangles": _TRIANGLES_ORACLE,
         "q107_window_chunks": _CHUNKS_ORACLE,
         "q108_temperature_sample": _TEMPERATURE_ORACLE,
+        "q109_kcore": _KCORE_ORACLE,
         "q61_budget_allocation": _pagerank_cte(iters=5, damping=0.85) + """
             SELECT node AS host,
                    CAST(least(greatest(

@@ -329,3 +329,33 @@ class TestTemperatureSample:
         # alpha=1 -> keep_prob identical across groups (target/N)
         assert abs(probs["a"] - probs["b"]) < 1e-9
         assert abs(probs["a"] - 0.2) < 1e-9
+
+
+class TestKcore:
+    def test_clique_survives_chain_peels(self, spark):
+        from gc_spark.operators.kcore import kcore_peel
+
+        k4 = [(f"k{a}", f"k{b}") for a in range(4) for b in range(4) if a < b]
+        chain = [(f"c{i}", f"c{i+1}") for i in range(6)]
+        df = spark.createDataFrame(k4 + chain, "src string, dst string")
+        got = {r["host"]: r["degree"] for r in kcore_peel(df, k=3, rounds=4).collect()}
+        assert got == {f"k{a}": 3 for a in range(4)}
+
+    def test_cascade_needs_multiple_rounds(self, spark):
+        from gc_spark.operators.kcore import kcore_peel
+
+        # k3 clique with a pendant path: peeling the path tip raises new
+        # below-k vertices round by round
+        k3 = [("a", "b"), ("b", "c"), ("a", "c")]
+        tail = [("c", "d"), ("d", "e")]
+        df = spark.createDataFrame(k3 + tail, "src string, dst string")
+        one = {r["host"] for r in kcore_peel(df, k=2, rounds=1).collect()}
+        assert "e" not in one and "d" in one  # only the tip fell in round 1
+        two = {r["host"] for r in kcore_peel(df, k=2, rounds=2).collect()}
+        assert two == {"a", "b", "c"}
+
+    def test_empty_core(self, spark):
+        from gc_spark.operators.kcore import kcore_peel
+
+        df = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
+        assert kcore_peel(df, k=5, rounds=2).count() == 0
