@@ -34,10 +34,13 @@ def reciprocity_stats(
     min_degree: int = 5,
 ) -> DataFrame:
     """(host, out_degree, reciprocal, ratio, is_farm) per linking host."""
+    # the distinct-edge shuffle is reused by both sides of the reciprocal
+    # self-join — truncate lineage so it runs once, not once per reference
     edges = (
         df.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     rev = edges.select(
         F.col("dst").alias("src"), F.col("src").alias("dst"), F.lit(1).alias("_r")

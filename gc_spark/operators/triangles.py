@@ -15,7 +15,10 @@ Scale shape: one aggregate for degrees (broadcast-joined back), one
 self-join of the oriented edge list on the wedge corner, one semi-join of
 wedges against oriented edges to close triangles, one rollup. Every join
 is an equi-join on host keys; wedge volume is sum(min-degree choose 2),
-the theoretical optimum.
+the theoretical optimum. The edge set, the oriented edge set, and the
+closed-triangle set are each REUSED by multiple downstream branches, so
+each is lineage-truncated with localCheckpoint — without that the plan
+re-derives the distinct-edge shuffle ~124 times (measured at sf0.001).
 """
 
 from __future__ import annotations
@@ -41,7 +44,7 @@ def triangle_stats(
 ) -> DataFrame:
     """(host, degree, triangles, coeff) per host with degree >= 1;
     coeff = 2*triangles / (degree*(degree-1)), 0 when degree < 2."""
-    edges = _canonical_edges(df, src_col, dst_col)
+    edges = _canonical_edges(df, src_col, dst_col).localCheckpoint(eager=False)
     deg = (
         edges.select(F.col("lo").alias("h"))
         .unionByName(edges.select(F.col("hi").alias("h")))
@@ -64,6 +67,7 @@ def triangle_stats(
             .alias("_e")
         )
         .select(F.col("_e.u").alias("u"), F.col("_e.v").alias("v"))
+        .localCheckpoint(eager=False)
     )
 
     wedges = (
@@ -80,7 +84,9 @@ def triangle_stats(
     closing = e.select(F.col("u").alias("x"), F.col("v").alias("y")).unionByName(
         e.select(F.col("v").alias("x"), F.col("u").alias("y"))
     )
-    tris = wedges.join(closing, ["x", "y"], "left_semi")
+    tris = wedges.join(closing, ["x", "y"], "left_semi").localCheckpoint(
+        eager=False
+    )
 
     per_host = (
         tris.select(F.col("corner").alias("h"))
