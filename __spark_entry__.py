@@ -2152,6 +2152,30 @@ def q109_kcore(spark, sf_dir):
     return kcore_peel(organic.unionByName(clique), k=10, rounds=4)
 
 
+def q110_span_truncate(spark, sf_dir):
+    """Interleaved context-budget truncation (operators/spans.
+    truncate_spans, 250-char text budget — the corpus median is ~306 chars, so most sequences genuinely truncate): cut each span sequence at the
+    budget, media spans kept only while budget remains, boundary text span
+    cut mid-way; per-doc fingerprint of the truncated sequence. One array
+    fold per doc, no shuffle — the multimodal packing step of the
+    north-rule payload."""
+    from gc_spark.operators.spans import build_interleaved_spans, truncate_spans
+
+    d = _t_wide(spark, sf_dir, "documents")
+    return truncate_spans(build_interleaved_spans(d), char_budget=250)
+
+
+def q111_caption_candidates(spark, sf_dir):
+    """Caption mining over interleaved spans (operators/spans.
+    caption_candidates): each media span pairs with the immediately
+    following text span (offset adjacency); media at document end gets a
+    null caption. Map-side array pairing, no self-join."""
+    from gc_spark.operators.spans import build_interleaved_spans, caption_candidates
+
+    d = _t_wide(spark, sf_dir, "documents")
+    return caption_candidates(build_interleaved_spans(d), prefix=40)
+
+
 _MIRRORS_ORACLE = """
     WITH corpus AS (
       SELECT source AS h, text FROM documents
@@ -2527,6 +2551,66 @@ _KCORE_ORACLE = """
       JOIN k3 a ON e.u = a.u JOIN k3 b ON e.v = b.u
     )
     SELECT u AS host, COUNT(*) AS degree FROM e4 GROUP BY u
+"""
+
+
+_SPANS_CTE = """
+    WITH base AS (
+      SELECT doc_id, text,
+             UNNEST(range(0, CAST(greatest(ceil(length(text) / 80.0), 1)
+               AS BIGINT))) AS i
+      FROM documents
+    ), spans AS (
+      SELECT doc_id, i + i // 3 AS o, 'text' AS kind,
+             substring(text, CAST(i * 80 + 1 AS INT), 80) AS t,
+             CAST(NULL AS VARCHAR) AS m
+      FROM base
+      UNION ALL
+      SELECT doc_id, i + i // 3 + 1, 'media', CAST(NULL AS VARCHAR),
+             'blob://doc/' || CAST(doc_id AS VARCHAR) || '/' || CAST(i AS VARCHAR)
+      FROM base WHERE i % 3 = 2
+    )
+"""
+
+_SPAN_TRUNCATE_ORACLE = _SPANS_CTE + """
+    , w AS (
+      SELECT doc_id, o, kind, t, m,
+             length(coalesce(t, '')) AS len,
+             COALESCE(SUM(CASE WHEN kind = 'text' THEN length(t) ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY o
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS bef
+      FROM spans
+    ), kept AS (
+      SELECT doc_id, o, kind, m,
+             CASE WHEN kind = 'text'
+                  THEN substring(t, 1, CAST(least(len, 250 - bef) AS INT))
+                  ELSE NULL END AS kt
+      FROM w WHERE 250 - bef > 0
+    ), tot AS (
+      SELECT doc_id,
+             SUM(CASE WHEN kind = 'text' THEN length(t) ELSE 0 END) AS total
+      FROM spans GROUP BY doc_id
+    )
+    SELECT k.doc_id,
+           CAST(COUNT(*) AS INT) AS n_spans,
+           CAST(COALESCE(SUM(length(kt)), 0) AS INT) AS n_chars,
+           (MAX(tot.total) > 250) AS truncated,
+           sha256(string_agg(
+             kind || '|' || CAST(length(coalesce(kt, '')) AS VARCHAR) || '|'
+               || coalesce(kt, '') || '|'
+               || CAST(length(coalesce(m, '')) AS VARCHAR) || '|'
+               || coalesce(m, ''),
+             chr(10) ORDER BY o)) AS span_seq_sha
+    FROM kept k JOIN tot ON k.doc_id = tot.doc_id
+    GROUP BY k.doc_id
+"""
+
+_CAPTIONS_ORACLE = _SPANS_CTE + """
+    SELECT s.doc_id, s.m AS media_ref, substring(t2.t, 1, 40) AS caption
+    FROM spans s LEFT JOIN spans t2
+      ON t2.doc_id = s.doc_id AND t2.o = s.o + 1 AND t2.kind = 'text'
+    WHERE s.kind = 'media'
 """
 
 
@@ -3159,6 +3243,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q107_window_chunks": q107_window_chunks,
         "q108_temperature_sample": q108_temperature_sample,
         "q109_kcore": q109_kcore,
+        "q110_span_truncate": q110_span_truncate,
+        "q111_caption_candidates": q111_caption_candidates,
     }
 
 
@@ -3574,6 +3660,8 @@ def oracle_sql() -> dict[str, str]:
         "q107_window_chunks": _CHUNKS_ORACLE,
         "q108_temperature_sample": _TEMPERATURE_ORACLE,
         "q109_kcore": _KCORE_ORACLE,
+        "q110_span_truncate": _SPAN_TRUNCATE_ORACLE,
+        "q111_caption_candidates": _CAPTIONS_ORACLE,
         "q61_budget_allocation": _pagerank_cte(iters=5, damping=0.85) + """
             SELECT node AS host,
                    CAST(least(greatest(

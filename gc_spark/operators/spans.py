@@ -188,3 +188,130 @@ def coalesce_text_spans(df: DataFrame) -> DataFrame:
         ),
     )
     return df.select("doc_id", renumbered.alias("spans"))
+
+
+def _span_line(s) -> "F.Column":
+    """Length-prefixed 'kind|len|text|len|media_ref' encoding shared with
+    span_sequence_fingerprint (injective: see note there)."""
+    t = F.coalesce(s["text"], F.lit(""))
+    m = F.coalesce(s["media_ref"], F.lit(""))
+    return F.concat_ws(
+        "|", s["kind"], F.length(t).cast("string"), t,
+        F.length(m).cast("string"), m,
+    )
+
+
+def truncate_spans(df: DataFrame, char_budget: int) -> DataFrame:
+    """Truncate each interleaved span sequence to a text budget: walk spans
+    in offset order, keep media spans while budget remains, cut the
+    boundary text span mid-way, drop everything after — the context-window
+    packing step for multimodal documents (keeps media refs that still
+    have surrounding text; a media span arriving with zero budget left is
+    dropped with its context).
+
+    Returns (doc_id, n_spans, n_chars, truncated, span_seq_sha) — the
+    fingerprint uses the same injective line encoding as
+    span_sequence_fingerprint, so truncated-sequence equality is one
+    string compare. Entirely map-side: a single array fold per document,
+    no shuffle, no explode.
+    """
+    ordered = F.array_sort(F.col("spans"), lambda a, b: a["offset"] - b["offset"])
+
+    # F.aggregate with a (rem, lines, n_spans, n_chars) accumulator; the
+    # lambda builds each kept span's encoded line directly.
+    zero = F.struct(
+        F.lit(char_budget).alias("rem"),
+        F.array().cast("array<string>").alias("lines"),
+        F.lit(0).alias("n_spans"),
+        F.lit(0).alias("n_chars"),
+    )
+
+    def fold(acc, s):
+        rem = acc["rem"]
+        is_text = s["kind"] == F.lit("text")
+        tlen = F.length(F.coalesce(s["text"], F.lit("")))
+        take = F.least(tlen, rem)
+        kept = F.struct(
+            s["kind"].alias("kind"),
+            F.when(is_text, F.substring(s["text"], 1, take).cast("string"))
+            .otherwise(F.lit(None).cast("string"))
+            .alias("text"),
+            s["media_ref"].alias("media_ref"),
+            s["offset"].alias("offset"),
+        )
+        keep = rem > 0
+        return F.struct(
+            F.when(is_text & keep, rem - take).otherwise(rem).alias("rem"),
+            F.when(keep, F.concat(acc["lines"], F.array(_span_line(kept))))
+            .otherwise(acc["lines"])
+            .alias("lines"),
+            F.when(keep, acc["n_spans"] + 1).otherwise(acc["n_spans"]).alias(
+                "n_spans"
+            ),
+            F.when(is_text & keep, acc["n_chars"] + take)
+            .otherwise(acc["n_chars"])
+            .alias("n_chars"),
+        )
+
+    total_text = F.aggregate(
+        ordered,
+        F.lit(0),
+        lambda acc, s: acc
+        + F.when(
+            s["kind"] == F.lit("text"),
+            F.length(F.coalesce(s["text"], F.lit(""))),
+        ).otherwise(F.lit(0)),
+    )
+    acc = F.aggregate(ordered, zero, fold)
+    return df.select(
+        "doc_id",
+        acc["n_spans"].alias("n_spans"),
+        acc["n_chars"].alias("n_chars"),
+        (total_text > char_budget).alias("truncated"),
+        F.sha2(F.array_join(acc["lines"], "\n"), 256).alias("span_seq_sha"),
+    )
+
+
+def caption_candidates(df: DataFrame, prefix: int = 40) -> DataFrame:
+    """(doc_id, media_ref, caption) — for every media span, the first
+    `prefix` chars of the IMMEDIATELY following text span (offset + 1), or
+    null when the media span ends the document / abuts another media span.
+    The standard caption-mining heuristic for interleaved corpora (public
+    practice: adjacent-text pairing in multimodal dataset pipelines).
+    Map-side: one pass over each ordered span array pairing element i with
+    i+1 — no self-join, no shuffle."""
+    ordered = F.array_sort(F.col("spans"), lambda a, b: a["offset"] - b["offset"])
+    from gc_spark.functions.text import bind_once
+
+    def pairs(arr):
+        idx = F.sequence(F.lit(1), F.size(arr))
+        return F.filter(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at(arr, i)["kind"].alias("kind"),
+                    F.element_at(arr, i)["media_ref"].alias("media_ref"),
+                    F.when(
+                        (i < F.size(arr))
+                        & (F.element_at(arr, i + 1)["kind"] == F.lit("text"))
+                        & (
+                            F.element_at(arr, i + 1)["offset"]
+                            == F.element_at(arr, i)["offset"] + 1
+                        ),
+                        F.substring(F.element_at(arr, i + 1)["text"], 1, prefix),
+                    )
+                    .otherwise(F.lit(None).cast("string"))
+                    .alias("caption"),
+                ),
+            ),
+            lambda p: p["kind"] == F.lit("media"),
+        )
+
+    exploded = df.select(
+        "doc_id", F.explode(bind_once(ordered, pairs)).alias("p")
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("p.media_ref").alias("media_ref"),
+        F.col("p.caption").alias("caption"),
+    )

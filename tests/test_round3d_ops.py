@@ -359,3 +359,86 @@ class TestKcore:
 
         df = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
         assert kcore_peel(df, k=5, rounds=2).count() == 0
+
+
+def _mk_spans(spark, rows):
+    """rows: (doc_id, [(kind, text, media_ref, offset), ...])"""
+    from gc_spark.operators.spans import SPAN_ARRAY_T
+
+    return spark.createDataFrame(rows, f"doc_id long, spans {SPAN_ARRAY_T}")
+
+
+class TestTruncateSpans:
+    def test_boundary_span_cut_midway(self, spark):
+        from gc_spark.operators.spans import truncate_spans
+
+        df = _mk_spans(
+            spark,
+            [
+                (
+                    0,
+                    [
+                        ("text", "abcdef", None, 0),
+                        ("media", None, "blob://m1", 1),
+                        ("text", "ghijkl", None, 2),
+                        ("media", None, "blob://m2", 3),
+                    ],
+                )
+            ],
+        )
+        [r] = truncate_spans(df, char_budget=8).collect()
+        # abcdef (6) + media (budget left) + gh (2, cut) -> budget gone,
+        # trailing media dropped
+        assert (r["n_spans"], r["n_chars"], r["truncated"]) == (3, 8, True)
+
+    def test_media_with_zero_budget_dropped(self, spark):
+        from gc_spark.operators.spans import truncate_spans
+
+        df = _mk_spans(
+            spark,
+            [(0, [("text", "abcd", None, 0), ("media", None, "m", 1)])],
+        )
+        [r] = truncate_spans(df, char_budget=4).collect()
+        assert (r["n_spans"], r["n_chars"], r["truncated"]) == (1, 4, False)
+        # truncated is False: total text fits exactly; only the media fell
+
+    def test_under_budget_is_identity_fingerprint(self, spark):
+        from gc_spark.operators.spans import (
+            span_sequence_fingerprint,
+            truncate_spans,
+        )
+
+        spans = [
+            ("text", "hello", None, 0),
+            ("media", None, "blob://x", 1),
+            ("text", "world", None, 2),
+        ]
+        df = _mk_spans(spark, [(0, spans)])
+        [t] = truncate_spans(df, char_budget=100).collect()
+        [f] = span_sequence_fingerprint(df).collect()
+        assert not t["truncated"] and t["span_seq_sha"] == f["span_seq_sha"]
+
+
+class TestCaptionCandidates:
+    def test_adjacent_text_is_caption_gap_is_not(self, spark):
+        from gc_spark.operators.spans import caption_candidates
+
+        df = _mk_spans(
+            spark,
+            [
+                (
+                    0,
+                    [
+                        ("media", None, "m0", 0),
+                        ("text", "a caption here", None, 1),
+                        ("media", None, "m1", 2),
+                        ("media", None, "m2", 3),
+                        ("text", "tail", None, 5),  # offset gap: not adjacent
+                    ],
+                )
+            ],
+        )
+        got = {r["media_ref"]: r["caption"] for r in caption_candidates(df).collect()}
+        assert got["m0"] == "a caption here"
+        assert got["m1"] is None  # followed by media
+        assert got["m2"] is None  # offset 4 missing -> not adjacent
