@@ -40,7 +40,11 @@ HEAVY = ["q16_minhash_bands", "q32_ivf_ann", "q33_jaccard_pairs",
          # the broadcast-vocab joins; canonical_docs is the full LSH ->
          # verify -> cluster -> keep pipeline
          "q50_line_dedup", "q53_tfidf_topterms", "q59_lm_xent",
-         "q60_canonical_docs"]
+         "q60_canonical_docs",
+         # round-3 continuation ops (documents/embeddings inputs): DSIR is
+         # the hashed-ngram double aggregate, PQ the broadcast-codebook
+         # assignment, span truncate the pure array fold
+         "q101_dsir_weights", "q103_pq_codes", "q110_span_truncate"]
 ITERATIVE = {"q32_ivf_ann", "q36_dup_clusters", "q39_connected_components",
              "q60_canonical_docs"}
 ID_STRIDE = 10_000_000
