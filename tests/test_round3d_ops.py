@@ -442,3 +442,86 @@ class TestCaptionCandidates:
         assert got["m0"] == "a caption here"
         assert got["m1"] is None  # followed by media
         assert got["m2"] is None  # offset 4 missing -> not adjacent
+
+
+class TestFairness:
+    def test_even_vs_monopolized(self, spark):
+        from gc_spark.operators.politeness import fairness_index
+
+        rows = [("even", f"h{i % 4}") for i in range(40)]
+        rows += [("hot", "h0")] * 37 + [("hot", "h1"), ("hot", "h2"), ("hot", "h3")]
+        df = spark.createDataFrame(rows, "event_type string, host string")
+        got = {r["event_type"]: r for r in fairness_index(df, "event_type").collect()}
+        assert got["even"]["jain"] == 1.0 and got["even"]["n_hosts"] == 4
+        # J = (40^2)/(4*(37^2+3)) = 1600/5488
+        assert abs(got["hot"]["jain"] - 1600.0 / 5488.0) < 1e-5
+
+
+class TestPseudonyms:
+    def test_same_email_same_pseudonym_across_docs(self, spark):
+        from gc_spark.functions.text import EMAIL_PATTERN
+        from gc_spark.operators.pseudonym import apply_pseudonyms, pseudonym_map
+
+        docs = spark.createDataFrame(
+            [
+                (0, "write to a@x.mil and b@y.mil today"),
+                (1, "a@x.mil replied"),
+                (2, "nothing here"),
+            ],
+            "doc_id long, text string",
+        )
+        m = {r["pii"]: r for r in pseudonym_map(docs, EMAIL_PATTERN).collect()}
+        assert m["a@x.mil"]["n_docs"] == 2 and m["a@x.mil"]["first_doc"] == 0
+        assert m["b@y.mil"]["n_docs"] == 1
+        assert m["a@x.mil"]["pseudonym"] != m["b@y.mil"]["pseudonym"]
+        assert m["a@x.mil"]["pseudonym"].endswith("@anon.invalid")
+
+        rewritten = {
+            r["doc_id"]: r["text"]
+            for r in apply_pseudonyms(docs, EMAIL_PATTERN).collect()
+        }
+        assert "a@x.mil" not in rewritten[0] and "b@y.mil" not in rewritten[0]
+        # consistency: doc 0 and doc 1 carry the SAME pseudonym for a@x.mil
+        p = m["a@x.mil"]["pseudonym"]
+        assert p in rewritten[0] and p in rewritten[1]
+        assert rewritten[2] == "nothing here"
+
+    def test_salt_rotation_unlinks(self, spark):
+        from gc_spark.functions.text import EMAIL_PATTERN
+        from gc_spark.operators.pseudonym import pseudonym_map
+
+        docs = spark.createDataFrame(
+            [(0, "a@x.mil")], "doc_id long, text string"
+        )
+        p1 = pseudonym_map(docs, EMAIL_PATTERN, salt="s1").collect()[0]["pseudonym"]
+        p2 = pseudonym_map(docs, EMAIL_PATTERN, salt="s2").collect()[0]["pseudonym"]
+        assert p1 != p2
+
+
+class TestShardManifest:
+    def test_partition_of_corpus_and_determinism(self, spark):
+        from gc_spark.operators.sharding import shard_manifest
+
+        docs = spark.createDataFrame(
+            [(i, "w " * (i % 5 + 1)) for i in range(200)],
+            "doc_id long, text string",
+        )
+        a = shard_manifest(docs, n_shards=8).collect()
+        assert sum(r["n_docs"] for r in a) == 200
+        assert {r["shard"] for r in a} <= set(range(8))
+        b = {r["shard"]: r["manifest_sha"] for r in shard_manifest(docs, 8).collect()}
+        assert all(b[r["shard"]] == r["manifest_sha"] for r in a)
+
+    def test_manifest_detects_membership_change(self, spark):
+        from gc_spark.operators.sharding import shard_manifest
+
+        docs = spark.createDataFrame(
+            [(i, "hello world") for i in range(50)], "doc_id long, text string"
+        )
+        full = {r["shard"]: r["manifest_sha"] for r in shard_manifest(docs, 4).collect()}
+        dropped = {
+            r["shard"]: r["manifest_sha"]
+            for r in shard_manifest(docs.filter("doc_id <> 7"), 4).collect()
+        }
+        assert full != dropped  # exactly the shard holding doc 7 changed
+        assert sum(full[s] != dropped.get(s) for s in full) == 1
