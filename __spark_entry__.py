@@ -2227,6 +2227,33 @@ def q114_shard_manifest(spark, sf_dir):
     return shard_manifest(d, n_shards=16)
 
 
+def q115_politeness_audit(spark, sf_dir):
+    """Politeness-compliance audit (operators/politeness.delay_compliance):
+    observed inter-fetch gaps per host vs the configured delay (1 + host%3
+    seconds) — q97 predicts the schedule, this verifies the execution from
+    the fetch log."""
+    from gc_spark.operators.politeness import delay_compliance
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("h"), (F.col("user_id") % 50).cast("string")).alias("host"),
+        "ts",
+        "event_id",
+        (1.0 + (F.col("user_id") % 50) % 3).alias("crawl_delay"),
+    )
+    return delay_compliance(ev)
+
+
+def q116_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement via the exponential race
+    (operators/sampling.weighted_sample_wor, k=50, weight=n_chars):
+    deterministic Efraimidis-Spirakis keys + one global top-k
+    (TakeOrderedAndProject, no sort)."""
+    from gc_spark.operators.sampling import weighted_sample_wor
+
+    d = _t(spark, sf_dir, "documents")
+    return weighted_sample_wor(d, k=50, weight_col="n_chars")
+
+
 _MIRRORS_ORACLE = """
     WITH corpus AS (
       SELECT source AS h, text FROM documents
@@ -2707,6 +2734,39 @@ _SHARD_MANIFEST_ORACLE = """
                              || CAST(len AS VARCHAR), chr(10)
                              ORDER BY doc_id)) AS manifest_sha
     FROM rows_ GROUP BY shard
+"""
+
+
+_POLITENESS_AUDIT_ORACLE = """
+    WITH f AS (
+      SELECT 'h' || CAST(user_id % 50 AS VARCHAR) AS host, ts, event_id,
+             1.0 + (user_id % 50) % 3 AS d
+      FROM events
+    ), g AS (
+      SELECT host, d,
+             epoch(ts) - epoch(lag(ts) OVER (PARTITION BY host
+                                             ORDER BY ts, event_id)) AS gap
+      FROM f
+    )
+    SELECT host, COUNT(*) AS n_fetches,
+           ROUND(MIN(gap), 6) AS min_gap,
+           CAST(SUM(CASE WHEN gap < d THEN 1 ELSE 0 END) AS BIGINT)
+             AS violations,
+           (SUM(CASE WHEN gap < d THEN 1 ELSE 0 END) = 0) AS compliant
+    FROM g GROUP BY host
+"""
+
+
+_WEIGHTED_SAMPLE_ORACLE = """
+    WITH keyed AS (
+      SELECT doc_id, n_chars AS weight,
+             ln(((CAST('0x' || substr(sha256('es|' || CAST(doc_id AS VARCHAR)),
+                       1, 15) AS BIGINT) % 1000000) + 0.5) / 1000000.0)
+               / n_chars AS k
+      FROM documents
+    )
+    SELECT doc_id, weight, ROUND(k, 6) AS es_key FROM keyed
+    QUALIFY ROW_NUMBER() OVER (ORDER BY k DESC, doc_id) <= 50
 """
 
 
@@ -3344,6 +3404,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q112_fairness": q112_fairness,
         "q113_pseudonyms": q113_pseudonyms,
         "q114_shard_manifest": q114_shard_manifest,
+        "q115_politeness_audit": q115_politeness_audit,
+        "q116_weighted_sample": q116_weighted_sample,
     }
 
 
@@ -3764,6 +3826,8 @@ def oracle_sql() -> dict[str, str]:
         "q112_fairness": _FAIRNESS_ORACLE,
         "q113_pseudonyms": _PSEUDONYM_ORACLE,
         "q114_shard_manifest": _SHARD_MANIFEST_ORACLE,
+        "q115_politeness_audit": _POLITENESS_AUDIT_ORACLE,
+        "q116_weighted_sample": _WEIGHTED_SAMPLE_ORACLE,
         "q61_budget_allocation": _pagerank_cte(iters=5, damping=0.85) + """
             SELECT node AS host,
                    CAST(least(greatest(

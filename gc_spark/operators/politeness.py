@@ -100,3 +100,42 @@ def fairness_index(
             6,
         ).alias("jain"),
     )
+
+
+def delay_compliance(
+    df: DataFrame,
+    delay_col: str = "crawl_delay",
+    host_col: str = "host",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Politeness-compliance audit from the fetch log: per host, the
+    observed gaps between consecutive fetches vs the configured delay —
+    the evidence a crawl operator shows a site owner ("we honored your
+    Crawl-delay"), and the regression check after any scheduler change
+    (q97 predicts the schedule; this verifies the execution). One lag
+    window per host, one rollup.
+
+    Returns (host, n_fetches, min_gap, violations, compliant); a gap
+    strictly below the delay is a violation; single-fetch hosts are
+    trivially compliant (no gap exists)."""
+    w = Window.partitionBy(host_col).orderBy(ts_col, order_col)
+    # NTZ timestamps don't cast to double directly; route through ltz —
+    # gaps are DIFFERENCES, so the session-tz offset cancels exactly
+    t = F.col(ts_col).cast("timestamp").cast("double")
+    gap = t - F.lag(t).over(w)
+    per = df.select(
+        F.col(host_col).alias("host"),
+        F.col(delay_col).alias("_d"),
+        gap.alias("_gap"),
+    )
+    return per.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_fetches"),
+        F.round(F.min("_gap"), 6).alias("min_gap"),
+        F.sum(
+            F.when(F.col("_gap") < F.col("_d"), 1).otherwise(0)
+        ).alias("violations"),
+        (F.sum(F.when(F.col("_gap") < F.col("_d"), 1).otherwise(0)) == 0).alias(
+            "compliant"
+        ),
+    )

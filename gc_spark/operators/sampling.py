@@ -199,3 +199,39 @@ def temperature_sample(
             id_col, group_col, F.round(F.col("keep_prob"), 6).alias("keep_prob")
         )
     )
+
+
+def weighted_sample_wor(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "es",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the exponential race
+    (public literature: Efraimidis & Spirakis 2006): each row draws a
+    deterministic uniform u from its salted id hash and computes
+    key = ln(u) / weight; the k largest keys are exactly a weight-
+    proportional sample without replacement. THE distributed algorithm
+    for the job — one map-side key computation plus a global top-k
+    (TakeOrderedAndProject: per-partition heaps, no sort, no sequential
+    pass like reservoir variants need).
+
+    Deterministic draws mean re-runs, engines, and incremental reruns
+    agree on the sample; rotate `salt` for a fresh epoch. Zero-weight
+    rows never win (key -> -inf)."""
+    u = (
+        (sample_hash_col(F.col(id_col).cast("string"), salt) % 1000000)
+        + 0.5
+    ) / 1000000.0
+    key = F.log(u) / F.col(weight_col)
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(weight_col).alias("weight"),
+            key.alias("_key"),
+        )
+        .orderBy(F.col("_key").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, "weight", F.round("_key", 6).alias("es_key"))
+    )

@@ -525,3 +525,57 @@ class TestShardManifest:
         }
         assert full != dropped  # exactly the shard holding doc 7 changed
         assert sum(full[s] != dropped.get(s) for s in full) == 1
+
+
+class TestDelayCompliance:
+    def test_violation_and_compliance(self, spark):
+        from gc_spark.operators.politeness import delay_compliance
+
+        rows = [
+            # hA: gaps 2.0, 2.0 with delay 1.5 -> compliant
+            ("hA", "2024-01-01 00:00:00", 1, 1.5),
+            ("hA", "2024-01-01 00:00:02", 2, 1.5),
+            ("hA", "2024-01-01 00:00:04", 3, 1.5),
+            # hB: gap 0.5 with delay 1.0 -> one violation
+            ("hB", "2024-01-01 00:00:00", 4, 1.0),
+            ("hB", "2024-01-01 00:00:00.5", 5, 1.0),
+            # hC: single fetch -> trivially compliant, null min_gap
+            ("hC", "2024-01-01 00:00:00", 6, 1.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "host string, ts string, event_id long, crawl_delay double"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        got = {r["host"]: r for r in delay_compliance(df).collect()}
+        assert got["hA"]["compliant"] and got["hA"]["min_gap"] == 2.0
+        assert not got["hB"]["compliant"] and got["hB"]["violations"] == 1
+        assert got["hC"]["compliant"] and got["hC"]["min_gap"] is None
+
+
+class TestWeightedSample:
+    def test_weights_bias_selection_and_exact_k(self, spark):
+        from gc_spark.operators.sampling import weighted_sample_wor
+
+        # 100 heavy rows (w=1000) + 900 light (w=1): heavy rows must
+        # dominate the top-50 sample
+        rows = [(i, 1000) for i in range(100)] + [
+            (i, 1) for i in range(100, 1000)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, w long")
+        got = weighted_sample_wor(df, k=50, weight_col="w").collect()
+        assert len(got) == 50
+        heavy = sum(1 for r in got if r["doc_id"] < 100)
+        assert heavy > 40
+
+    def test_deterministic_and_salt_sensitive(self, spark):
+        from gc_spark.operators.sampling import weighted_sample_wor
+
+        df = spark.createDataFrame(
+            [(i, i % 7 + 1) for i in range(500)], "doc_id long, w long"
+        )
+        a = sorted(r["doc_id"] for r in weighted_sample_wor(df, 20, "w").collect())
+        b = sorted(r["doc_id"] for r in weighted_sample_wor(df, 20, "w").collect())
+        c = sorted(
+            r["doc_id"]
+            for r in weighted_sample_wor(df, 20, "w", salt="other").collect()
+        )
+        assert a == b and a != c
