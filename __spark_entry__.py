@@ -2254,6 +2254,26 @@ def q116_weighted_sample(spark, sf_dir):
     return weighted_sample_wor(d, k=50, weight_col="n_chars")
 
 
+def q117_size_anomalies(spark, sf_dir):
+    """Robust response-size anomaly detection (operators/anomaly.
+    size_anomalies): median/MAD z-score per host, 3-sigma flag; every
+    211th event's size is inflated 40x and must flag. Exact percentile is
+    the verifier form (approx_percentile is the 10^10 swap-in, q45)."""
+    from gc_spark.operators.anomaly import size_anomalies
+
+    ev = _t(spark, sf_dir, "events")
+    fetches = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 50).cast("string")).alias("host"),
+        F.concat(F.lit("e"), F.col("event_id").cast("string")).alias("url"),
+        (
+            F.col("value")
+            * 100.0
+            * F.when(F.col("event_id") % 211 == 0, 40.0).otherwise(1.0)
+        ).alias("size"),
+    )
+    return size_anomalies(fetches)
+
+
 _MIRRORS_ORACLE = """
     WITH corpus AS (
       SELECT source AS h, text FROM documents
@@ -2767,6 +2787,31 @@ _WEIGHTED_SAMPLE_ORACLE = """
     )
     SELECT doc_id, weight, ROUND(k, 6) AS es_key FROM keyed
     QUALIFY ROW_NUMBER() OVER (ORDER BY k DESC, doc_id) <= 50
+"""
+
+
+_SIZE_ANOMALY_ORACLE = """
+    WITH f AS (
+      SELECT 'h' || CAST(user_id % 50 AS VARCHAR) AS host,
+             'e' || CAST(event_id AS VARCHAR) AS id,
+             value * 100.0 * (CASE WHEN event_id % 211 = 0
+                                   THEN 40.0 ELSE 1.0 END) AS size
+      FROM events
+    ), med AS (
+      SELECT host, quantile_cont(size, 0.5) AS med FROM f GROUP BY host
+    ), dev AS (
+      SELECT f.host, id, size, med, ABS(size - med) AS adev
+      FROM f JOIN med USING (host)
+    ), mad AS (
+      SELECT host, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY host
+    )
+    SELECT d.host, id, size, ROUND(med, 4) AS med,
+           ROUND(mad * 1.4826, 4) AS mad_sigma,
+           ROUND(CASE WHEN mad * 1.4826 > 0
+                      THEN adev / (mad * 1.4826) END, 4) AS z,
+           CASE WHEN mad * 1.4826 > 0 THEN adev / (mad * 1.4826) > 3.0
+                ELSE adev > 0 END AS is_anomaly
+    FROM dev d JOIN mad USING (host)
 """
 
 
@@ -3406,6 +3451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q114_shard_manifest": q114_shard_manifest,
         "q115_politeness_audit": q115_politeness_audit,
         "q116_weighted_sample": q116_weighted_sample,
+        "q117_size_anomalies": q117_size_anomalies,
     }
 
 
@@ -3828,6 +3874,7 @@ def oracle_sql() -> dict[str, str]:
         "q114_shard_manifest": _SHARD_MANIFEST_ORACLE,
         "q115_politeness_audit": _POLITENESS_AUDIT_ORACLE,
         "q116_weighted_sample": _WEIGHTED_SAMPLE_ORACLE,
+        "q117_size_anomalies": _SIZE_ANOMALY_ORACLE,
         "q61_budget_allocation": _pagerank_cte(iters=5, damping=0.85) + """
             SELECT node AS host,
                    CAST(least(greatest(

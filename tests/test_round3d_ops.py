@@ -579,3 +579,25 @@ class TestWeightedSample:
             for r in weighted_sample_wor(df, 20, "w", salt="other").collect()
         )
         assert a == b and a != c
+
+
+class TestSizeAnomalies:
+    def test_planted_outlier_flags(self, spark):
+        from gc_spark.operators.anomaly import size_anomalies
+
+        rows = [("h1", f"u{i}", 100.0 + (i % 5)) for i in range(50)]
+        rows.append(("h1", "big", 50000.0))
+        df = spark.createDataFrame(rows, "host string, url string, size double")
+        got = {r["id"]: r for r in size_anomalies(df).collect()}
+        assert got["big"]["is_anomaly"]
+        assert sum(1 for r in got.values() if r["is_anomaly"]) == 1
+
+    def test_mad_zero_host_flags_any_deviation(self, spark):
+        from gc_spark.operators.anomaly import size_anomalies
+
+        rows = [("h1", f"u{i}", 100.0) for i in range(9)] + [("h1", "odd", 101.0)]
+        df = spark.createDataFrame(rows, "host string, url string, size double")
+        got = {r["id"]: r for r in size_anomalies(df).collect()}
+        # median 100, MAD 0: the lone deviating row flags, z is null
+        assert got["odd"]["is_anomaly"] and got["odd"]["z"] is None
+        assert not got["u0"]["is_anomaly"]
