@@ -2274,6 +2274,44 @@ def q117_size_anomalies(spark, sf_dir):
     return size_anomalies(fetches)
 
 
+def q118_revision_similarity(spark, sf_dir):
+    """Recrawl revision classification (operators/snapshot_diff.
+    revision_similarity): shingle-Jaccard between two snapshots of each
+    doc — every 4th doc fully rewritten (must classify 'rewrite'), the
+    rest get an appended tail ('minor'). One id join; shingle sets never
+    leave their row."""
+    from gc_spark.operators.snapshot_diff import revision_similarity
+
+    d = _t_wide(spark, sf_dir, "documents")
+    old = d.select("doc_id", "text")
+    new = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("totally different content doc "),
+                F.col("doc_id").cast("string"),
+                F.lit(" now rewritten entirely"),
+            ),
+        )
+        .otherwise(F.concat(F.col("text"), F.lit(" tail tokens appended here")))
+        .alias("text"),
+    )
+    return revision_similarity(old, new, minor_threshold=0.5)
+
+
+def q119_vocab_growth(spark, sf_dir):
+    """Heaps'-law vocabulary growth (operators/vocab.vocab_growth, word
+    trigrams): distinct shingles at 25/50/75/100% of the corpus in ONE
+    aggregate with conditional distincts — the dedup-ROI forecast
+    (unigram vocab saturates on this corpus; trigram grain grows
+    5.4k -> 16.2k across the quarters)."""
+    from gc_spark.operators.vocab import vocab_growth
+
+    d = _t_wide(spark, sf_dir, "documents")
+    return vocab_growth(d, n=3)
+
+
 _MIRRORS_ORACLE = """
     WITH corpus AS (
       SELECT source AS h, text FROM documents
@@ -2812,6 +2850,69 @@ _SIZE_ANOMALY_ORACLE = """
            CASE WHEN mad * 1.4826 > 0 THEN adev / (mad * 1.4826) > 3.0
                 ELSE adev > 0 END AS is_anomaly
     FROM dev d JOIN mad USING (host)
+"""
+
+
+_REVISION_ORACLE = """
+    WITH newt AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0
+                  THEN 'totally different content doc '
+                       || CAST(doc_id AS VARCHAR) || ' now rewritten entirely'
+                  ELSE text || ' tail tokens appended here' END AS text
+      FROM documents
+    ), sho AS (
+      SELECT doc_id, list_distinct(list_filter(
+               list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                 i -> array_to_string(list_slice(t, i, i + 2), ' ')),
+               g -> contains(g, ' '))) AS a
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+            FROM documents)
+    ), shn AS (
+      SELECT doc_id, list_distinct(list_filter(
+               list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                 i -> array_to_string(list_slice(t, i, i + 2), ' ')),
+               g -> contains(g, ' '))) AS b
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+            FROM newt)
+    ), j AS (
+      SELECT sho.doc_id,
+             len(list_intersect(a, b)) AS inter,
+             len(a) + len(b) - len(list_intersect(a, b)) AS un
+      FROM sho JOIN shn USING (doc_id)
+    )
+    SELECT doc_id,
+           ROUND(CASE WHEN un > 0
+                      THEN CAST(inter AS DOUBLE) / un ELSE 1.0 END, 6)
+             AS jaccard,
+           CASE WHEN (CASE WHEN un > 0 THEN CAST(inter AS DOUBLE) / un
+                           ELSE 1.0 END) >= 0.5
+                THEN 'minor' ELSE 'rewrite' END AS change_class
+    FROM j
+"""
+
+
+_VOCAB_GROWTH_ORACLE = """
+    WITH tk AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, UNNEST(list_filter(
+        list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+          i -> array_to_string(list_slice(t, i, i + 2), ' ')),
+        g -> contains(g, ' '))) AS term
+      FROM tk
+    ), mx AS (SELECT MAX(doc_id) AS m FROM documents)
+    SELECT
+      COUNT(DISTINCT CASE WHEN doc_id <= (SELECT m FROM mx) * 0.25
+                          THEN term END) AS vocab_25,
+      COUNT(DISTINCT CASE WHEN doc_id <= (SELECT m FROM mx) * 0.50
+                          THEN term END) AS vocab_50,
+      COUNT(DISTINCT CASE WHEN doc_id <= (SELECT m FROM mx) * 0.75
+                          THEN term END) AS vocab_75,
+      COUNT(DISTINCT term) AS vocab_100,
+      COUNT(*) AS n_tokens
+    FROM toks
 """
 
 
@@ -3452,6 +3553,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q115_politeness_audit": q115_politeness_audit,
         "q116_weighted_sample": q116_weighted_sample,
         "q117_size_anomalies": q117_size_anomalies,
+        "q118_revision_similarity": q118_revision_similarity,
+        "q119_vocab_growth": q119_vocab_growth,
     }
 
 
@@ -3875,6 +3978,8 @@ def oracle_sql() -> dict[str, str]:
         "q115_politeness_audit": _POLITENESS_AUDIT_ORACLE,
         "q116_weighted_sample": _WEIGHTED_SAMPLE_ORACLE,
         "q117_size_anomalies": _SIZE_ANOMALY_ORACLE,
+        "q118_revision_similarity": _REVISION_ORACLE,
+        "q119_vocab_growth": _VOCAB_GROWTH_ORACLE,
         "q61_budget_allocation": _pagerank_cte(iters=5, damping=0.85) + """
             SELECT node AS host,
                    CAST(least(greatest(

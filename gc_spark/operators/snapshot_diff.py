@@ -46,3 +46,43 @@ def snapshot_content_diff(
     if not include_unchanged:
         out = out.where(F.col("status") != "unchanged")
     return out
+
+
+def revision_similarity(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    minor_threshold: float = 0.5,
+) -> DataFrame:
+    """Shingle-Jaccard similarity between two snapshots of the same URL —
+    the recrawl analytics upgrade of snapshot_content_diff's binary
+    changed/unchanged: a template-timestamp tweak scores ~1, a page
+    REWRITE scores ~0, and change-rate estimators (operators/recrawl)
+    should weight them differently. classification: 'minor' at
+    jaccard >= minor_threshold, else 'rewrite'.
+
+    Scale shape: ONE equi-join on the id (the only shuffle), then the
+    whole shingle/intersection computation is per-row array expressions —
+    distinct word 3-grams of each side, |A∩B| / (|A|+|B|-|A∩B|). No
+    explode: shingle sets never leave their row.
+    """
+    from gc_spark.functions.text import word_ngrams_col
+
+    def sh(col):
+        return F.array_distinct(
+            F.filter(word_ngrams_col(col, 3), lambda g: g.contains(" "))
+        )
+
+    o = old.select(F.col(id_col), sh(F.col(text_col)).alias("_a"))
+    n = new.select(F.col(id_col), sh(F.col(text_col)).alias("_b"))
+    inter = F.size(F.array_intersect(F.col("_a"), F.col("_b")))
+    union = F.size("_a") + F.size("_b") - inter
+    j = F.when(union > 0, inter / union).otherwise(F.lit(1.0))
+    return o.join(n, id_col).select(
+        id_col,
+        F.round(j, 6).alias("jaccard"),
+        F.when(j >= minor_threshold, F.lit("minor"))
+        .otherwise(F.lit("rewrite"))
+        .alias("change_class"),
+    )

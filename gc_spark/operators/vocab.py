@@ -61,3 +61,44 @@ def oov_rate(
             F.round(F.col("oov") / F.col("n_tokens"), 6).alias("oov_rate"),
         )
     )
+
+
+def vocab_growth(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 1,
+) -> DataFrame:
+    """Distinct n-gram vocabulary at 25/50/75/100% of the corpus (by id
+    order) — the Heaps'-law growth curve that forecasts dedup ROI and
+    tokenizer OOV pressure before scaling a crawl: a flattening curve
+    means new crawl volume is re-finding known vocabulary. n > 1 measures
+    phrase-level novelty (unigram vocabularies saturate early; shingle
+    vocabularies keep growing until content truly repeats).
+
+    One token explode + ONE aggregate with four conditional distincts
+    (id thresholds as broadcast scalars from a 1-row max) — not four
+    corpus passes."""
+    if n == 1:
+        terms = F.split(F.trim(F.col(text_col)), r"\s+")
+    else:
+        from gc_spark.functions.text import word_ngrams_col
+
+        terms = F.filter(
+            word_ngrams_col(F.col(text_col), n), lambda g: g.contains(" ")
+        )
+    toks = df.select(
+        F.col(id_col).alias("_id"), F.explode(terms).alias("term")
+    )
+    mx = df.agg(F.max(id_col).alias("_mx"))
+    t = toks.crossJoin(F.broadcast(mx))
+    q = lambda f: F.countDistinct(  # noqa: E731
+        F.when(F.col("_id") <= F.col("_mx") * f, F.col("term"))
+    )
+    return t.agg(
+        q(0.25).alias("vocab_25"),
+        q(0.50).alias("vocab_50"),
+        q(0.75).alias("vocab_75"),
+        F.countDistinct("term").alias("vocab_100"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )

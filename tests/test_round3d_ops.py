@@ -601,3 +601,61 @@ class TestSizeAnomalies:
         # median 100, MAD 0: the lone deviating row flags, z is null
         assert got["odd"]["is_anomaly"] and got["odd"]["z"] is None
         assert not got["u0"]["is_anomaly"]
+
+
+class TestRevisionSimilarity:
+    def test_identical_append_and_rewrite(self, spark):
+        from gc_spark.operators.snapshot_diff import revision_similarity
+
+        old = spark.createDataFrame(
+            [
+                (0, "alpha beta gamma delta epsilon zeta"),
+                (1, "one two three four five six seven"),
+                (2, "foo bar baz qux"),
+            ],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [
+                (0, "alpha beta gamma delta epsilon zeta"),  # identical
+                (1, "one two three four five six seven extra tail"),  # append
+                (2, "completely different words entirely now"),  # rewrite
+            ],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in revision_similarity(old, new).collect()}
+        assert got[0]["jaccard"] == 1.0 and got[0]["change_class"] == "minor"
+        assert 0.5 <= got[1]["jaccard"] < 1.0 and got[1]["change_class"] == "minor"
+        assert got[2]["jaccard"] == 0.0 and got[2]["change_class"] == "rewrite"
+
+    def test_short_docs_no_shingles_count_as_unchanged(self, spark):
+        from gc_spark.operators.snapshot_diff import revision_similarity
+
+        old = spark.createDataFrame([(0, "hi")], "doc_id long, text string")
+        new = spark.createDataFrame([(0, "yo")], "doc_id long, text string")
+        [r] = revision_similarity(old, new).collect()
+        # neither side has a 2+-token shingle: union 0 -> jaccard defined 1.0
+        assert r["jaccard"] == 1.0
+
+
+class TestVocabGrowth:
+    def test_monotone_and_totals(self, spark):
+        from gc_spark.operators.vocab import vocab_growth
+
+        docs = spark.createDataFrame(
+            [(i, f"w{i} w{i+1} shared token") for i in range(40)],
+            "doc_id long, text string",
+        )
+        [r] = vocab_growth(docs, n=1).collect()
+        assert r["vocab_25"] <= r["vocab_50"] <= r["vocab_75"] <= r["vocab_100"]
+        assert r["vocab_100"] == 43  # w0..w40 + shared + token
+        assert r["n_tokens"] == 160
+
+    def test_ngram_grain(self, spark):
+        from gc_spark.operators.vocab import vocab_growth
+
+        docs = spark.createDataFrame(
+            [(0, "a b c d"), (1, "a b c d")], "doc_id long, text string"
+        )
+        [r] = vocab_growth(docs, n=3).collect()
+        assert r["vocab_100"] == 2  # 'a b c', 'b c d'
