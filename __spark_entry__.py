@@ -2312,6 +2312,21 @@ def q119_vocab_growth(spark, sf_dir):
     return vocab_growth(d, n=3)
 
 
+def q120_retry_backoff(spark, sf_dir):
+    """Exponential backoff with deterministic jitter (operators/eta.
+    retry_backoff): capped base·2^attempts spread by a salted url-hash
+    jitter; attempt ceiling flags the dead-letter path. Map-side only —
+    the failure-path twin of q97's politeness ETA."""
+    from gc_spark.operators.eta import retry_backoff
+
+    p = _t(spark, sf_dir, "part")
+    failures = p.select(
+        F.concat(F.lit("u"), F.col("p_partkey").cast("string")).alias("url"),
+        (F.col("p_partkey") % 7).cast("int").alias("attempts"),
+    )
+    return retry_backoff(failures, base_sec=1.0, cap_sec=60.0, max_attempts=5)
+
+
 _MIRRORS_ORACLE = """
     WITH corpus AS (
       SELECT source AS h, text FROM documents
@@ -2913,6 +2928,21 @@ _VOCAB_GROWTH_ORACLE = """
       COUNT(DISTINCT term) AS vocab_100,
       COUNT(*) AS n_tokens
     FROM toks
+"""
+
+
+_BACKOFF_ORACLE = """
+    WITH f AS (
+      SELECT 'u' || CAST(p_partkey AS VARCHAR) AS url,
+             CAST(p_partkey % 7 AS INT) AS attempts
+      FROM part
+    )
+    SELECT url, attempts,
+           ROUND(least(60.0, 1.0 * pow(2.0, attempts))
+                 * (0.5 + 0.5 * ((CAST('0x' || substr(sha256('bo|' || url),
+                      1, 15) AS BIGINT) % 1000) / 1000.0)), 6) AS backoff_sec,
+           (attempts >= 5) AS give_up
+    FROM f
 """
 
 
@@ -3555,6 +3585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q117_size_anomalies": q117_size_anomalies,
         "q118_revision_similarity": q118_revision_similarity,
         "q119_vocab_growth": q119_vocab_growth,
+        "q120_retry_backoff": q120_retry_backoff,
     }
 
 
@@ -3980,6 +4011,7 @@ def oracle_sql() -> dict[str, str]:
         "q117_size_anomalies": _SIZE_ANOMALY_ORACLE,
         "q118_revision_similarity": _REVISION_ORACLE,
         "q119_vocab_growth": _VOCAB_GROWTH_ORACLE,
+        "q120_retry_backoff": _BACKOFF_ORACLE,
         "q61_budget_allocation": _pagerank_cte(iters=5, damping=0.85) + """
             SELECT node AS host,
                    CAST(least(greatest(

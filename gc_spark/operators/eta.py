@@ -52,3 +52,38 @@ def host_makespan(eta: DataFrame, host_col: str = "host") -> DataFrame:
         F.count(F.lit(1)).alias("n_urls"),
         F.max("eta_sec").alias("makespan_sec"),
     )
+
+
+def retry_backoff(
+    df: DataFrame,
+    base_sec: float = 1.0,
+    cap_sec: float = 60.0,
+    max_attempts: int = 5,
+    url_col: str = "url",
+    attempts_col: str = "attempts",
+    salt: str = "bo",
+) -> DataFrame:
+    """Failure-path scheduling: capped exponential backoff with
+    DETERMINISTIC half-jitter per URL — backoff = min(cap, base·2^n) ·
+    (0.5 + 0.5·jitter(url)), jitter from the salted url hash, so retries
+    of a failing host spread out (thundering-herd avoidance, public
+    practice: exponential backoff with jitter) while re-planned batches
+    reproduce the exact same schedule (no rand(): a speculative re-run of
+    the task can't disagree with the original). give_up flags URLs at the
+    attempt ceiling for the dead-letter path (plans/drain dead_letter).
+
+    Map-side only — rides the fetch-log scan. Complements schedule_eta
+    (the success-path politeness ETA)."""
+    from gc_spark.operators.text_dedup import sha60_col
+
+    n = F.col(attempts_col)
+    raw = F.least(F.lit(cap_sec), F.lit(base_sec) * F.pow(F.lit(2.0), n))
+    jitter = (
+        sha60_col(F.concat(F.lit(salt + "|"), F.col(url_col))) % 1000
+    ) / 1000.0
+    return df.select(
+        F.col(url_col),
+        n.alias("attempts"),
+        F.round(raw * (0.5 + 0.5 * jitter), 6).alias("backoff_sec"),
+        (n >= max_attempts).alias("give_up"),
+    )

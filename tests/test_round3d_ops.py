@@ -659,3 +659,27 @@ class TestVocabGrowth:
         )
         [r] = vocab_growth(docs, n=3).collect()
         assert r["vocab_100"] == 2  # 'a b c', 'b c d'
+
+
+class TestRetryBackoff:
+    def test_growth_cap_jitter_and_giveup(self, spark):
+        from gc_spark.operators.eta import retry_backoff
+
+        rows = [("uA", 0), ("uA2", 1), ("uB", 10), ("uC", 5), ("uD", 2)]
+        df = spark.createDataFrame(rows, "url string, attempts int")
+        got = {r["url"]: r for r in retry_backoff(df).collect()}
+        # jittered into [0.5x, 1.0x) of the raw backoff
+        assert 0.5 <= got["uA"]["backoff_sec"] < 1.0
+        assert 1.0 <= got["uA2"]["backoff_sec"] < 2.0
+        # capped at 60 before jitter
+        assert got["uB"]["backoff_sec"] < 60.0 and got["uB"]["backoff_sec"] >= 30.0
+        assert got["uB"]["give_up"] and got["uC"]["give_up"]
+        assert not got["uD"]["give_up"]
+
+    def test_deterministic_per_url(self, spark):
+        from gc_spark.operators.eta import retry_backoff
+
+        df = spark.createDataFrame([("u1", 3)], "url string, attempts int")
+        a = retry_backoff(df).collect()[0]["backoff_sec"]
+        b = retry_backoff(df).collect()[0]["backoff_sec"]
+        assert a == b
