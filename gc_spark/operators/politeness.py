@@ -120,10 +120,12 @@ def delay_compliance(
     strictly below the delay is a violation; single-fetch hosts are
     trivially compliant (no gap exists)."""
     w = Window.partitionBy(host_col).orderBy(ts_col, order_col)
-    # NTZ timestamps don't cast to double directly; route through ltz —
-    # gaps are DIFFERENCES, so the session-tz offset cancels exactly
-    t = F.col(ts_col).cast("timestamp").cast("double")
-    gap = t - F.lag(t).over(w)
+    # timestamp_diff is pure wall-clock arithmetic on NTZ (and instant
+    # arithmetic on LTZ) — no session-tz round-trip, so gaps spanning a
+    # DST transition stay exact (casting through session-tz timestamp
+    # would shift by the DST delta across the transition)
+    t = F.col(ts_col)
+    gap = F.timestamp_diff("MICROSECOND", F.lag(t).over(w), t) / F.lit(1000000.0)
     per = df.select(
         F.col(host_col).alias("host"),
         F.col(delay_col).alias("_d"),

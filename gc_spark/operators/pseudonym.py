@@ -61,9 +61,18 @@ def apply_pseudonyms(
     map-side: each match hashes in place via one regexp split/fold, no
     join against a mapping table."""
     # regexp_replace can't compute per-match replacements, so fold the
-    # extracted distinct matches: replace each one in the text.
-    matches = F.array_distinct(
-        F.regexp_extract_all(F.col(text_col), F.lit(pattern), 0)
+    # extracted distinct matches: replace each one in the text. Longest
+    # match first — if one identifier is a substring of another (b@c.com
+    # inside ab@c.com), replacing the shorter first would corrupt the
+    # longer occurrence and leak a partial identifier.
+    matches = F.array_sort(
+        F.array_distinct(
+            F.regexp_extract_all(F.col(text_col), F.lit(pattern), 0)
+        ),
+        lambda l, r: F.when(F.length(l) != F.length(r), F.length(r) - F.length(l))
+        .when(l < r, F.lit(-1))
+        .when(l > r, F.lit(1))
+        .otherwise(F.lit(0)),
     )
     rewritten = F.aggregate(
         matches,

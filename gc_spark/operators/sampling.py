@@ -218,13 +218,15 @@ def weighted_sample_wor(
     pass like reservoir variants need).
 
     Deterministic draws mean re-runs, engines, and incremental reruns
-    agree on the sample; rotate `salt` for a fresh epoch. Zero-weight
-    rows never win (key -> -inf)."""
+    agree on the sample; rotate `salt` for a fresh epoch. Zero/negative/
+    null-weight rows get a null key (never a division: ANSI mode would
+    throw DIVIDE_BY_ZERO on weight=0, e.g. an empty document with
+    n_chars=0), and nulls sort last under desc so they never win."""
     u = (
         (sample_hash_col(F.col(id_col).cast("string"), salt) % 1000000)
         + 0.5
     ) / 1000000.0
-    key = F.log(u) / F.col(weight_col)
+    key = F.when(F.col(weight_col) > 0, F.log(u) / F.col(weight_col))
     return (
         df.select(
             F.col(id_col),

@@ -486,6 +486,25 @@ class TestPseudonyms:
         assert p in rewritten[0] and p in rewritten[1]
         assert rewritten[2] == "nothing here"
 
+    def test_substring_identifier_does_not_corrupt_superstring(self, spark):
+        # b@c.mil is a literal substring of ab@c.mil: replacing the shorter
+        # first would leave "a" + pseudonym(b@c.mil) in doc 0, leaking the
+        # "a" prefix and mislinking the pseudonym. Longest-first fold keeps
+        # each match intact.
+        from gc_spark.functions.text import EMAIL_PATTERN
+        from gc_spark.operators.pseudonym import apply_pseudonyms, pseudonym_map
+
+        docs = spark.createDataFrame(
+            [(0, "contact ab@c.mil or b@c.mil now")],
+            "doc_id long, text string",
+        )
+        m = {r["pii"]: r["pseudonym"] for r in pseudonym_map(docs, EMAIL_PATTERN).collect()}
+        out = apply_pseudonyms(docs, EMAIL_PATTERN).collect()[0]["text"]
+        assert m["ab@c.mil"] in out and m["b@c.mil"] in out
+        # the long match must NOT have been rewritten as "a" + short pseudonym
+        assert "a" + m["b@c.mil"] + " or" not in out
+        assert "ab@c.mil" not in out and " b@c.mil" not in out
+
     def test_salt_rotation_unlinks(self, spark):
         from gc_spark.functions.text import EMAIL_PATTERN
         from gc_spark.operators.pseudonym import pseudonym_map
@@ -565,6 +584,18 @@ class TestWeightedSample:
         assert len(got) == 50
         heavy = sum(1 for r in got if r["doc_id"] < 100)
         assert heavy > 40
+
+    def test_zero_and_null_weights_never_win_and_never_throw(self, spark):
+        # ANSI mode throws DIVIDE_BY_ZERO on ln(u)/0 — zero-weight rows
+        # (e.g. empty documents with n_chars=0) must get a null key
+        # instead, and nulls sort last so they can never be sampled
+        from gc_spark.operators.sampling import weighted_sample_wor
+
+        rows = [(i, 1) for i in range(20)] + [(100, 0), (101, None)]
+        df = spark.createDataFrame(rows, "doc_id long, w long")
+        got = weighted_sample_wor(df, k=20, weight_col="w").collect()
+        ids = {r["doc_id"] for r in got}
+        assert len(got) == 20 and 100 not in ids and 101 not in ids
 
     def test_deterministic_and_salt_sensitive(self, spark):
         from gc_spark.operators.sampling import weighted_sample_wor

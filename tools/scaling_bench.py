@@ -73,6 +73,10 @@ def main():
         "scaling_efficiency": round(eff, 3),
     }
     print(json.dumps(result))
+    # persisted so bench.py can embed the latest measured scaling numbers in
+    # its compact stdout line (the per-round driver only sees bench stdout)
+    (REPO / "BENCH").mkdir(exist_ok=True)
+    (REPO / "BENCH" / "scaling.json").write_text(json.dumps(result))
 
     md = f"""# BENCH — frontier drain throughput & scaling efficiency
 
