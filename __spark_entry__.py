@@ -2327,6 +2327,243 @@ def q120_retry_backoff(spark, sf_dir):
     return retry_backoff(failures, base_sec=1.0, cap_sec=60.0, max_attempts=5)
 
 
+def q121_hybrid_fusion(spark, sf_dir):
+    """Hybrid retrieval: BM25 lexical top-20 (operators/bm25) fused with
+    embedding-cosine semantic top-20 (operators/fusion.cosine_topk_ranked)
+    via reciprocal-rank fusion (operators/fusion.rrf_fuse, k0=60) — the
+    standard rank-only fusion, robust to incomparable score scales. Only
+    the two 20-row rank lists reach the fusion; the corpus never does."""
+    from gc_spark.operators.bm25 import bm25_topk
+    from gc_spark.operators.fusion import cosine_topk_ranked, rrf_fuse
+
+    d = _t(spark, sf_dir, "documents")
+    lex = bm25_topk(d, ["spark", "query", "merge"], k=20).select("doc_id", "rank")
+    em = (
+        _t_wide(spark, sf_dir, "embeddings")
+        .join(d.select("doc_id"), F.col("vec_id") == F.col("doc_id"))
+        .select("vec_id", "embedding")
+    )
+    q = [((i * 37) % 13 - 6) / 10.0 for i in range(64)]
+    sem = cosine_topk_ranked(em, q, k=20).select(
+        F.col("vec_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse([lex, sem], k0=60, topk=10)
+
+
+def q122_span_audit(spark, sf_dir):
+    """Interleaved-span integrity audit (operators/spans.audit_spans) —
+    the well-formedness gate under the north-rule span-sequence invariant.
+    Spans built deterministically (q30 shape), then three corruption
+    classes planted map-side (first matching class wins): doc%7 — the
+    offset-1 span rewritten to offset 0 (order violation); doc%11 — the
+    offset-0 text span's text nulled (payload violation); doc%13 — the
+    offset-0 span's kind set to 'mystery'. All checks are per-row array
+    folds; text/blobs never shuffle."""
+    from gc_spark.operators.spans import audit_spans, build_interleaved_spans
+
+    d = _t_wide(spark, sf_dir, "documents")
+    spans = build_interleaved_spans(d)
+    doc = F.col("doc_id")
+
+    def _rw(kind_fn, text_fn, off_fn):
+        return F.transform(
+            F.col("spans"),
+            lambda s: F.struct(
+                kind_fn(s).alias("kind"),
+                text_fn(s).alias("text"),
+                s["media_ref"].alias("media_ref"),
+                off_fn(s).cast("int").alias("offset"),
+            ),
+        )
+
+    ident_k = lambda s: s["kind"]  # noqa: E731
+    ident_t = lambda s: s["text"]  # noqa: E731
+    ident_o = lambda s: s["offset"]  # noqa: E731
+    corrupt_off = _rw(
+        ident_k,
+        ident_t,
+        lambda s: F.when(s["offset"] == 1, F.lit(0)).otherwise(s["offset"]),
+    )
+    corrupt_pay = _rw(
+        ident_k,
+        lambda s: F.when(
+            s["offset"] == 0, F.lit(None).cast("string")
+        ).otherwise(s["text"]),
+        ident_o,
+    )
+    corrupt_kind = _rw(
+        lambda s: F.when(s["offset"] == 0, F.lit("mystery")).otherwise(s["kind"]),
+        ident_t,
+        ident_o,
+    )
+    staged = spans.select(
+        "doc_id",
+        F.when(doc % 7 == 0, corrupt_off)
+        .when(doc % 11 == 0, corrupt_pay)
+        .when(doc % 13 == 0, corrupt_kind)
+        .otherwise(F.col("spans"))
+        .alias("spans"),
+    )
+    return audit_spans(staged)
+
+
+def q123_encoding_audit(spark, sf_dir):
+    """Encoding-quality triage (operators/encoding.encoding_stats):
+    mojibake digraphs, U+FFFD lossy decodes, control-byte junk — planted
+    on disjoint-ish doc classes (13/17/19 moduli; overlaps resolved by
+    verdict precedence). Pure regexp counting in whole-stage codegen."""
+    from gc_spark.operators.encoding import encoding_stats
+
+    d = _t_wide(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            "text",
+            # explicit escapes (the artifacts contain invisible codepoints)
+            F.when(
+                doc % 13 == 0,
+                F.lit(
+                    " caf\u00c3\u00a9 don\u00c3\u00a9es"
+                    " \u00e2\u0080\u0099quoted\u00e2\u0080\u0099"
+                ),
+            ).otherwise(F.lit("")),
+            F.when(doc % 17 == 0, F.lit(" bin\x07\x0bjunk")).otherwise(
+                F.lit("")
+            ),
+            F.when(doc % 19 == 0, F.lit(" lossy \ufffd char")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return encoding_stats(planted)
+
+
+def q124_split_leakage(spark, sf_dir):
+    """Leakage-safe splits + the cross-split contamination audit
+    (operators/splits): hosts hash-assign whole units to train/val/test
+    (15%/15%), then three boilerplate banners planted across hosts (doc%25
+    classes) surface as fingerprints crossing split boundaries — exactly
+    the rows that would poison an eval."""
+    from gc_spark.operators.splits import assign_splits, leakage_audit
+
+    d = _t_wide(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    text = (
+        F.when(
+            doc % 25 == 0,
+            F.lit("breaking: site maintenance notice boilerplate"),
+        )
+        .when(doc % 25 == 7, F.lit("copyright footer all rights reserved"))
+        .when(doc % 25 == 14, F.lit("cookie consent accept to continue"))
+        .otherwise(F.col("text"))
+    )
+    staged = d.select(
+        "doc_id",
+        F.concat(F.lit("h"), (doc % 37).cast("string")).alias("host"),
+        text.alias("text"),
+    )
+    w = assign_splits(staged, "host", salt="split0", val_bp=1500, test_bp=1500)
+    return leakage_audit(w.withColumn("fingerprint", F.sha2("text", 256)))
+
+
+def q125_revalidation_plan(spark, sf_dir):
+    """Conditional-GET planning (operators/recrawl.revalidation_plan):
+    per-URL skip / revalidate / full decisions from observed content-hash
+    change history, with expected-bytes accounting vs the reference's
+    unconditional full sweep. URLs with user_id%5==0 get a constant hash
+    (never change → skip); the rest toggle with the event value."""
+    from gc_spark.operators.recrawl import revalidation_plan
+
+    ev = _t(spark, sf_dir, "events")
+    u = F.col("user_id")
+    url = F.concat(
+        F.lit("https://h"),
+        (u % 40).cast("string"),
+        F.lit("/p"),
+        (u % 120).cast("string"),
+    )
+    log = ev.select(
+        url.alias("url"),
+        F.col("event_id"),
+        F.sha2(
+            F.concat(
+                url,
+                F.when(u % 5 == 0, F.lit("s")).otherwise(
+                    (F.col("value") > 7.0).cast("string")
+                ),
+            ),
+            256,
+        ).alias("content_hash"),
+        (F.lit(1000.0) + F.col("value") * 100.0).alias("bytes"),
+    )
+    return revalidation_plan(log, ts_col="event_id")
+
+
+def q126_cusum_drift(spark, sf_dir):
+    """One-sided CUSUM drift detection (operators/anomaly.cusum_alarms):
+    per-host failure-rate change points via the max-drawup closed form
+    S_i = C_i - min(0, running-min C) — two windows, zero iteration, zero
+    Python. Host h3's post-5000 events are forced failures (a planted
+    gradual ban); natural error-rate hosts stay under the k=0.25 drift
+    allowance (0.25: increments are binary-exact, so the running statistic
+    is bit-identical on every engine — no float drift at the threshold)."""
+    from gc_spark.operators.anomaly import cusum_alarms
+
+    ev = _t(spark, sf_dir, "events")
+    u = F.col("user_id")
+    fail = F.when(
+        (u % 30 == 3) & (F.col("event_id") > 5000), F.lit(1.0)
+    ).otherwise((F.col("event_type") == "error").cast("double"))
+    log = ev.select(
+        F.concat(F.lit("h"), (u % 30).cast("string")).alias("host"),
+        "ts",
+        "event_id",
+        fail.alias("fail"),
+    )
+    return cusum_alarms(log, "fail", k_ref=0.25, h_threshold=3.0)
+
+
+def q127_psi_drift(spark, sf_dir):
+    """PSI distribution drift between corpus epochs (operators/drift.
+    psi_drift): fixed-width length buckets, add-half smoothing over a
+    generated bucket spine (zero-count buckets included). Epoch b of
+    src3 is shifted +96 chars — the planted template change; every other
+    source's epochs are interleaved halves of the same distribution."""
+    from gc_spark.operators.drift import psi_drift
+
+    d = _t_wide(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    staged = d.select(
+        "source",
+        F.when(doc % 2 == 0, F.lit("a")).otherwise(F.lit("b")).alias("epoch"),
+        F.when(
+            (F.col("source") == "src3") & (doc % 2 == 1),
+            F.col("n_chars") + 96,
+        )
+        .otherwise(F.col("n_chars"))
+        .alias("len"),
+    )
+    return psi_drift(
+        staged, "len", epoch_col="epoch", group_col="source",
+        bucket_width=32, n_buckets=10,
+    )
+
+
+def q128_curriculum_order(spark, sf_dir):
+    """Deterministic curriculum interleave (operators/curriculum.
+    curriculum_order): fixed-width difficulty buckets, two-phase salted dense numbering (rank within (bucket, shard) +
+    broadcast shard offsets — no single-reducer bucket window); stream_key =
+    round-robin interleave, an ORDER KEY for range-partitioned writes, never
+    a global sort."""
+    from gc_spark.operators.curriculum import curriculum_order
+
+    d = _t_wide(spark, sf_dir, "documents")
+    return curriculum_order(
+        d, "n_chars", bucket_width=40, n_buckets=5, salt="epoch0"
+    )
+
+
 _MIRRORS_ORACLE = """
     WITH corpus AS (
       SELECT source AS h, text FROM documents
@@ -3586,7 +3823,284 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q118_revision_similarity": q118_revision_similarity,
         "q119_vocab_growth": q119_vocab_growth,
         "q120_retry_backoff": q120_retry_backoff,
+        "q121_hybrid_fusion": q121_hybrid_fusion,
+        "q122_span_audit": q122_span_audit,
+        "q123_encoding_audit": q123_encoding_audit,
+        "q124_split_leakage": q124_split_leakage,
+        "q125_revalidation_plan": q125_revalidation_plan,
+        "q126_cusum_drift": q126_cusum_drift,
+        "q127_psi_drift": q127_psi_drift,
+        "q128_curriculum_order": q128_curriculum_order,
     }
+
+
+def _fusion_oracle() -> str:
+    q = [((i * 37) % 13 - 6) / 10.0 for i in range(64)]
+    qlit = "[" + ", ".join(f"CAST({x} AS DOUBLE)" for x in q) + "]"
+    return f"""
+        WITH lens AS (
+          SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS dl FROM documents
+        ), stats AS (
+          SELECT AVG(dl) AS avgdl, CAST(COUNT(*) AS DOUBLE) AS n FROM lens
+        ), post AS (
+          SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+          FROM (SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS term FROM documents)
+          WHERE term IN ('spark', 'query', 'merge') GROUP BY doc_id, term
+        ), dfq AS (
+          SELECT term, CAST(COUNT(*) AS DOUBLE) AS dfreq FROM post GROUP BY term
+        ), bm AS (
+          SELECT p.doc_id,
+                 ROUND(SUM(ln(1.0 + (s.n - d.dfreq + 0.5) / (d.dfreq + 0.5))
+                           * p.tf * 2.2
+                           / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))), 6) AS score
+          FROM post p JOIN dfq d USING (term) JOIN lens l USING (doc_id) CROSS JOIN stats s
+          GROUP BY p.doc_id
+        ), lex AS (
+          SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+          FROM bm QUALIFY rank <= 20
+        ), semraw AS (
+          SELECT e.vec_id AS doc_id,
+                 ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), {qlit})
+                       / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                CAST(embedding AS DOUBLE[])))
+                          * sqrt(list_dot_product({qlit}, {qlit}))), 6) AS sim
+          FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+        ), sem AS (
+          SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS rank
+          FROM semraw QUALIFY rank <= 20
+        ), u AS (
+          SELECT * FROM lex UNION ALL SELECT * FROM sem
+        ), fused AS (
+          SELECT doc_id, ROUND(SUM(1.0 / (60 + rank)), 9) AS rrf_score,
+                 COUNT(*) AS n_lists
+          FROM u GROUP BY doc_id
+        )
+        SELECT doc_id, rrf_score, n_lists,
+               ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS fused_rank
+        FROM fused QUALIFY fused_rank <= 10
+    """
+
+
+_SPAN_AUDIT_ORACLE = """
+    WITH base AS (
+      SELECT doc_id, text,
+             UNNEST(range(0, CAST(greatest(ceil(length(text) / 80.0), 1) AS BIGINT))) AS i
+      FROM documents
+    ), spans AS (
+      SELECT doc_id, CAST(i + i // 3 AS INT) AS o, 'text' AS kind,
+             substring(text, CAST(i * 80 + 1 AS INT), 80) AS t,
+             CAST(NULL AS VARCHAR) AS m
+      FROM base
+      UNION ALL
+      SELECT doc_id, CAST(i + i // 3 + 1 AS INT), 'media', CAST(NULL AS VARCHAR),
+             'blob://doc/' || CAST(doc_id AS VARCHAR) || '/' || CAST(i AS VARCHAR)
+      FROM base WHERE i % 3 = 2
+    ), corrupted AS (
+      SELECT doc_id, o AS orig_o,
+             CASE WHEN doc_id % 7 = 0 AND o = 1 THEN 0 ELSE o END AS o2,
+             CASE WHEN doc_id % 7 <> 0 AND doc_id % 11 = 0 AND o = 0
+                  THEN NULL ELSE t END AS t2,
+             m,
+             CASE WHEN doc_id % 7 <> 0 AND doc_id % 11 <> 0 AND doc_id % 13 = 0 AND o = 0
+                  THEN 'mystery' ELSE kind END AS k2
+      FROM spans
+    ), seq AS (
+      SELECT doc_id, o2, t2, m, k2,
+             LEAD(o2) OVER (PARTITION BY doc_id ORDER BY orig_o) AS next_o
+      FROM corrupted
+    )
+    SELECT doc_id, CAST(COUNT(*) AS INT) AS n_spans,
+           CAST(SUM(CASE WHEN next_o IS NOT NULL AND next_o <= o2 THEN 1 ELSE 0 END) AS INT)
+             AS offset_violations,
+           CAST(SUM(CASE WHEN k2 NOT IN ('text', 'media') THEN 1 ELSE 0 END) AS INT)
+             AS kind_violations,
+           CAST(SUM(CASE WHEN (k2 = 'text' AND (t2 IS NULL OR m IS NOT NULL))
+                           OR (k2 = 'media' AND (m IS NULL OR t2 IS NOT NULL))
+                         THEN 1 ELSE 0 END) AS INT) AS payload_violations,
+           (SUM(CASE WHEN next_o IS NOT NULL AND next_o <= o2 THEN 1 ELSE 0 END) = 0
+            AND SUM(CASE WHEN k2 NOT IN ('text', 'media') THEN 1 ELSE 0 END) = 0
+            AND SUM(CASE WHEN (k2 = 'text' AND (t2 IS NULL OR m IS NOT NULL))
+                           OR (k2 = 'media' AND (m IS NULL OR t2 IS NOT NULL))
+                         THEN 1 ELSE 0 END) = 0) AS is_valid
+    FROM seq GROUP BY doc_id
+"""
+
+
+def _encoding_oracle() -> str:
+    from gc_spark.operators.encoding import MOJIBAKE_PATTERN
+
+    moji = " caf\u00c3\u00a9 don\u00c3\u00a9es \u00e2\u0080\u0099quoted\u00e2\u0080\u0099"
+    return f"""
+        WITH planted AS (
+          SELECT doc_id,
+                 text
+                 || CASE WHEN doc_id % 13 = 0 THEN '{moji}' ELSE '' END
+                 || CASE WHEN doc_id % 17 = 0
+                         THEN ' bin' || chr(7) || chr(11) || 'junk' ELSE '' END
+                 || CASE WHEN doc_id % 19 = 0
+                         THEN ' lossy ' || chr(65533) || ' char' ELSE '' END AS t
+          FROM documents
+        ), counted AS (
+          SELECT doc_id, t,
+                 CAST(len(regexp_extract_all(t, '{MOJIBAKE_PATTERN}')) AS INT) AS n_mojibake,
+                 CAST(len(regexp_extract_all(t, chr(65533))) AS INT) AS n_replacement,
+                 CAST(len(regexp_extract_all(t, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')) AS INT) AS n_ctrl
+          FROM planted
+        )
+        SELECT doc_id, n_mojibake, n_replacement, n_ctrl,
+               CASE WHEN length(t) > 0
+                    THEN ROUND(CAST(length(regexp_replace(t, '[\\x00-\\x7f]', '', 'g')) AS DOUBLE)
+                               / length(t), 6)
+                    ELSE 0.0 END AS nonascii_ratio,
+               CASE WHEN n_mojibake > 0 THEN 'mojibake'
+                    WHEN n_replacement > 0 THEN 'lossy_decode'
+                    WHEN n_ctrl > 0 THEN 'binary_junk'
+                    ELSE 'clean' END AS verdict
+        FROM counted
+    """
+
+
+_SPLIT_LEAKAGE_ORACLE = """
+    WITH staged AS (
+      SELECT doc_id, 'h' || CAST(doc_id % 37 AS VARCHAR) AS host,
+             CASE WHEN doc_id % 25 = 0 THEN 'breaking: site maintenance notice boilerplate'
+                  WHEN doc_id % 25 = 7 THEN 'copyright footer all rights reserved'
+                  WHEN doc_id % 25 = 14 THEN 'cookie consent accept to continue'
+                  ELSE text END AS text
+      FROM documents
+    ), sp AS (
+      SELECT doc_id, sha256(text) AS fingerprint,
+             CASE WHEN CAST('0x' || substr(sha256('split0|' || host), 1, 15) AS BIGINT) % 10000 < 1500
+                    THEN 'test'
+                  WHEN CAST('0x' || substr(sha256('split0|' || host), 1, 15) AS BIGINT) % 10000 < 3000
+                    THEN 'val'
+                  ELSE 'train' END AS split
+      FROM staged
+    ), agg AS (
+      SELECT fingerprint, list_sort(list(DISTINCT split)) AS sl, COUNT(*) AS n_docs
+      FROM sp GROUP BY fingerprint
+    )
+    SELECT fingerprint, CAST(len(sl) AS INT) AS n_splits,
+           array_to_string(sl, ',') AS splits, n_docs
+    FROM agg WHERE len(sl) > 1
+"""
+
+
+_REVALIDATION_ORACLE = """
+    WITH log AS (
+      SELECT 'https://h' || CAST(user_id % 40 AS VARCHAR)
+               || '/p' || CAST(user_id % 120 AS VARCHAR) AS url,
+             event_id,
+             sha256('https://h' || CAST(user_id % 40 AS VARCHAR)
+                    || '/p' || CAST(user_id % 120 AS VARCHAR)
+                    || CASE WHEN user_id % 5 = 0 THEN 's'
+                            ELSE CAST(value > 7.0 AS VARCHAR) END) AS h,
+             1000.0 + value * 100.0 AS b
+      FROM events
+    ), seq AS (
+      SELECT url, b,
+             CASE WHEN LAG(h) OVER (PARTITION BY url ORDER BY event_id) IS NULL THEN NULL
+                  WHEN h <> LAG(h) OVER (PARTITION BY url ORDER BY event_id) THEN 1
+                  ELSE 0 END AS chg
+      FROM log
+    ), per AS (
+      SELECT url, COUNT(*) AS n_fetches, SUM(chg) AS nc,
+             ROUND(AVG(b), 4) AS avg_bytes
+      FROM seq GROUP BY url
+    ), planned AS (
+      SELECT url, n_fetches, nc, avg_bytes,
+             (nc + 0.5) / CAST(n_fetches AS DOUBLE) AS p,
+             CASE WHEN nc IS NULL THEN 'full'
+                  WHEN (nc + 0.5) / CAST(n_fetches AS DOUBLE) < 0.1 THEN 'skip'
+                  WHEN (nc + 0.5) / CAST(n_fetches AS DOUBLE) < 0.5 THEN 'revalidate'
+                  ELSE 'full' END AS decision
+      FROM per
+    )
+    SELECT url, n_fetches, COALESCE(nc, 0) AS n_changes,
+           CASE WHEN nc IS NULL THEN NULL ELSE ROUND(p, 6) END AS p_change,
+           decision, avg_bytes,
+           ROUND(CASE WHEN decision = 'skip' THEN 0.0
+                      WHEN decision = 'revalidate' THEN 500.0 + p * avg_bytes
+                      ELSE avg_bytes END, 4) AS expected_bytes,
+           ROUND(avg_bytes - CASE WHEN decision = 'skip' THEN 0.0
+                                  WHEN decision = 'revalidate' THEN 500.0 + p * avg_bytes
+                                  ELSE avg_bytes END, 4) AS saved_bytes
+    FROM planned
+"""
+
+
+_CUSUM_ORACLE = """
+    WITH log AS (
+      SELECT 'h' || CAST(user_id % 30 AS VARCHAR) AS host, ts, event_id,
+             CASE WHEN user_id % 30 = 3 AND event_id > 5000 THEN 1.0
+                  WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END AS fail
+      FROM events
+    ), c AS (
+      SELECT host, ts, event_id,
+             SUM(fail - 0.25) OVER (PARTITION BY host ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+      FROM log
+    ), s AS (
+      SELECT host, event_id,
+             cum - LEAST(0.0, MIN(cum) OVER (PARTITION BY host ORDER BY ts, event_id
+                                             ROWS UNBOUNDED PRECEDING)) AS stat
+      FROM c
+    )
+    SELECT host, COUNT(*) AS n_events, ROUND(MAX(stat), 6) AS max_stat,
+           SUM(CASE WHEN stat >= 3.0 THEN 1 ELSE 0 END) AS n_alarms,
+           MIN(CASE WHEN stat >= 3.0 THEN event_id END) AS first_alarm
+    FROM s GROUP BY host
+"""
+
+
+_PSI_ORACLE = """
+    WITH staged AS (
+      SELECT source,
+             CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS ep,
+             CASE WHEN source = 'src3' AND doc_id % 2 = 1
+                  THEN n_chars + 96 ELSE n_chars END AS len
+      FROM documents
+    ), counts AS (
+      SELECT source, LEAST(CAST(len // 32 AS INT), 9) AS b,
+             SUM(CASE WHEN ep = 'a' THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN ep = 'b' THEN 1 ELSE 0 END) AS cb
+      FROM staged GROUP BY source, LEAST(CAST(len // 32 AS INT), 9)
+    ), totals AS (
+      SELECT source, SUM(ca) AS n_a, SUM(cb) AS n_b FROM counts GROUP BY source
+    ), spine AS (
+      SELECT t.source, t.n_a, t.n_b, CAST(r.range AS INT) AS b
+      FROM totals t CROSS JOIN range(10) r
+    ), filled AS (
+      SELECT s.source, s.n_a, s.n_b,
+             COALESCE(c.ca, 0) AS ca, COALESCE(c.cb, 0) AS cb
+      FROM spine s LEFT JOIN counts c ON s.source = c.source AND s.b = c.b
+    )
+    SELECT source, n_a, n_b,
+           ROUND(SUM(((ca + 0.5) / (n_a + 5.0) - (cb + 0.5) / (n_b + 5.0))
+                     * ln(((ca + 0.5) / (n_a + 5.0)) / ((cb + 0.5) / (n_b + 5.0)))), 6) AS psi
+    FROM filled GROUP BY source, n_a, n_b
+"""
+
+
+_CURRICULUM_ORACLE = """
+    WITH b AS (
+      SELECT doc_id, LEAST(CAST(n_chars // 40 AS INT), 4) AS bucket FROM documents
+    ), p AS (
+      SELECT doc_id, bucket,
+             ROW_NUMBER() OVER (
+               PARTITION BY bucket
+               ORDER BY CAST('0x' || substr(sha256('epoch0|' || CAST(doc_id AS VARCHAR)), 1, 15)
+                             AS BIGINT) % 32,
+                        CAST('0x' || substr(sha256('epoch0|' || CAST(doc_id AS VARCHAR)), 1, 15)
+                             AS BIGINT),
+                        doc_id
+             ) AS pos_in_bucket
+      FROM b
+    )
+    SELECT doc_id, bucket, CAST(pos_in_bucket AS INT) AS pos_in_bucket,
+           CAST((pos_in_bucket - 1) * 5 + bucket AS BIGINT) AS stream_key
+    FROM p
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4012,6 +4526,14 @@ def oracle_sql() -> dict[str, str]:
         "q118_revision_similarity": _REVISION_ORACLE,
         "q119_vocab_growth": _VOCAB_GROWTH_ORACLE,
         "q120_retry_backoff": _BACKOFF_ORACLE,
+        "q121_hybrid_fusion": _fusion_oracle(),
+        "q122_span_audit": _SPAN_AUDIT_ORACLE,
+        "q123_encoding_audit": _encoding_oracle(),
+        "q124_split_leakage": _SPLIT_LEAKAGE_ORACLE,
+        "q125_revalidation_plan": _REVALIDATION_ORACLE,
+        "q126_cusum_drift": _CUSUM_ORACLE,
+        "q127_psi_drift": _PSI_ORACLE,
+        "q128_curriculum_order": _CURRICULUM_ORACLE,
         "q61_budget_allocation": _pagerank_cte(iters=5, damping=0.85) + """
             SELECT node AS host,
                    CAST(least(greatest(

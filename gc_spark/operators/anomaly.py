@@ -67,3 +67,63 @@ def size_anomalies(
             .alias("is_anomaly"),
         )
     )
+
+
+def cusum_alarms(
+    df: DataFrame,
+    x_col: str,
+    host_col: str = "host",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    k_ref: float = 0.3,
+    h_threshold: float = 3.0,
+) -> DataFrame:
+    """One-sided CUSUM change detection per host over an ordered event
+    stream — catches a host whose failure rate DRIFTS up (gradual ban,
+    rot, throttling) long before the mean over the whole history moves;
+    the sequential complement to the EWMA level estimate (operators/ewma)
+    and the MAD point-outlier flags above (public method: Page 1954).
+
+    The textbook recursion S_i = max(0, S_{i-1} + x_i - k) is sequential,
+    which would force a per-host Python fold; instead use its closed form
+        S_i = C_i - min(0, min_{j<=i} C_j),   C = running sum of (x - k),
+    (max-drawup identity) so the whole statistic is two window functions —
+    pure JVM, one shuffle on the host key, no UDF, no iteration.
+
+    Returns (host, n_events, max_stat, n_alarms, first_alarm) where
+    first_alarm is the order_col value of the earliest S_i >= h.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(host_col)
+        .orderBy(ts_col, order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = F.sum(F.col(x_col) - F.lit(k_ref)).over(w)
+    staged = df.select(
+        F.col(host_col).alias("host"),
+        F.col(ts_col).alias("_ts"),
+        F.col(order_col).alias("_ord"),
+        c.alias("_c"),
+    ).withColumn(
+        "_s",
+        # the running-min window must walk rows in the SAME (ts, order)
+        # sequence as the cumsum window or the closed form breaks
+        F.col("_c")
+        - F.least(
+            F.lit(0.0),
+            F.min("_c").over(
+                Window.partitionBy("host")
+                .orderBy("_ts", "_ord")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        ),
+    )
+    alarm = F.col("_s") >= h_threshold
+    return staged.groupBy("host").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.max("_s"), 6).alias("max_stat"),
+        F.sum(alarm.cast("int")).alias("n_alarms"),
+        F.min(F.when(alarm, F.col("_ord"))).alias("first_alarm"),
+    )

@@ -90,3 +90,76 @@ def recrawl_priority(
         F.round(lam * 86400.0, 6).alias("lambda_day"),
         F.round(1.0 - F.exp(-lam * age), 6).alias("p_changed"),
     )
+
+
+def revalidation_plan(
+    fetch_log: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    hash_col: str = "content_hash",
+    bytes_col: str = "bytes",
+    skip_below: float = 0.1,
+    full_above: float = 0.5,
+    header_bytes: float = 500.0,
+) -> DataFrame:
+    """Conditional-GET planning: per URL, decide the next fetch mode from
+    observed change history and estimate the bandwidth it costs.
+
+    HTTP gives three prices for freshness: a FULL fetch (avg body bytes),
+    a REVALIDATE (If-Modified-Since/ETag: ~header_bytes for a 304, body
+    only when actually changed), and SKIP (0 bytes — accept staleness).
+    With p = smoothed per-visit change probability
+    (changes + 0.5) / (observations + 1.0) over consecutive-fetch hash
+    comparisons (Laplace-style smoothing keeps never-changed URLs off
+    exactly 0):
+
+        p < skip_below  -> skip        expected = 0
+        p < full_above  -> revalidate  expected = header + p * avg_bytes
+        else            -> full        expected = avg_bytes
+
+    Single-observation URLs have no change evidence and stay 'full'.
+    saved_bytes = avg_bytes - expected (vs the reference's behavior of a
+    full unconditional sweep every run). One window (lag hash per URL) +
+    one groupBy(url) — the log shuffles once on the URL key.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(url_col).orderBy(ts_col)
+    changed = (
+        F.col(hash_col) != F.lag(hash_col).over(w)
+    ).cast("int")
+    per = (
+        fetch_log.select(
+            F.col(url_col),
+            F.col(bytes_col).alias("_b"),
+            changed.alias("_chg"),
+        )
+        .groupBy(url_col)
+        .agg(
+            F.count("*").alias("n_fetches"),
+            F.sum("_chg").alias("n_changes"),  # null for 1-fetch URLs
+            F.round(F.avg("_b"), 4).alias("avg_bytes"),
+        )
+    )
+    p = (F.col("n_changes") + 0.5) / (F.col("n_fetches") - 1 + 1.0)
+    decision = (
+        F.when(F.col("n_changes").isNull(), F.lit("full"))
+        .when(p < skip_below, F.lit("skip"))
+        .when(p < full_above, F.lit("revalidate"))
+        .otherwise(F.lit("full"))
+    )
+    expected = (
+        F.when(decision == "skip", F.lit(0.0))
+        .when(decision == "revalidate", header_bytes + p * F.col("avg_bytes"))
+        .otherwise(F.col("avg_bytes"))
+    )
+    return per.select(
+        url_col,
+        "n_fetches",
+        F.coalesce("n_changes", F.lit(0)).alias("n_changes"),
+        F.round(F.when(F.col("n_changes").isNotNull(), p), 6).alias("p_change"),
+        decision.alias("decision"),
+        "avg_bytes",
+        F.round(expected, 4).alias("expected_bytes"),
+        F.round(F.col("avg_bytes") - expected, 4).alias("saved_bytes"),
+    )

@@ -315,3 +315,48 @@ def caption_candidates(df: DataFrame, prefix: int = 40) -> DataFrame:
         F.col("p.media_ref").alias("media_ref"),
         F.col("p.caption").alias("caption"),
     )
+
+
+def audit_spans(df: DataFrame) -> DataFrame:
+    """Ingest-time integrity audit of interleaved span sequences: (doc_id,
+    n_spans, offset_violations, kind_violations, payload_violations,
+    is_valid).
+
+    The north-rule invariant is span-sequence equality on (kind, text,
+    media_ref, order) — which is only meaningful if the stored sequences
+    are well-formed in the first place. Checks, all pure per-row array
+    expressions (map-side, no shuffle, blobs untouched):
+
+    - offset_violations: adjacent pairs where offset fails to strictly
+      increase (duplicate or out-of-order offsets — a corrupted reorder);
+    - kind_violations: kind outside {text, media};
+    - payload_violations: a text span missing text / carrying media_ref,
+      or a media span missing media_ref / carrying text.
+    """
+    spans = F.col("spans")
+    nexts = F.slice(spans, 2, F.greatest(F.size(spans) - 1, F.lit(0)))
+    off_viol = F.size(
+        F.filter(
+            F.zip_with(spans, nexts, lambda a, b: b["offset"] <= a["offset"]),
+            lambda x: x,
+        )
+    )
+    kind_viol = F.size(
+        F.filter(spans, lambda s: ~s["kind"].isin("text", "media"))
+    )
+    payload_bad = lambda s: (  # noqa: E731
+        (s["kind"] == "text")
+        & (s["text"].isNull() | s["media_ref"].isNotNull())
+    ) | (
+        (s["kind"] == "media")
+        & (s["media_ref"].isNull() | s["text"].isNotNull())
+    )
+    pay_viol = F.size(F.filter(spans, payload_bad))
+    return df.select(
+        "doc_id",
+        F.size(spans).alias("n_spans"),
+        off_viol.alias("offset_violations"),
+        kind_viol.alias("kind_violations"),
+        pay_viol.alias("payload_violations"),
+        ((off_viol == 0) & (kind_viol == 0) & (pay_viol == 0)).alias("is_valid"),
+    )

@@ -1,0 +1,347 @@
+"""Round-4 operators: RRF fusion, span integrity audit, encoding triage,
+leakage-safe splits, conditional-GET planning, CUSUM drift, PSI drift,
+curriculum ordering."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+class TestRrfFusion:
+    def test_doc_in_both_lists_outranks_single_list_winners(self, spark):
+        from gc_spark.operators.fusion import rrf_fuse
+
+        a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank int")
+        b = spark.createDataFrame([(9, 1), (3, 2), (8, 3)], "doc_id long, rank int")
+        got = rrf_fuse([a, b], k0=60, topk=4).collect()
+        by_id = {r["doc_id"]: r for r in got}
+        # doc 3: 1/63 + 1/62 beats every single-list doc (best is 1/61)
+        assert got[0]["doc_id"] == 3 and got[0]["fused_rank"] == 1
+        assert by_id[3]["n_lists"] == 2
+        assert abs(by_id[3]["rrf_score"] - (1 / 63 + 1 / 62)) < 1e-9
+
+    def test_tie_breaks_to_lower_id(self, spark):
+        from gc_spark.operators.fusion import rrf_fuse
+
+        a = spark.createDataFrame([(5, 1), (2, 2)], "doc_id long, rank int")
+        b = spark.createDataFrame([(2, 1), (5, 2)], "doc_id long, rank int")
+        got = rrf_fuse([a, b], topk=2).collect()
+        # identical scores -> lower id first
+        assert [r["doc_id"] for r in got] == [2, 5]
+
+    def test_cosine_ranked_matches_brute_order(self, spark):
+        from gc_spark.operators.fusion import cosine_topk_ranked
+
+        rows = [
+            (1, [1.0, 0.0]),
+            (2, [0.8, 0.6]),
+            (3, [0.0, 1.0]),
+            (4, [-1.0, 0.0]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = cosine_topk_ranked(df, [1.0, 0.0], k=3).collect()
+        assert [r["vec_id"] for r in got] == [1, 2, 3]
+        assert [r["rank"] for r in got] == [1, 2, 3]
+
+
+class TestSpanAudit:
+    def _spans(self, spark, triples):
+        # triples: list of (kind, text, media_ref, offset)
+        rows = [(0, [tuple(t) for t in triples])]
+        return spark.createDataFrame(
+            rows,
+            "doc_id long, spans array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>",
+        )
+
+    def test_clean_sequence_is_valid(self, spark):
+        from gc_spark.operators.spans import audit_spans
+
+        df = self._spans(
+            spark,
+            [("text", "a", None, 0), ("media", None, "blob://x", 1), ("text", "b", None, 2)],
+        )
+        r = audit_spans(df).collect()[0]
+        assert r["is_valid"] and r["n_spans"] == 3
+        assert (
+            r["offset_violations"] == r["kind_violations"] == r["payload_violations"] == 0
+        )
+
+    def test_each_violation_class_counted(self, spark):
+        from gc_spark.operators.spans import audit_spans
+
+        df = self._spans(
+            spark,
+            [
+                ("text", "a", None, 0),
+                ("text", "b", None, 0),  # duplicate offset
+                ("mystery", "c", None, 2),  # bad kind
+                ("media", None, None, 3),  # media missing ref
+                ("text", None, None, 4),  # text missing text
+            ],
+        )
+        r = audit_spans(df).collect()[0]
+        assert not r["is_valid"]
+        assert r["offset_violations"] == 1
+        assert r["kind_violations"] == 1
+        assert r["payload_violations"] == 2
+
+    def test_single_span_doc_has_no_pair_violations(self, spark):
+        from gc_spark.operators.spans import audit_spans
+
+        df = self._spans(spark, [("text", "only", None, 0)])
+        r = audit_spans(df).collect()[0]
+        assert r["is_valid"] and r["n_spans"] == 1
+
+
+class TestEncodingStats:
+    def test_verdict_classes_and_precedence(self, spark):
+        from gc_spark.operators.encoding import encoding_stats
+
+        moji = "cafÃ© menu"
+        rows = [
+            (0, "plain ascii text"),
+            (1, moji),
+            (2, "ok � here"),
+            (3, "bin\x07ary"),
+            (4, moji + " � \x07"),  # all three -> mojibake wins
+            (5, ""),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in encoding_stats(df).collect()}
+        assert got[0]["verdict"] == "clean" and got[0]["nonascii_ratio"] == 0.0
+        assert got[1]["verdict"] == "mojibake" and got[1]["n_mojibake"] == 1
+        assert got[2]["verdict"] == "lossy_decode" and got[2]["n_replacement"] == 1
+        assert got[3]["verdict"] == "binary_junk" and got[3]["n_ctrl"] == 1
+        assert got[4]["verdict"] == "mojibake"
+        assert got[5]["verdict"] == "clean" and got[5]["nonascii_ratio"] == 0.0
+
+    def test_tab_and_newline_are_not_junk(self, spark):
+        from gc_spark.operators.encoding import encoding_stats
+
+        df = spark.createDataFrame([(0, "a\tb\nc\rd")], "doc_id long, text string")
+        r = encoding_stats(df).collect()[0]
+        assert r["verdict"] == "clean" and r["n_ctrl"] == 0
+
+
+class TestSplits:
+    def test_same_host_always_same_split(self, spark):
+        from gc_spark.operators.splits import assign_splits
+
+        rows = [(i, f"h{i % 5}") for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, host string")
+        got = assign_splits(df, "host").select("host", "split").distinct().collect()
+        assert len(got) == 5  # one split per host, no host straddles
+
+    def test_leakage_detects_planted_cross_split_dup(self, spark):
+        from gc_spark.operators.splits import assign_splits, leakage_audit
+
+        # force splits (bypass hashing) to make the leak deterministic
+        rows = [
+            (0, "train", "dup-text"),
+            (1, "test", "dup-text"),
+            (2, "train", "unique-a"),
+            (3, "val", "unique-b"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, split string, text string")
+        leaks = leakage_audit(
+            df.withColumn("fingerprint", F.sha2("text", 256))
+        ).collect()
+        assert len(leaks) == 1
+        assert leaks[0]["n_splits"] == 2 and leaks[0]["n_docs"] == 2
+        assert leaks[0]["splits"] == "test,train"
+        # non-leaking case
+        assert assign_splits is not None
+
+    def test_split_fractions_roughly_respected(self, spark):
+        from gc_spark.operators.splits import assign_splits
+
+        df = spark.createDataFrame(
+            [(i, f"host{i}") for i in range(2000)], "doc_id long, host string"
+        )
+        got = (
+            assign_splits(df, "host", val_bp=1000, test_bp=1000)
+            .groupBy("split")
+            .count()
+            .collect()
+        )
+        by = {r["split"]: r["count"] for r in got}
+        assert by["train"] > 1400
+        assert 100 < by["val"] < 320 and 100 < by["test"] < 320
+
+
+class TestRevalidationPlan:
+    def _log(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "url string, ts long, content_hash string, bytes double"
+        )
+
+    def test_decisions_per_change_profile(self, spark):
+        from gc_spark.operators.recrawl import revalidation_plan
+
+        rows = []
+        # u-stable: 20 fetches, never changes -> p=0.5/20=0.025 -> skip
+        rows += [("u-stable", t, "h0", 1000.0) for t in range(20)]
+        # u-flappy: alternates every fetch -> p=(9+.5)/10 -> full
+        rows += [("u-flappy", t, f"h{t % 2}", 1000.0) for t in range(10)]
+        # u-slow: changes 2 of 9 transitions -> p=2.5/10=0.25 -> revalidate
+        rows += [("u-slow", t, f"h{t // 4}", 1000.0) for t in range(10)]
+        # u-once: single fetch -> full, p null
+        rows += [("u-once", 0, "h0", 2000.0)]
+        got = {
+            r["url"]: r
+            for r in revalidation_plan(self._log(spark, rows)).collect()
+        }
+        assert got["u-stable"]["decision"] == "skip"
+        assert got["u-stable"]["expected_bytes"] == 0.0
+        assert got["u-stable"]["saved_bytes"] == 1000.0
+        assert got["u-flappy"]["decision"] == "full"
+        assert got["u-flappy"]["saved_bytes"] == 0.0
+        assert got["u-slow"]["decision"] == "revalidate"
+        assert got["u-slow"]["n_changes"] == 2
+        assert abs(got["u-slow"]["expected_bytes"] - (500.0 + 0.25 * 1000.0)) < 1e-6
+        assert got["u-once"]["decision"] == "full"
+        assert got["u-once"]["p_change"] is None and got["u-once"]["n_changes"] == 0
+
+    def test_revalidate_cheaper_than_full_on_stable_content(self, spark):
+        from gc_spark.operators.recrawl import revalidation_plan
+
+        rows = [("u", t, f"h{t // 5}", 10000.0) for t in range(10)]
+        r = revalidation_plan(self._log(spark, rows)).collect()[0]
+        assert r["decision"] == "revalidate"
+        assert 0 < r["expected_bytes"] < r["avg_bytes"]
+
+
+class TestCusum:
+    @staticmethod
+    def _reference(xs, k):
+        s, out = 0.0, []
+        for x in xs:
+            s = max(0.0, s + x - k)
+            out.append(s)
+        return out
+
+    def test_closed_form_matches_sequential_recursion(self, spark):
+        from gc_spark.operators.anomaly import cusum_alarms
+
+        xs = [0, 0, 1, 1, 1, 0, 1, 1, 1, 1, 0, 0, 0, 1, 1]
+        rows = [("h", i, i, float(x)) for i, x in enumerate(xs)]
+        df = spark.createDataFrame(rows, "host string, ts long, event_id long, fail double")
+        r = cusum_alarms(df, "fail", k_ref=0.25, h_threshold=3.0).collect()[0]
+        ref = self._reference([float(x) for x in xs], 0.25)
+        assert abs(r["max_stat"] - max(ref)) < 1e-9
+        assert r["n_alarms"] == sum(1 for s in ref if s >= 3.0)
+        expected_first = next(i for i, s in enumerate(ref) if s >= 3.0)
+        assert r["first_alarm"] == expected_first
+
+    def test_quiet_host_never_alarms(self, spark):
+        from gc_spark.operators.anomaly import cusum_alarms
+
+        rows = [("h", i, i, 1.0 if i % 5 == 0 else 0.0) for i in range(50)]
+        df = spark.createDataFrame(rows, "host string, ts long, event_id long, fail double")
+        r = cusum_alarms(df, "fail", k_ref=0.25, h_threshold=3.0).collect()[0]
+        assert r["n_alarms"] == 0 and r["first_alarm"] is None
+
+    def test_detects_late_onset_drift(self, spark):
+        from gc_spark.operators.anomaly import cusum_alarms
+
+        # clean first half, failing second half
+        rows = [("h", i, i, 0.0 if i < 50 else 1.0) for i in range(100)]
+        df = spark.createDataFrame(rows, "host string, ts long, event_id long, fail double")
+        r = cusum_alarms(df, "fail", k_ref=0.25, h_threshold=3.0).collect()[0]
+        assert r["n_alarms"] > 0 and 50 <= r["first_alarm"] <= 55
+
+
+class TestPsiDrift:
+    def test_identical_epochs_have_zero_psi(self, spark):
+        from gc_spark.operators.drift import psi_drift
+
+        rows = [("s", "a", v) for v in range(0, 320, 10)] + [
+            ("s", "b", v) for v in range(0, 320, 10)
+        ]
+        df = spark.createDataFrame(rows, "source string, epoch string, len long")
+        r = psi_drift(df, "len").collect()[0]
+        assert r["psi"] == 0.0 and r["n_a"] == r["n_b"] == 32
+
+    def test_shifted_epoch_scores_high(self, spark):
+        from gc_spark.operators.drift import psi_drift
+
+        rows = [("s", "a", 10) for _ in range(100)] + [
+            ("s", "b", 200) for _ in range(100)
+        ]
+        df = spark.createDataFrame(rows, "source string, epoch string, len long")
+        r = psi_drift(df, "len").collect()[0]
+        assert r["psi"] > 1.0  # way past the 0.25 "significant shift" rule of thumb
+
+    def test_smoothing_keeps_empty_buckets_finite(self, spark):
+        from gc_spark.operators.drift import psi_drift
+
+        rows = [("s", "a", 0)] + [("s", "b", 300)]
+        df = spark.createDataFrame(rows, "source string, epoch string, len long")
+        r = psi_drift(df, "len").collect()[0]
+        assert r["psi"] is not None and r["psi"] == r["psi"]  # finite, not nan
+
+
+class TestCurriculumOrder:
+    def test_positions_dense_and_stream_key_injective(self, spark):
+        from gc_spark.operators.curriculum import curriculum_order
+
+        df = spark.createDataFrame(
+            [(i, (i * 7) % 200) for i in range(400)], "doc_id long, n_chars long"
+        )
+        got = curriculum_order(df, "n_chars").collect()
+        assert len(got) == 400
+        keys = [r["stream_key"] for r in got]
+        assert len(set(keys)) == 400
+        by_bucket = {}
+        for r in got:
+            by_bucket.setdefault(r["bucket"], []).append(r["pos_in_bucket"])
+        for b, poss in by_bucket.items():
+            assert sorted(poss) == list(range(1, len(poss) + 1)), f"bucket {b} not dense"
+
+    def test_interleave_cycles_buckets(self, spark):
+        from gc_spark.operators.curriculum import curriculum_order
+
+        # equal-sized buckets: stream_key mod n_buckets == bucket by construction
+        df = spark.createDataFrame(
+            [(i, (i % 5) * 40) for i in range(100)], "doc_id long, n_chars long"
+        )
+        got = curriculum_order(df, "n_chars").collect()
+        for r in got:
+            assert r["stream_key"] % 5 == r["bucket"]
+
+    def test_salt_rotation_reshuffles_determinism_holds(self, spark):
+        from gc_spark.operators.curriculum import curriculum_order
+
+        df = spark.createDataFrame(
+            [(i, (i * 3) % 200) for i in range(300)], "doc_id long, n_chars long"
+        )
+        a1 = {r["doc_id"]: r["stream_key"] for r in curriculum_order(df, "n_chars", salt="e1").collect()}
+        a2 = {r["doc_id"]: r["stream_key"] for r in curriculum_order(df, "n_chars", salt="e1").collect()}
+        b = {r["doc_id"]: r["stream_key"] for r in curriculum_order(df, "n_chars", salt="e2").collect()}
+        assert a1 == a2 and a1 != b
+
+    def test_two_phase_matches_single_window_semantics(self, spark):
+        from gc_spark.operators.curriculum import curriculum_order
+        from gc_spark.operators.sampling import sample_hash_col
+        from pyspark.sql import Window
+
+        df = spark.createDataFrame(
+            [(i, (i * 11) % 200) for i in range(250)], "doc_id long, n_chars long"
+        )
+        got = {
+            r["doc_id"]: r["pos_in_bucket"]
+            for r in curriculum_order(df, "n_chars", salt="tw").collect()
+        }
+        h = sample_hash_col(F.col("doc_id"), "tw")
+        bucket = F.least(F.floor(F.col("n_chars") / 40.0), F.lit(4)).cast("int")
+        w = Window.partitionBy("bucket").orderBy(
+            (F.col("_h") % 32), "_h", "doc_id"
+        )
+        ref = {
+            r["doc_id"]: r["pos"]
+            for r in df.select("doc_id", bucket.alias("bucket"), h.alias("_h"))
+            .withColumn("pos", F.row_number().over(w))
+            .collect()
+        }
+        assert got == ref
