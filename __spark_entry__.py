@@ -2564,6 +2564,60 @@ def q128_curriculum_order(spark, sf_dir):
     )
 
 
+def q129_multimodal_pack(spark, sf_dir):
+    """Two-resource interleaved packing (operators/packing.pack_multimodal):
+    bins under a 512-token AND an 8-media-slot budget via the boundary-union
+    (sum-of-floors) form — two prefix sums per stream, no sequential greedy
+    recurrence. Media counts derived deterministically (doc_id % 4)."""
+    from gc_spark.operators.packing import pack_multimodal
+
+    d = _t_wide(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return pack_multimodal(
+        d,
+        token_budget=512,
+        media_budget=8,
+        stream_cols=["source"],
+        order_col="doc_id",
+        tokens_col=toks,
+        media_col=F.col("doc_id") % 4,
+    )
+
+
+def q130_centroid_drift(spark, sf_dir):
+    """Embedding centroid drift between epochs (operators/drift.
+    centroid_drift): per-position means as 64 plain AVG aggregates in one
+    groupBy (zero explode), cosine between the per-group epoch centroids.
+    Group g2's epoch-b vectors are negated — the planted encoder flip
+    (centroid_cos ≈ -1); undrifted groups sit near +1."""
+    from gc_spark.operators.drift import centroid_drift
+
+    em = _t_wide(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    flipped = F.when(
+        (F.col("label") == 2) & (F.col("vec_id") % 2 == 1),
+        F.transform(v, lambda x: -x),
+    ).otherwise(v)
+    staged = em.select(
+        F.concat(F.lit("g"), F.col("label").cast("string")).alias("source"),
+        F.when(F.col("vec_id") % 2 == 0, F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("epoch"),
+        flipped.alias("embedding"),
+    )
+    return centroid_drift(staged, dim=64)
+
+
+def q131_release_report(spark, sf_dir):
+    """Corpus release ledger (operators/report.release_report): per-source
+    docs/tokens/chars, exact-dup count, language share, cheap quality pass
+    rate — ONE scan, one groupBy, count_distinct riding the same shuffle
+    (approx_count_distinct is the documented 10^10 swap)."""
+    from gc_spark.operators.report import release_report
+
+    return release_report(_t_wide(spark, sf_dir, "documents"))
+
+
 _MIRRORS_ORACLE = """
     WITH corpus AS (
       SELECT source AS h, text FROM documents
@@ -3831,6 +3885,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q126_cusum_drift": q126_cusum_drift,
         "q127_psi_drift": q127_psi_drift,
         "q128_curriculum_order": q128_curriculum_order,
+        "q129_multimodal_pack": q129_multimodal_pack,
+        "q130_centroid_drift": q130_centroid_drift,
+        "q131_release_report": q131_release_report,
     }
 
 
@@ -4100,6 +4157,73 @@ _CURRICULUM_ORACLE = """
     SELECT doc_id, bucket, CAST(pos_in_bucket AS INT) AS pos_in_bucket,
            CAST((pos_in_bucket - 1) * 5 + bucket AS BIGINT) AS stream_key
     FROM p
+"""
+
+
+_MULTIPACK_ORACLE = """
+    WITH d AS (
+      SELECT source, doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+             CAST(doc_id % 4 AS BIGINT) AS n_media
+      FROM documents
+    ), c AS (
+      SELECT source, doc_id, n_tokens, n_media,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS tend,
+             SUM(n_media) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS mend
+      FROM d
+    )
+    SELECT source, doc_id, n_tokens, n_media,
+           CAST(tend - n_tokens AS BIGINT) AS tok_off,
+           CAST(mend - n_media AS BIGINT) AS media_off,
+           CAST((tend - n_tokens) // 512 + (mend - n_media) // 8 AS BIGINT) AS bin
+    FROM c
+"""
+
+
+_CENTROID_DRIFT_ORACLE = """
+    WITH e AS (
+      SELECT 'g' || CAST(label AS VARCHAR) AS grp,
+             CASE WHEN vec_id % 2 = 0 THEN 'a' ELSE 'b' END AS ep,
+             CASE WHEN label = 2 AND vec_id % 2 = 1
+                  THEN list_transform(CAST(embedding AS DOUBLE[]), x -> -x)
+                  ELSE CAST(embedding AS DOUBLE[]) END AS v
+      FROM embeddings
+    ), pos AS (
+      SELECT grp, ep, i, AVG(v[i]) AS m, COUNT(*) AS n
+      FROM e CROSS JOIN range(1, 65) r(i)
+      GROUP BY grp, ep, i
+    ), cent AS (
+      SELECT grp, ep, MAX(n) AS n, list(m ORDER BY i) AS c
+      FROM pos GROUP BY grp, ep
+    )
+    SELECT a.grp AS source, a.n AS n_a, b.n AS n_b,
+           ROUND(list_dot_product(a.c, b.c)
+                 / (sqrt(list_dot_product(a.c, a.c))
+                    * sqrt(list_dot_product(b.c, b.c))), 6) AS centroid_cos
+    FROM cent a JOIN cent b ON a.grp = b.grp AND a.ep = 'a' AND b.ep = 'b'
+"""
+
+
+_RELEASE_REPORT_ORACLE = """
+    WITH s AS (
+      SELECT source,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS t,
+             CAST(length(text) AS BIGINT) AS c,
+             sha256(text) AS fp,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS en
+      FROM documents
+    )
+    SELECT source, COUNT(*) AS n_docs, SUM(t) AS n_tokens, SUM(c) AS n_chars,
+           COUNT(*) - COUNT(DISTINCT fp) AS dup_docs,
+           ROUND(AVG(en), 6) AS pct_en,
+           ROUND(AVG(CASE WHEN t >= 10
+                          THEN (CASE WHEN CAST(c AS DOUBLE) / t < 12.0
+                                     THEN 1 ELSE 0 END)
+                          ELSE 0 END), 6) AS quality_pass_rate,
+           ROUND(AVG(t), 4) AS mean_tokens
+    FROM s GROUP BY source
 """
 
 
@@ -4534,6 +4658,9 @@ def oracle_sql() -> dict[str, str]:
         "q126_cusum_drift": _CUSUM_ORACLE,
         "q127_psi_drift": _PSI_ORACLE,
         "q128_curriculum_order": _CURRICULUM_ORACLE,
+        "q129_multimodal_pack": _MULTIPACK_ORACLE,
+        "q130_centroid_drift": _CENTROID_DRIFT_ORACLE,
+        "q131_release_report": _RELEASE_REPORT_ORACLE,
         "q61_budget_allocation": _pagerank_cte(iters=5, damping=0.85) + """
             SELECT node AS host,
                    CAST(least(greatest(

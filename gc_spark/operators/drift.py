@@ -64,3 +64,57 @@ def psi_drift(
         .agg(F.round(F.sum(term), 6).alias("psi"))
         .select(F.col("grp").alias(group_col), "n_a", "n_b", "psi")
     )
+
+
+def centroid_drift(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str = "source",
+    epoch_col: str = "epoch",
+    dim: int = 64,
+    epochs: tuple = ("a", "b"),
+) -> DataFrame:
+    """Embedding-space drift between two corpus epochs: cosine similarity
+    of the per-group mean vectors — the cheap detector for "the encoder
+    changed / the content changed" that PSI over scalars can't see.
+
+    Scale shape: the per-position means are dim plain AVG aggregates in
+    ONE groupBy pass (map-side partials, zero explode — a posexplode
+    formulation would shuffle dim x corpus rows); the centroid frame is
+    |groups| x 2 rows, so the epoch join is broadcast-trivial. element_at
+    (1-based) keeps index parity with the SQL oracle.
+
+    Returns (group, n_a, n_b, centroid_cos) rounded to 6 dp."""
+    ea, eb = epochs
+    cent = df.groupBy(F.col(group_col).alias("grp"), F.col(epoch_col).alias("ep")).agg(
+        F.count("*").alias("n"),
+        *[
+            F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"_m{i}")
+            for i in range(dim)
+        ],
+    )
+    c = F.array(*[F.col(f"_m{i}") for i in range(dim)])
+    a = cent.where(F.col("ep") == ea).select(
+        "grp", F.col("n").alias("n_a"), c.alias("_ca")
+    )
+    b = cent.where(F.col("ep") == eb).select(
+        "grp", F.col("n").alias("n_b"), c.alias("_cb")
+    )
+    dot = F.aggregate(
+        F.zip_with("_ca", "_cb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(col, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    return a.join(b, "grp").select(
+        F.col("grp").alias(group_col),
+        "n_a",
+        "n_b",
+        F.round(dot / (norm(F.col("_ca")) * norm(F.col("_cb"))), 6).alias(
+            "centroid_cos"
+        ),
+    )

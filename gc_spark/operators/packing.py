@@ -63,3 +63,70 @@ def pack_offsets(
         bin_last.alias("bin_last"),
         (bin_last - bin_first + 1).alias("n_bins"),
     )
+
+
+def pack_multimodal(
+    df: DataFrame,
+    token_budget: int,
+    media_budget: int,
+    stream_cols: list[str],
+    order_col: str,
+    tokens_col,
+    media_col,
+) -> DataFrame:
+    """Two-resource packing for INTERLEAVED text+media documents: assign
+    each doc to a training bin under BOTH a token budget and a media-slot
+    budget (vision-language batches are limited by context tokens AND by
+    image slots per sequence).
+
+      (…stream_cols, order_col, n_tokens, n_media, tok_off, media_off,
+       bin)  with  bin = floor(tok_off / token_budget)
+                       + floor(media_off / media_budget)
+
+    A bin boundary opens whenever EITHER cumulative resource crosses its
+    budget window (the SUM of the two floors increments exactly then), so
+    within any bin BOTH floors are constant: the docs starting in a bin
+    sit inside one token window AND one media window — their token total
+    is < token_budget and media total < media_budget, up to the one
+    straddling doc at each edge (same doc-granular caveat as
+    pack_offsets). A max() of the floors would NOT give this: a
+    media-driven bin could quietly accumulate several token windows.
+    Bin ids may skip when both resources cross between two docs (empty
+    bins are fine — they're ids, not allocations).
+
+    This is deliberately NOT the sequential greedy packer (which resets
+    both counters at each boundary and can fit strictly more per bin):
+    greedy is an inherently sequential recurrence per stream, while this
+    boundary-union form is two prefix sums — exact, deterministic, and
+    embarrassingly parallel at 10^10 docs. The fill lost to the union of
+    boundaries is bounded by one budget window per resource per bin.
+
+    Docs larger than a budget on their own still get a bin (they straddle;
+    the trainer truncates or splits downstream — same policy as
+    pack_offsets' n_bins > 1 docs)."""
+    w = (
+        Window.partitionBy(*stream_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tok = tokens_col.cast("long")
+    n_med = media_col.cast("long")
+    out = df.select(
+        *stream_cols, order_col, n_tok.alias("n_tokens"), n_med.alias("n_media")
+    )
+    out = (
+        out.withColumn("_tend", F.sum("n_tokens").over(w))
+        .withColumn("_mend", F.sum("n_media").over(w))
+    )
+    tok_off = F.col("_tend") - F.col("n_tokens")
+    media_off = F.col("_mend") - F.col("n_media")
+    bin_ = F.floor(tok_off / token_budget) + F.floor(media_off / media_budget)
+    return out.select(
+        *stream_cols,
+        order_col,
+        "n_tokens",
+        "n_media",
+        tok_off.alias("tok_off"),
+        media_off.alias("media_off"),
+        bin_.alias("bin"),
+    )

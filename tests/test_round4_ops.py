@@ -345,3 +345,102 @@ class TestCurriculumOrder:
             .collect()
         }
         assert got == ref
+
+
+class TestPackMultimodal:
+    def _pack(self, spark, rows, bt=10, bm=2):
+        from gc_spark.operators.packing import pack_multimodal
+
+        df = spark.createDataFrame(rows, "stream string, seq long, t long, m long")
+        return {
+            r["seq"]: r
+            for r in pack_multimodal(
+                df, bt, bm, ["stream"], "seq", F.col("t"), F.col("m")
+            ).collect()
+        }
+
+    def test_both_budgets_bound_every_bin(self, spark):
+        # media-driven boundaries must not let token totals accumulate:
+        # the sum-of-floors (not max) form keeps both floors constant per bin
+        rows = [("s", i, 3, 1) for i in range(40)]
+        got = self._pack(spark, rows, bt=10, bm=2)
+        bins = {}
+        for r in got.values():
+            bins.setdefault(r["bin"], [0, 0])
+            bins[r["bin"]][0] += r["n_tokens"]
+            bins[r["bin"]][1] += r["n_media"]
+        for b, (tt, mm) in bins.items():
+            # starts within one window each; the straddler adds < 1 doc
+            assert tt <= 10 + 3 and mm <= 2 + 1, f"bin {b} over budget: {tt},{mm}"
+
+    def test_boundary_union_splits_on_either_resource(self, spark):
+        # doc sizes chosen so media crosses first, then tokens
+        rows = [("s", 0, 2, 1), ("s", 1, 2, 1), ("s", 2, 2, 1), ("s", 3, 9, 0), ("s", 4, 1, 0)]
+        got = self._pack(spark, rows, bt=10, bm=2)
+        assert got[0]["bin"] == 0 and got[1]["bin"] == 0
+        # doc2: media_off=2 crosses the media budget -> floor increments
+        assert got[2]["bin"] == 1
+        # doc4: tok_off=15 crosses the token budget too -> both floors moved
+        assert got[4]["bin"] == got[3]["bin"] + 1
+
+    def test_streams_pack_independently(self, spark):
+        rows = [("a", 0, 7, 0), ("b", 1, 7, 0), ("a", 2, 7, 0), ("b", 3, 7, 0)]
+        got = self._pack(spark, rows, bt=10, bm=2)
+        assert got[0]["tok_off"] == 0 and got[1]["tok_off"] == 0
+        assert got[2]["tok_off"] == 7 and got[3]["tok_off"] == 7
+
+
+class TestCentroidDrift:
+    def test_identical_epochs_cos_one_flipped_cos_minus_one(self, spark):
+        from gc_spark.operators.drift import centroid_drift
+
+        base = [0.5, -0.25, 0.125, 1.0]
+        rows = []
+        for i in range(8):
+            rows.append(("same", "a", [x + (i % 2) * 0.0 for x in base]))
+            rows.append(("same", "b", list(base)))
+            rows.append(("flip", "a", list(base)))
+            rows.append(("flip", "b", [-x for x in base]))
+        df = spark.createDataFrame(rows, "source string, epoch string, embedding array<double>")
+        got = {r["source"]: r for r in centroid_drift(df, dim=4).collect()}
+        assert got["same"]["centroid_cos"] == 1.0
+        assert got["flip"]["centroid_cos"] == -1.0
+        assert got["same"]["n_a"] == got["same"]["n_b"] == 8
+
+    def test_orthogonal_drift_scores_zero(self, spark):
+        from gc_spark.operators.drift import centroid_drift
+
+        rows = [("s", "a", [1.0, 0.0]), ("s", "b", [0.0, 1.0])]
+        df = spark.createDataFrame(rows, "source string, epoch string, embedding array<double>")
+        r = centroid_drift(df, dim=2).collect()[0]
+        assert r["centroid_cos"] == 0.0
+
+
+class TestReleaseReport:
+    def test_ledger_counts_and_rates(self, spark):
+        from gc_spark.operators.report import release_report
+
+        long_text = "w " * 20  # 20 tokens + trailing split artifact avoided by trim
+        rows = [
+            (0, "srcA", "en", long_text.strip()),
+            (1, "srcA", "en", long_text.strip()),      # exact dup of doc 0
+            (2, "srcA", "de", "kurz"),                  # 1 token -> fails floor
+            (3, "srcB", "en", "supercalifragilistic " * 15),  # mean word len > 12 -> fails
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string, lang string, text string")
+        got = {r["source"]: r for r in release_report(df).collect()}
+        a = got["srcA"]
+        assert a["n_docs"] == 3 and a["dup_docs"] == 1
+        assert abs(a["pct_en"] - 2 / 3) < 1e-6
+        assert abs(a["quality_pass_rate"] - 2 / 3) < 1e-6
+        b = got["srcB"]
+        assert b["quality_pass_rate"] == 0.0 and b["dup_docs"] == 0
+
+    def test_empty_text_counts_but_never_passes(self, spark):
+        from gc_spark.operators.report import release_report
+
+        df = spark.createDataFrame(
+            [(0, "s", "en", "")], "doc_id long, source string, lang string, text string"
+        )
+        r = release_report(df).collect()[0]
+        assert r["n_docs"] == 1 and r["quality_pass_rate"] == 0.0
