@@ -2618,6 +2618,85 @@ def q131_release_report(spark, sf_dir):
     return release_report(_t_wide(spark, sf_dir, "documents"))
 
 
+def q132_url_templates(spark, sf_dir):
+    """URL path-template mining (operators/templates.template_stats):
+    segments classified to <num>/<hex>/<uuid>/<mixed>/literal type tokens,
+    URLs collapsed per (host, template) — the PATH-side complement to the
+    param-based DUST learner (q99) and the trap detector (q57). Four URL
+    shapes planted: dated news paths, hex32 session paths, a static doc,
+    and uuid item pages."""
+    from gc_spark.operators.templates import template_stats
+
+    p = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    # 19 is coprime to the URL-class modulus 4, so every host sees all
+    # four template shapes (pk%20 would lock each host to one class)
+    host = F.concat(F.lit("h"), (pk % 19).cast("string"))
+    sha = F.sha2(pk.cast("string"), 256)
+    uuid = F.concat_ws(
+        "-",
+        F.substring(sha, 1, 8),
+        F.substring(sha, 9, 4),
+        F.substring(sha, 13, 4),
+        F.substring(sha, 17, 4),
+        F.substring(sha, 21, 12),
+    )
+    url = (
+        F.when(
+            pk % 4 == 0,
+            F.concat(
+                F.lit("https://"), host, F.lit("/news/"),
+                (2000 + pk % 25).cast("string"), F.lit("/"),
+                (pk % 12).cast("string"), F.lit("/"), pk.cast("string"),
+            ),
+        )
+        .when(
+            pk % 4 == 1,
+            F.concat(
+                F.lit("https://"), host, F.lit("/session/"),
+                F.substring(sha, 1, 32),
+            ),
+        )
+        .when(
+            pk % 4 == 2,
+            F.concat(F.lit("https://"), host, F.lit("/docs/guide")),
+        )
+        .otherwise(
+            F.concat(F.lit("https://"), host, F.lit("/item/"), uuid)
+        )
+    )
+    staged = p.select(host.alias("host"), url.alias("url"))
+    return template_stats(staged)
+
+
+def q133_pan_findings(spark, sf_dir):
+    """Luhn-validated payment-card detection (operators/luhn.pan_findings):
+    13-19 digit runs checked by an expression-fold Luhn checksum (no UDF),
+    emitted MASKED. Planted: a valid test PAN (doc%9), an off-by-one
+    invalid twin (doc%10), and a 20-digit run that greedily splits 19+1
+    (doc%15; the 1-digit tail is not a candidate)."""
+    from gc_spark.operators.luhn import pan_findings
+
+    d = _t_wide(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            "text",
+            F.when(doc % 9 == 0, F.lit(" card 4111111111111111 ok")).otherwise(
+                F.lit("")
+            ),
+            F.when(doc % 10 == 0, F.lit(" num 4111111111111112 bad")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                doc % 15 == 0, F.lit(" tel 12345678901234567890 long")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pan_findings(planted)
+
+
 _MIRRORS_ORACLE = """
     WITH corpus AS (
       SELECT source AS h, text FROM documents
@@ -3888,6 +3967,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q129_multimodal_pack": q129_multimodal_pack,
         "q130_centroid_drift": q130_centroid_drift,
         "q131_release_report": q131_release_report,
+        "q132_url_templates": q132_url_templates,
+        "q133_pan_findings": q133_pan_findings,
     }
 
 
@@ -4224,6 +4305,77 @@ _RELEASE_REPORT_ORACLE = """
                           ELSE 0 END), 6) AS quality_pass_rate,
            ROUND(AVG(t), 4) AS mean_tokens
     FROM s GROUP BY source
+"""
+
+
+_URL_TEMPLATE_ORACLE = """
+    WITH base AS (
+      SELECT p_partkey AS pk, 'h' || CAST(p_partkey % 19 AS VARCHAR) AS host,
+             sha256(CAST(p_partkey AS VARCHAR)) AS sha
+      FROM part
+    ), urls AS (
+      SELECT host,
+             CASE WHEN pk % 4 = 0 THEN
+                    'https://' || host || '/news/' || CAST(2000 + pk % 25 AS VARCHAR)
+                    || '/' || CAST(pk % 12 AS VARCHAR) || '/' || CAST(pk AS VARCHAR)
+                  WHEN pk % 4 = 1 THEN
+                    'https://' || host || '/session/' || substr(sha, 1, 32)
+                  WHEN pk % 4 = 2 THEN
+                    'https://' || host || '/docs/guide'
+                  ELSE
+                    'https://' || host || '/item/' || substr(sha, 1, 8) || '-'
+                    || substr(sha, 9, 4) || '-' || substr(sha, 13, 4) || '-'
+                    || substr(sha, 17, 4) || '-' || substr(sha, 21, 12)
+             END AS url
+      FROM base
+    ), tpl AS (
+      SELECT host, url,
+             '/' || array_to_string(
+               list_transform(
+                 list_filter(string_split(
+                   regexp_replace(regexp_extract(url, '^[a-z]+://[^/]+(/[^?#]*)?', 1),
+                                  '/+$', '', 'g'), '/'), s -> s <> ''),
+                 s -> CASE
+                        WHEN regexp_matches(s, '^[0-9]+$') THEN '<num>'
+                        WHEN regexp_matches(s, '^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$') THEN '<uuid>'
+                        WHEN regexp_matches(s, '^[0-9a-f]{16,}$') THEN '<hex>'
+                        WHEN regexp_matches(s, '^[a-z0-9_.-]+$') THEN s
+                        ELSE '<mixed>'
+                      END), '/') AS template
+      FROM urls
+    )
+    SELECT host, template, COUNT(*) AS n_urls, MIN(url) AS sample_url
+    FROM tpl GROUP BY host, template
+"""
+
+
+_PAN_ORACLE = """
+    WITH planted AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 9 = 0 THEN ' card 4111111111111111 ok' ELSE '' END
+             || CASE WHEN doc_id % 10 = 0 THEN ' num 4111111111111112 bad' ELSE '' END
+             || CASE WHEN doc_id % 15 = 0 THEN ' tel 12345678901234567890 long' ELSE '' END AS t
+      FROM documents
+    ), cand AS (
+      SELECT doc_id, UNNEST(regexp_extract_all(t, '\\d{13,19}')) AS c FROM planted
+    ), digits AS (
+      SELECT doc_id, c, i,
+             CAST(substring(reverse(c), CAST(i AS INT), 1) AS INT) AS d
+      FROM cand CROSS JOIN range(1, 20) r(i)
+      WHERE i <= length(c)
+    ), summed AS (
+      SELECT doc_id, c,
+             SUM(CASE WHEN i % 2 = 0
+                      THEN (CASE WHEN d * 2 > 9 THEN d * 2 - 9 ELSE d * 2 END)
+                      ELSE d END) AS s
+      FROM digits GROUP BY doc_id, c
+    )
+    SELECT doc_id,
+           substring(c, 1, 6) || '*' || substring(c, length(c) - 3, 4) AS masked,
+           CAST(length(c) AS INT) AS n_digits,
+           (s % 10 = 0) AS luhn_valid
+    FROM summed
 """
 
 
@@ -4661,6 +4813,8 @@ def oracle_sql() -> dict[str, str]:
         "q129_multimodal_pack": _MULTIPACK_ORACLE,
         "q130_centroid_drift": _CENTROID_DRIFT_ORACLE,
         "q131_release_report": _RELEASE_REPORT_ORACLE,
+        "q132_url_templates": _URL_TEMPLATE_ORACLE,
+        "q133_pan_findings": _PAN_ORACLE,
         "q61_budget_allocation": _pagerank_cte(iters=5, damping=0.85) + """
             SELECT node AS host,
                    CAST(least(greatest(

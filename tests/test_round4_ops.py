@@ -444,3 +444,117 @@ class TestReleaseReport:
         )
         r = release_report(df).collect()[0]
         assert r["n_docs"] == 1 and r["quality_pass_rate"] == 0.0
+
+
+class TestRound4PlanShapes:
+    """Physical-plan assertions: the window compositions must not multiply
+    Exchanges — both prefix sums (pack_multimodal) and both CUSUM windows
+    share one hash partitioning on their key."""
+
+    @staticmethod
+    def _plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_pack_multimodal_single_exchange(self, spark):
+        from gc_spark.operators.packing import pack_multimodal
+
+        df = spark.range(1000).selectExpr(
+            "CAST(id % 4 AS STRING) AS stream", "id AS seq", "id % 7 AS t", "id % 3 AS m"
+        )
+        plan = self._plan(
+            pack_multimodal(df, 512, 8, ["stream"], "seq", F.col("t"), F.col("m"))
+        )
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_cusum_windows_and_rollup_share_one_exchange(self, spark):
+        from gc_spark.operators.anomaly import cusum_alarms
+
+        df = spark.range(1000).selectExpr(
+            "CAST(id % 8 AS STRING) AS host", "id AS ts", "id AS event_id",
+            "CAST(id % 4 = 0 AS DOUBLE) AS fail"
+        )
+        plan = self._plan(cusum_alarms(df, "fail"))
+        # cumsum window + running-min window + groupBy(host) all hash on host
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_centroid_drift_no_explode(self, spark):
+        from gc_spark.operators.drift import centroid_drift
+
+        df = spark.range(100).selectExpr(
+            "CAST(id % 3 AS STRING) AS source",
+            "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS epoch",
+            "array(CAST(id AS DOUBLE), CAST(id+1 AS DOUBLE)) AS embedding",
+        )
+        plan = self._plan(centroid_drift(df, dim=2))
+        assert "Generate explode" not in plan and "Generate posexplode" not in plan
+
+
+class TestUrlTemplates:
+    def test_classification_and_collapse(self, spark):
+        from gc_spark.operators.templates import template_stats
+
+        rows = [
+            ("h", "https://h/news/2024/01/123"),
+            ("h", "https://h/news/2023/12/456"),
+            ("h", "https://h/session/0123456789abcdef0123456789abcdef"),
+            ("h", "https://h/item/01234567-89ab-cdef-0123-456789abcdef"),
+            ("h", "https://h/docs/guide"),
+            ("h", "https://h/docs/guide?page=2"),   # query stripped
+            ("h", "https://h/Mixed%20Case/x"),      # mixed segment
+            ("h", "https://h"),                     # no path
+        ]
+        df = spark.createDataFrame(rows, "host string, url string")
+        got = {r["template"]: r for r in template_stats(df).collect()}
+        assert got["/news/<num>/<num>/<num>"]["n_urls"] == 2
+        assert "/session/<hex>" in got and "/item/<uuid>" in got
+        assert got["/docs/guide"]["n_urls"] == 2
+        assert "/<mixed>/x" in got
+        assert got["/"]["n_urls"] == 1
+        # deterministic representative
+        assert got["/news/<num>/<num>/<num>"]["sample_url"] == "https://h/news/2023/12/456"
+
+    def test_short_hex_stays_literal(self, spark):
+        from gc_spark.operators.templates import template_stats
+
+        df = spark.createDataFrame(
+            [("h", "https://h/deadbeef/x")], "host string, url string"
+        )
+        got = template_stats(df).collect()[0]
+        # 8 hex chars < 16 and matches the word class -> literal, not <hex>
+        assert got["template"] == "/deadbeef/x"
+
+
+class TestLuhn:
+    def test_known_valid_and_invalid_pans(self, spark):
+        from gc_spark.operators.luhn import luhn_valid_col
+
+        rows = [
+            ("4111111111111111", True),   # canonical Visa test number
+            ("4111111111111112", False),
+            ("79927398713", True),        # classic Luhn example (11 digits)
+            ("79927398710", False),
+        ]
+        df = spark.createDataFrame([(c,) for c, _ in rows], "c string")
+        got = {r["c"]: r["ok"] for r in df.select("c", luhn_valid_col(F.col("c")).alias("ok")).collect()}
+        for c, expect in rows:
+            assert got[c] == expect, c
+
+    def test_findings_masked_and_flagged(self, spark):
+        from gc_spark.operators.luhn import pan_findings
+
+        df = spark.createDataFrame(
+            [
+                (0, "pay with 4111111111111111 today"),
+                (1, "ref 4111111111111112 invalid"),
+                (2, "no digits here"),
+                (3, "short 123456789012 run"),  # 12 digits -> not a candidate
+            ],
+            "doc_id long, text string",
+        )
+        got = pan_findings(df).collect()
+        by_doc = {r["doc_id"]: r for r in got}
+        assert set(by_doc) == {0, 1}
+        assert by_doc[0]["luhn_valid"] and not by_doc[1]["luhn_valid"]
+        assert by_doc[0]["masked"] == "411111*1111"
+        # the raw PAN must not appear in any output column
+        assert all("4111111111111111" not in str(r) for r in got)
