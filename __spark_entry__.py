@@ -2697,6 +2697,54 @@ def q133_pan_findings(spark, sf_dir):
     return pan_findings(planted)
 
 
+def q134_media_dedup(spark, sf_dir):
+    """Cross-document media-span dedup (operators/spans.media_dedup_stats):
+    media refs remapped onto a shared 97-image pool so refs recur across
+    docs; per-doc duplicate-media fraction via one ref-keyed docfreq
+    aggregate joined back — span structs and blobs never shuffle."""
+    from gc_spark.operators.spans import build_interleaved_spans, media_dedup_stats
+
+    d = _t_wide(spark, sf_dir, "documents")
+    spans = build_interleaved_spans(d)
+    remapped = spans.select(
+        "doc_id",
+        F.transform(
+            "spans",
+            lambda s: F.struct(
+                s["kind"].alias("kind"),
+                s["text"].alias("text"),
+                F.when(
+                    s["kind"] == "media",
+                    F.concat(
+                        F.lit("img://"),
+                        ((F.col("doc_id") * 7 + s["offset"]) % 97).cast("string"),
+                    ),
+                )
+                .otherwise(s["media_ref"])
+                .alias("media_ref"),
+                s["offset"].alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    return media_dedup_stats(remapped)
+
+
+def q135_link_prediction(spark, sf_dir):
+    """Adamic-Adar link prediction on the host graph (operators/linkpred.
+    adamic_adar): wedges generated at the shared neighbor with hub capping
+    (the triangle-counting discipline), 1/ln(deg) scored, existing edges
+    anti-joined out — frontier-discovery prioritization."""
+    from gc_spark.operators.linkpred import adamic_adar
+
+    p = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    edges = p.select(
+        F.concat(F.lit("h"), (pk % 211).cast("string")).alias("src"),
+        F.concat(F.lit("h"), ((pk * pk + 1) % 211).cast("string")).alias("dst"),
+    )
+    return adamic_adar(edges, max_degree=64)
+
+
 _MIRRORS_ORACLE = """
     WITH corpus AS (
       SELECT source AS h, text FROM documents
@@ -3969,6 +4017,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q131_release_report": q131_release_report,
         "q132_url_templates": q132_url_templates,
         "q133_pan_findings": q133_pan_findings,
+        "q134_media_dedup": q134_media_dedup,
+        "q135_link_prediction": q135_link_prediction,
     }
 
 
@@ -4376,6 +4426,60 @@ _PAN_ORACLE = """
            CAST(length(c) AS INT) AS n_digits,
            (s % 10 = 0) AS luhn_valid
     FROM summed
+"""
+
+
+_MEDIA_DEDUP_ORACLE = """
+    WITH base AS (
+      SELECT doc_id, text,
+             UNNEST(range(0, CAST(greatest(ceil(length(text) / 80.0), 1) AS BIGINT))) AS i
+      FROM documents
+    ), media AS (
+      SELECT doc_id,
+             'img://' || CAST((doc_id * 7 + (i + i // 3 + 1)) % 97 AS VARCHAR) AS ref
+      FROM base WHERE i % 3 = 2
+    ), df_ AS (
+      SELECT ref, COUNT(DISTINCT doc_id) AS dfq FROM media GROUP BY ref
+    )
+    SELECT doc_id, COUNT(*) AS n_media,
+           SUM(CASE WHEN dfq > 1 THEN 1 ELSE 0 END) AS n_dup_media,
+           ROUND(SUM(CASE WHEN dfq > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+             AS dup_media_frac
+    FROM media JOIN df_ USING (ref) GROUP BY doc_id
+"""
+
+
+_LINKPRED_ORACLE = """
+    WITH raw AS (
+      SELECT 'h' || CAST(p_partkey % 211 AS VARCHAR) AS src,
+             'h' || CAST((p_partkey * p_partkey + 1) % 211 AS VARCHAR) AS dst
+      FROM part
+    ), und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src <> dst
+    ), adj AS (
+      SELECT a, b FROM und UNION ALL SELECT b, a FROM und
+    ), deg AS (
+      SELECT a AS z, COUNT(*) AS deg FROM adj GROUP BY a
+    ), capped AS (
+      SELECT n.z, d.deg, n.n
+      FROM (SELECT b AS z, a AS n FROM adj) n
+      JOIN deg d ON n.z = d.z
+      WHERE d.deg <= 64
+    ), wedges AS (
+      SELECT l.z, l.deg, l.n AS x, r.n AS y
+      FROM capped l JOIN (SELECT z, n FROM capped) r ON l.z = r.z
+      WHERE l.n < r.n
+    ), scored AS (
+      SELECT x AS host_a, y AS host_b, COUNT(*) AS n_common,
+             ROUND(SUM(1.0 / ln(deg)), 6) AS aa_score
+      FROM wedges GROUP BY x, y
+    )
+    SELECT s.host_a, s.host_b, s.n_common, s.aa_score
+    FROM scored s
+    WHERE NOT EXISTS (
+      SELECT 1 FROM und e WHERE e.a = s.host_a AND e.b = s.host_b
+    ) AND s.aa_score > 0.0
 """
 
 
@@ -4815,6 +4919,8 @@ def oracle_sql() -> dict[str, str]:
         "q131_release_report": _RELEASE_REPORT_ORACLE,
         "q132_url_templates": _URL_TEMPLATE_ORACLE,
         "q133_pan_findings": _PAN_ORACLE,
+        "q134_media_dedup": _MEDIA_DEDUP_ORACLE,
+        "q135_link_prediction": _LINKPRED_ORACLE,
         "q61_budget_allocation": _pagerank_cte(iters=5, damping=0.85) + """
             SELECT node AS host,
                    CAST(least(greatest(

@@ -360,3 +360,46 @@ def audit_spans(df: DataFrame) -> DataFrame:
         pay_viol.alias("payload_violations"),
         ((off_viol == 0) & (kind_viol == 0) & (pay_viol == 0)).alias("is_valid"),
     )
+
+
+def media_dedup_stats(df: DataFrame) -> DataFrame:
+    """Cross-document media deduplication over interleaved span sequences:
+    (doc_id, n_media, n_dup_media, dup_media_frac) where a media span is a
+    duplicate iff its media_ref appears in MORE THAN ONE document (shared
+    logos, headers, stock images — the image-side analog of line dedup,
+    and the signal a VLM pipeline drops or down-weights repeated images
+    on).
+
+    Plan: media refs are projected out of the span arrays (map-side — the
+    span structs and any blob payloads never move), one groupBy(media_ref)
+    computes document frequency, and the vocabulary-sized (ref, df) frame
+    joins back onto the per-doc ref lists. The join is keyed on media_ref,
+    so only (doc_id, media_ref) pairs shuffle — never span content."""
+    refs = df.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.filter(F.col("spans"), lambda s: s["kind"] == "media"),
+                lambda s: s["media_ref"],
+            )
+        ).alias("media_ref"),
+    )
+    docfreq = refs.groupBy("media_ref").agg(
+        F.count_distinct("doc_id").alias("_df")
+    )
+    per_doc = (
+        refs.join(docfreq, "media_ref")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_media"),
+            F.sum((F.col("_df") > 1).cast("int")).alias("n_dup_media"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_media",
+        "n_dup_media",
+        F.round(F.col("n_dup_media") / F.col("n_media"), 6).alias(
+            "dup_media_frac"
+        ),
+    )

@@ -558,3 +558,83 @@ class TestLuhn:
         assert by_doc[0]["masked"] == "411111*1111"
         # the raw PAN must not appear in any output column
         assert all("4111111111111111" not in str(r) for r in got)
+
+
+class TestMediaDedup:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows,
+            "doc_id long, spans array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>",
+        )
+
+    def test_shared_ref_counts_as_duplicate(self, spark):
+        from gc_spark.operators.spans import media_dedup_stats
+
+        df = self._df(
+            spark,
+            [
+                (0, [("text", "a", None, 0), ("media", None, "img://logo", 1),
+                     ("media", None, "img://unique0", 2)]),
+                (1, [("media", None, "img://logo", 0)]),
+                (2, [("text", "b", None, 0)]),  # no media -> absent from output
+            ],
+        )
+        got = {r["doc_id"]: r for r in media_dedup_stats(df).collect()}
+        assert set(got) == {0, 1}
+        assert got[0]["n_media"] == 2 and got[0]["n_dup_media"] == 1
+        assert got[0]["dup_media_frac"] == 0.5
+        assert got[1]["n_dup_media"] == 1 and got[1]["dup_media_frac"] == 1.0
+
+    def test_same_ref_twice_in_one_doc_is_not_cross_doc_dup(self, spark):
+        from gc_spark.operators.spans import media_dedup_stats
+
+        df = self._df(
+            spark,
+            [(0, [("media", None, "img://x", 0), ("media", None, "img://x", 1)])],
+        )
+        r = media_dedup_stats(df).collect()[0]
+        # docfreq is count_distinct(doc_id) == 1 -> within-doc repeats don't count
+        assert r["n_dup_media"] == 0
+
+
+class TestAdamicAdar:
+    def test_scores_match_hand_computation(self, spark):
+        from gc_spark.operators.linkpred import adamic_adar
+        import math
+
+        # star around z (deg 3: a,b,c) plus edge a-c; pair (a,b) and (b,c)
+        # share only z; (a,c) is an existing edge -> excluded
+        edges = spark.createDataFrame(
+            [("z", "a"), ("z", "b"), ("z", "c"), ("a", "c")], "src string, dst string"
+        )
+        got = {(r["host_a"], r["host_b"]): r for r in adamic_adar(edges).collect()}
+        assert ("a", "c") not in got
+        assert got[("a", "b")]["n_common"] == 1
+        assert abs(got[("a", "b")]["aa_score"] - round(1 / math.log(3), 6)) < 1e-9
+        # (b,c) also shares only z
+        assert got[("b", "c")]["n_common"] == 1
+        # (a,z)... a has deg 2, c has deg 2: pair (b, z)? b's only neighbor is z;
+        # wedge at a or c could pair (z, c) etc - existing edges excluded
+        for (x, y) in got:
+            assert x < y
+
+    def test_rare_neighbor_outweighs_hub(self, spark):
+        from gc_spark.operators.linkpred import adamic_adar
+
+        edges = []
+        # hub h connects a, b and 20 others; rare r connects only c, d
+        edges += [("hub", f"n{i}") for i in range(20)]
+        edges += [("hub", "a"), ("hub", "b"), ("rare", "c"), ("rare", "d")]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {(r["host_a"], r["host_b"]): r["aa_score"] for r in adamic_adar(df).collect()}
+        assert got[("c", "d")] > got[("a", "b")]
+
+    def test_hub_cap_drops_quadratic_wedges(self, spark):
+        from gc_spark.operators.linkpred import adamic_adar
+
+        edges = [("hub", f"n{i}") for i in range(30)]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        # cap below the hub degree -> no wedges at all
+        assert adamic_adar(df, max_degree=10).count() == 0
+        assert adamic_adar(df, max_degree=64).count() > 0
