@@ -75,7 +75,7 @@ def cusum_alarms(
     host_col: str = "host",
     ts_col: str = "ts",
     order_col: str = "event_id",
-    k_ref: float = 0.3,
+    k_ref: float = 0.25,
     h_threshold: float = 3.0,
 ) -> DataFrame:
     """One-sided CUSUM change detection per host over an ordered event

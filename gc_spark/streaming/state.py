@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -123,4 +124,91 @@ def host_session_stats(stream: DataFrame, idle_ms: int = 60_000) -> DataFrame:
         stateStructType=SESSION_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+CUSUM_OUTPUT = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("n_events", LongType()),
+        StructField("max_stat", DoubleType()),
+        StructField("n_alarms", LongType()),
+        StructField("first_alarm", LongType()),
+    ]
+)
+CUSUM_STATE = StructType(
+    [
+        StructField("cum", DoubleType()),
+        StructField("runmin", DoubleType()),
+        StructField("n", LongType()),
+        StructField("max_stat", DoubleType()),
+        StructField("n_alarms", LongType()),
+        StructField("first_alarm", LongType()),
+    ]
+)
+
+
+def _cusum_factory(
+    k_ref: float, h_threshold: float, x_col: str, ts_col: str, order_col: str
+):
+    def _update(key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        import numpy as np
+
+        cum, runmin, n, mx, na, fa = (
+            state.get if state.exists else (0.0, 0.0, 0, 0.0, 0, None)
+        )
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values([ts_col, order_col])
+            c = cum + (pdf[x_col].to_numpy(dtype=float) - k_ref).cumsum()
+            rm = np.minimum(np.minimum.accumulate(c), runmin)
+            s = c - rm
+            alarms = s >= h_threshold
+            if fa is None and bool(alarms.any()):
+                fa = int(pdf[order_col].to_numpy()[int(alarms.argmax())])
+            na += int(alarms.sum())
+            mx = max(mx, float(s.max()))
+            n += len(pdf)
+            cum, runmin = float(c[-1]), float(rm[-1])
+        state.update((cum, runmin, n, mx, na, fa))
+        yield pd.DataFrame(
+            {
+                "host": [key[0]],
+                "n_events": [n],
+                "max_stat": [mx],
+                "n_alarms": [na],
+                "first_alarm": [fa],
+            }
+        )
+
+    return _update
+
+
+def streaming_cusum(
+    stream: DataFrame,
+    x_col: str = "fail",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    k_ref: float = 0.25,
+    h_threshold: float = 3.0,
+) -> DataFrame:
+    """Streaming twin of operators/anomaly.cusum_alarms: per-host one-sided
+    CUSUM maintained incrementally. The batch op's closed form S = C -
+    min(0, running-min C) carries across micro-batches as TWO scalars per
+    host (cum, runmin) in the checkpointed state store — restart-durable,
+    O(1) state per key, Arrow-batched and numpy-vectorized within a batch.
+
+    Assumes per-key batch arrival follows event order (an ordered replay /
+    append-only log source, the same ordering contract the batch op's
+    window imposes); rows inside a micro-batch are sorted by (ts, order).
+    Emits the running (n_events, max_stat, n_alarms, first_alarm) per host
+    each batch in update mode — the last row per host equals the batch
+    answer over the full log."""
+    return stream.groupBy("host").applyInPandasWithState(
+        _cusum_factory(k_ref, h_threshold, x_col, ts_col, order_col),
+        outputStructType=CUSUM_OUTPUT,
+        stateStructType=CUSUM_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -638,3 +638,70 @@ class TestAdamicAdar:
         # cap below the hub degree -> no wedges at all
         assert adamic_adar(df, max_degree=10).count() == 0
         assert adamic_adar(df, max_degree=64).count() > 0
+
+
+class TestStreamingCusum:
+    def test_streaming_equals_batch_across_restart(self, spark, tmp_path):
+        """The two-scalar (cum, runmin) carry must make the final streaming
+        row per host equal the batch cusum_alarms answer over the full log,
+        including across a query restart on the same checkpoint."""
+        from pyspark.sql.types import (
+            DoubleType, LongType, StringType, StructField, StructType,
+        )
+        from gc_spark.operators.anomaly import cusum_alarms
+        from gc_spark.streaming.state import streaming_cusum
+
+        schema = StructType(
+            [
+                StructField("host", StringType()),
+                StructField("ts", LongType()),
+                StructField("event_id", LongType()),
+                StructField("fail", DoubleType()),
+            ]
+        )
+        # h-drift: fails from event 10 on; h-quiet: sparse failures
+        wave1 = [("h-drift", i, i, 1.0 if i >= 10 else 0.0) for i in range(15)] + [
+            ("h-quiet", i, i, 1.0 if i % 7 == 0 else 0.0) for i in range(15)
+        ]
+        wave2 = [("h-drift", i, i, 1.0) for i in range(15, 30)] + [
+            ("h-quiet", i, i, 0.0) for i in range(15, 30)
+        ]
+
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+
+        def run_once():
+            stream = spark.readStream.schema(schema).parquet(src)
+            q = (
+                streaming_cusum(stream)
+                .writeStream.outputMode("update")
+                .foreachBatch(lambda df, _id: df.write.mode("append").parquet(out))
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        spark.createDataFrame(wave1, schema).write.mode("append").parquet(src)
+        run_once()
+        spark.createDataFrame(wave2, schema).write.mode("append").parquet(src)
+        run_once()
+
+        final = {
+            r["host"]: r
+            for r in spark.read.parquet(out).orderBy("n_events").collect()
+        }
+        batch = {
+            r["host"]: r
+            for r in cusum_alarms(
+                spark.createDataFrame(wave1 + wave2, schema), "fail", k_ref=0.25
+            ).collect()
+        }
+        for h in ("h-drift", "h-quiet"):
+            assert final[h]["n_events"] == batch[h]["n_events"] == 30
+            assert abs(final[h]["max_stat"] - batch[h]["max_stat"]) < 1e-9
+            assert final[h]["n_alarms"] == batch[h]["n_alarms"]
+            assert final[h]["first_alarm"] == batch[h]["first_alarm"]
+        assert final["h-drift"]["n_alarms"] > 0
+        assert final["h-quiet"]["n_alarms"] == 0 and final["h-quiet"]["first_alarm"] is None
