@@ -2745,6 +2745,53 @@ def q135_link_prediction(spark, sf_dir):
     return adamic_adar(edges, max_degree=64)
 
 
+def q136_fetch_sessions(spark, sf_dir):
+    """Fetch-log sessionization (operators/sessions.session_stats):
+    gaps-and-islands visits per host — gap > 30 min opens a new session;
+    per-visit fetch counts/extent/duration. Log synthesized from events:
+    40 hosts, the k-th fetch of a host at k*600 + (k//5)*3600 s, so every
+    5 fetches the scheduler leaves and comes back an hour later (intra-
+    visit gap 600 <= 1800 keeps the session; the hourly jump opens one)."""
+    from gc_spark.operators.sessions import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    k = F.floor(eid / 40)
+    log = ev.select(
+        F.concat(F.lit("h"), (eid % 40).cast("string")).alias("host"),
+        (k * 600 + F.floor(k / 5) * 3600).cast("long").alias("fetch_ts"),
+    )
+    return session_stats(log, gap_sec=1800)
+
+
+def q137_cdc_delta(spark, sf_dir):
+    """Recrawl delta-storage accounting (operators/snapshot_diff.
+    cdc_delta_stats): CDC-chunk two snapshots of each document, reuse every
+    new-side chunk whose hash the old side already stores, report
+    new/reused bytes + reuse fraction. Edits planted per doc: %3==0 gets a
+    mid-document insertion (only the chunks it touches re-key — the CDC
+    property), %3==1 an appended tail, %3==2 unchanged (reuse_frac 1)."""
+    from gc_spark.operators.snapshot_diff import cdc_delta_stats
+
+    d = _t_wide(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    t = F.col("text")
+    edited = (
+        F.when(
+            doc % 3 == 0,
+            F.concat(
+                t.substr(F.lit(1), F.lit(100)),
+                F.lit(" EDITED SEGMENT INSERTED HERE "),
+                t.substr(F.lit(101), F.length(t)),
+            ),
+        )
+        .when(doc % 3 == 1, F.concat(t, F.lit(" appended tail content")))
+        .otherwise(t)
+    )
+    new = d.select("doc_id", edited.alias("text"))
+    return cdc_delta_stats(d.select("doc_id", "text"), new)
+
+
 _MIRRORS_ORACLE = """
     WITH corpus AS (
       SELECT source AS h, text FROM documents
@@ -4019,6 +4066,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q133_pan_findings": q133_pan_findings,
         "q134_media_dedup": q134_media_dedup,
         "q135_link_prediction": q135_link_prediction,
+        "q136_fetch_sessions": q136_fetch_sessions,
+        "q137_cdc_delta": q137_cdc_delta,
     }
 
 
@@ -4446,6 +4495,92 @@ _MEDIA_DEDUP_ORACLE = """
            ROUND(SUM(CASE WHEN dfq > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
              AS dup_media_frac
     FROM media JOIN df_ USING (ref) GROUP BY doc_id
+"""
+
+
+_SESSIONS_ORACLE = """
+    WITH log AS (
+      SELECT 'h' || CAST(event_id % 40 AS VARCHAR) AS host,
+             (event_id // 40) * 600 + ((event_id // 40) // 5) * 3600 AS fetch_ts
+      FROM events
+    ), marks AS (
+      SELECT host, fetch_ts,
+             CASE WHEN lag(fetch_ts) OVER (PARTITION BY host ORDER BY fetch_ts)
+                    IS NULL
+                  OR fetch_ts - lag(fetch_ts)
+                       OVER (PARTITION BY host ORDER BY fetch_ts) > 1800
+                  THEN 1 ELSE 0 END AS opens
+      FROM log
+    ), numbered AS (
+      SELECT host, fetch_ts,
+             SUM(opens) OVER (PARTITION BY host ORDER BY fetch_ts
+                              ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM marks
+    )
+    SELECT host, CAST(session_seq AS BIGINT) AS session_seq,
+           COUNT(*) AS n_fetches,
+           CAST(MIN(fetch_ts) AS BIGINT) AS t_start,
+           CAST(MAX(fetch_ts) AS BIGINT) AS t_end,
+           CAST(MAX(fetch_ts) - MIN(fetch_ts) AS BIGINT) AS duration_sec
+    FROM numbered GROUP BY host, session_seq
+"""
+
+
+_CDC_DELTA_ORACLE = """
+    WITH nd AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN
+                    substr(text, 1, 100) || ' EDITED SEGMENT INSERTED HERE '
+                      || substr(text, 101, length(text))
+                  WHEN doc_id % 3 = 1 THEN text || ' appended tail content'
+                  ELSE text END AS text
+      FROM documents
+    ), oc AS (
+      SELECT doc_id, text,
+             list_concat(list_concat([1],
+               list_filter(range(2, greatest(length(text) - 7, 2) + 1),
+                 i -> i <= length(text) - 7
+                      AND CAST('0x' || substr(sha256(substr(text, i, 8)), 1, 15)
+                          AS BIGINT) % 32 = 0)),
+               [length(text) + 1]) AS cuts
+      FROM documents
+    ), osh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(cuts)), j ->
+               CAST('0x' || substr(sha256(substr(text, cuts[j],
+                 cuts[j + 1] - cuts[j])), 1, 15) AS BIGINT))) AS old_shas
+      FROM oc
+    ), nc AS (
+      SELECT doc_id, text, length(text) AS n,
+             list_concat(list_concat([1],
+               list_filter(range(2, greatest(length(text) - 7, 2) + 1),
+                 i -> i <= length(text) - 7
+                      AND CAST('0x' || substr(sha256(substr(text, i, 8)), 1, 15)
+                          AS BIGINT) % 32 = 0)),
+               [length(text) + 1]) AS cuts
+      FROM nd
+    ), sized AS (
+      SELECT nc.doc_id, nc.n, len(cuts) - 1 AS n_chunks_new,
+             list_transform(range(1, len(cuts)), j ->
+               CASE WHEN list_contains(old_shas,
+                      CAST('0x' || substr(sha256(substr(text, cuts[j],
+                        cuts[j + 1] - cuts[j])), 1, 15) AS BIGINT))
+                    THEN cuts[j + 1] - cuts[j] ELSE 0 END) AS rb,
+             list_transform(range(1, len(cuts)), j ->
+               CASE WHEN list_contains(old_shas,
+                      CAST('0x' || substr(sha256(substr(text, cuts[j],
+                        cuts[j + 1] - cuts[j])), 1, 15) AS BIGINT))
+                    THEN 1 ELSE 0 END) AS rc
+      FROM nc JOIN osh USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(n_chunks_new AS INTEGER) AS n_chunks_new,
+           CAST(list_sum(rc) AS BIGINT) AS n_reused,
+           CAST(n - list_sum(rb) AS BIGINT) AS new_bytes,
+           CAST(list_sum(rb) AS BIGINT) AS reused_bytes,
+           ROUND(CASE WHEN n > 0 THEN list_sum(rb) * 1.0 / n
+                 ELSE 1.0 END, 6) AS reuse_frac
+    FROM sized
 """
 
 
@@ -4921,6 +5056,8 @@ def oracle_sql() -> dict[str, str]:
         "q133_pan_findings": _PAN_ORACLE,
         "q134_media_dedup": _MEDIA_DEDUP_ORACLE,
         "q135_link_prediction": _LINKPRED_ORACLE,
+        "q136_fetch_sessions": _SESSIONS_ORACLE,
+        "q137_cdc_delta": _CDC_DELTA_ORACLE,
         "q61_budget_allocation": _pagerank_cte(iters=5, damping=0.85) + """
             SELECT node AS host,
                    CAST(least(greatest(

@@ -86,3 +86,78 @@ def revision_similarity(
         .otherwise(F.lit("rewrite"))
         .alias("change_class"),
     )
+
+
+def cdc_delta_stats(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bytes a recrawl actually has to store, per document, under
+    content-defined chunk reuse (functions/text.cdc_chunks_col): chunk
+    both snapshots, and every NEW-side chunk whose hash already exists in
+    the OLD side is free — only unseen chunks upload. Because CDC cuts at
+    content positions, an insertion re-keys only the chunks it touches, so
+    reuse stays high for minor edits (the whole point vs fixed-width
+    chunking, where one inserted byte re-keys every later chunk).
+
+    Emits (id, n_chunks_new, n_reused, new_bytes, reused_bytes,
+    reuse_frac). reuse_frac is the byte fraction of the new snapshot served
+    from storage.
+
+    Scale shape: ONE equi-join on the id is the only shuffle; chunking and
+    the membership check are per-row array expressions (the old side
+    reduces to its distinct chunk-hash array map-side, so no chunk-grain
+    explode ever shuffles). This is the storage-planning companion to
+    revision_similarity (how much changed) and recrawl.revalidation_plan
+    (whether to fetch at all).
+    """
+    from gc_spark.functions.text import cdc_chunks_col
+
+    o = old.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(
+                cdc_chunks_col(F.col(text_col)), lambda c: c["chunk_sha"]
+            )
+        ).alias("_old_shas"),
+    )
+    n = new.select(
+        F.col(id_col), cdc_chunks_col(F.col(text_col)).alias("_ch"),
+        F.length(text_col).alias("_len"),
+    )
+    joined = n.join(o, id_col)
+    # per-chunk byte length = next start - start (the last chunk runs to
+    # end-of-text); pair each chunk with its reuse verdict in one pass
+    sized = F.transform(
+        F.col("_ch"),
+        lambda c, i: F.struct(
+            (
+                F.when(
+                    i < F.size("_ch") - 1,
+                    F.element_at(F.col("_ch"), i + 2)["start"],
+                ).otherwise(F.col("_len") + 1)
+                - c["start"]
+            ).alias("nbytes"),
+            F.array_contains(F.col("_old_shas"), c["chunk_sha"]).alias("reused"),
+        ),
+    )
+    reused_b = F.aggregate(
+        sized, F.lit(0).cast("long"),
+        lambda acc, s: acc + F.when(s["reused"], s["nbytes"]).otherwise(0),
+    )
+    total_b = F.aggregate(
+        sized, F.lit(0).cast("long"), lambda acc, s: acc + s["nbytes"]
+    )
+    n_reused = F.size(F.filter(sized, lambda s: s["reused"]))
+    return joined.select(
+        id_col,
+        F.size("_ch").alias("n_chunks_new"),
+        n_reused.cast("long").alias("n_reused"),
+        (total_b - reused_b).cast("long").alias("new_bytes"),
+        reused_b.cast("long").alias("reused_bytes"),
+        F.round(
+            F.when(total_b > 0, reused_b / total_b).otherwise(F.lit(1.0)), 6
+        ).alias("reuse_frac"),
+    )

@@ -1,0 +1,101 @@
+"""Round-4 continuation: fetch-log sessionization and CDC recrawl deltas."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+class TestSessionize:
+    def test_gap_opens_new_session(self, spark):
+        from gc_spark.operators.sessions import session_stats
+
+        rows = [
+            ("a", 0), ("a", 100), ("a", 200),       # visit 1
+            ("a", 5000), ("a", 5100),               # visit 2 (gap 4800)
+            ("b", 10),                              # single-fetch visit
+        ]
+        log = spark.createDataFrame(rows, "host string, fetch_ts long")
+        got = {
+            (r["host"], r["session_seq"]): r
+            for r in session_stats(log, gap_sec=1800).collect()
+        }
+        assert got[("a", 1)]["n_fetches"] == 3
+        assert got[("a", 1)]["duration_sec"] == 200
+        assert got[("a", 2)]["n_fetches"] == 2
+        assert got[("a", 2)]["t_start"] == 5000
+        assert got[("b", 1)]["n_fetches"] == 1
+        assert got[("b", 1)]["duration_sec"] == 0
+
+    def test_boundary_gap_exactly_cutoff_stays_in_session(self, spark):
+        from gc_spark.operators.sessions import session_stats
+
+        log = spark.createDataFrame(
+            [("a", 0), ("a", 1800), ("a", 3601)], "host string, fetch_ts long"
+        )
+        got = session_stats(log, gap_sec=1800).collect()
+        # gap == cutoff keeps the session; gap == cutoff+1 opens one
+        seqs = sorted((r["session_seq"], r["n_fetches"]) for r in got)
+        assert seqs == [(1, 2), (2, 1)]
+
+    def test_tied_timestamps_never_split(self, spark):
+        from gc_spark.operators.sessions import session_stats
+
+        log = spark.createDataFrame(
+            [("a", 7), ("a", 7), ("a", 7)], "host string, fetch_ts long"
+        )
+        got = session_stats(log, gap_sec=10).collect()
+        assert len(got) == 1 and got[0]["n_fetches"] == 3
+
+
+class TestCdcDelta:
+    def _docs(self, spark, old_text, new_text):
+        old = spark.createDataFrame([(1, old_text)], "doc_id long, text string")
+        new = spark.createDataFrame([(1, new_text)], "doc_id long, text string")
+        return old, new
+
+    def test_unchanged_doc_reuses_everything(self, spark):
+        from gc_spark.operators.snapshot_diff import cdc_delta_stats
+
+        t = "the quick brown fox jumps over the lazy dog " * 8
+        old, new = self._docs(spark, t, t)
+        r = cdc_delta_stats(old, new).collect()[0]
+        assert r["new_bytes"] == 0
+        assert r["reused_bytes"] == len(t)
+        assert r["reuse_frac"] == 1.0
+        assert r["n_reused"] == r["n_chunks_new"]
+
+    def test_insertion_rekeys_only_local_chunks(self, spark):
+        from gc_spark.operators.snapshot_diff import cdc_delta_stats
+
+        # varied words -> plenty of distinct windows, so cut points exist
+        # (a highly repetitive text can legitimately produce one giant chunk)
+        t = " ".join(f"w{(i * i) % 9973}" for i in range(400))
+        edited = t[:300] + " INSERTED " + t[300:]
+        old, new = self._docs(spark, t, edited)
+        r = cdc_delta_stats(old, new).collect()[0]
+        # most bytes still reused: the insertion touches a bounded
+        # neighborhood, not every downstream chunk (the CDC property)
+        assert 0 < r["new_bytes"] < len(edited) / 2
+        assert r["reused_bytes"] + r["new_bytes"] == len(edited)
+        assert 0.5 < r["reuse_frac"] < 1.0
+
+    def test_total_rewrite_reuses_nothing(self, spark):
+        from gc_spark.operators.snapshot_diff import cdc_delta_stats
+
+        old, new = self._docs(
+            spark,
+            "aaaa bbbb cccc dddd eeee ffff gggg hhhh " * 10,
+            "zzzz yyyy xxxx wwww vvvv uuuu tttt ssss " * 10,
+        )
+        r = cdc_delta_stats(old, new).collect()[0]
+        assert r["reused_bytes"] == 0 and r["n_reused"] == 0
+        assert r["reuse_frac"] == 0.0
+
+    def test_byte_accounting_sums_to_length(self, spark):
+        from gc_spark.operators.snapshot_diff import cdc_delta_stats
+
+        t = "lorem ipsum dolor sit amet consectetur " * 12
+        edited = t + " tail"
+        old, new = self._docs(spark, t, edited)
+        r = cdc_delta_stats(old, new).collect()[0]
+        assert r["reused_bytes"] + r["new_bytes"] == len(edited)
