@@ -2792,6 +2792,57 @@ def q137_cdc_delta(spark, sf_dir):
     return cdc_delta_stats(d.select("doc_id", "text"), new)
 
 
+def q138_trustrank(spark, sf_dir):
+    """TrustRank spam screen (operators/pagerank.trustrank): personalized
+    PageRank with teleport + dangling mass flowing back to a trusted seed
+    set (hosts ≡ 0 mod 10 on a 60-node graph from events) — link farms
+    with no trusted in-path stay at exactly 0. Oracle: the same 5
+    iterations as chained SQL CTEs with the seed vector as a CASE column."""
+    from gc_spark.operators.pagerank import trustrank
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        (F.col("user_id") % 60).alias("src"),
+        ((F.col("user_id") * 11 + F.col("event_id") * 3) % 60).alias("dst"),
+    )
+    nodes = edges.select(F.col("src").alias("node")).union(
+        edges.select(F.col("dst").alias("node"))
+    ).distinct()
+    seeds = nodes.filter(F.col("node") % 10 == 0)
+    tr = trustrank(edges, seeds, iters=5, damping=0.85)
+    return tr.select("node", F.round("trust", 6).alias("trust"))
+
+
+def q139_modality_mix(spark, sf_dir):
+    """Per-source modality ledger (operators/spans.modality_mix): text
+    tokens / media spans / media-per-token density / media-leading doc
+    share from interleaved span arrays — one array fold per doc, one
+    source-keyed aggregate; span structs never shuffle. Docs ≡ 0 mod 5
+    have their offset-0 text span dropped so media leads (caption-style),
+    making leading_media_frac non-degenerate."""
+    from gc_spark.operators.spans import build_interleaved_spans, modality_mix
+
+    d = _t_wide(spark, sf_dir, "documents")
+    spans_df = build_interleaved_spans(d).join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    doc = F.col("doc_id")
+    staged = spans_df.select(
+        "doc_id",
+        "source",
+        F.when(
+            doc % 5 == 0,
+            F.filter(
+                "spans",
+                lambda s: ~((s["kind"] == "text") & (s["offset"] == 0)),
+            ),
+        )
+        .otherwise(F.col("spans"))
+        .alias("spans"),
+    )
+    return modality_mix(staged)
+
+
 _MIRRORS_ORACLE = """
     WITH corpus AS (
       SELECT source AS h, text FROM documents
@@ -4068,6 +4119,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q135_link_prediction": q135_link_prediction,
         "q136_fetch_sessions": q136_fetch_sessions,
         "q137_cdc_delta": q137_cdc_delta,
+        "q138_trustrank": q138_trustrank,
+        "q139_modality_mix": q139_modality_mix,
     }
 
 
@@ -4495,6 +4548,73 @@ _MEDIA_DEDUP_ORACLE = """
            ROUND(SUM(CASE WHEN dfq > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
              AS dup_media_frac
     FROM media JOIN df_ USING (ref) GROUP BY doc_id
+"""
+
+
+def _trustrank_oracle(iters: int = 5, damping: float = 0.85) -> str:
+    """Chained-CTE personalized PageRank: teleport AND dangling mass go to
+    the seed vector sv (a CASE column on nodes), r0 = sv — the q52 oracle
+    shape with s(v) replacing 1/n."""
+    d = f"CAST({damping} AS DOUBLE)"
+    parts = [
+        "WITH e AS (SELECT DISTINCT user_id % 60 AS src,"
+        " (user_id * 11 + event_id * 3) % 60 AS dst FROM events)",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d FROM e GROUP BY src)",
+        "sm AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM nodes WHERE node % 10 = 0)",
+        "s AS (SELECT node, CASE WHEN node % 10 = 0 THEN 1.0 / (SELECT m FROM sm)"
+        " ELSE CAST(0.0 AS DOUBLE) END AS sv FROM nodes)",
+        "r0 AS (SELECT node, sv AS r FROM s)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"r{k - 1}"
+        parts.append(
+            f"r{k} AS (SELECT s.node, (1.0 - {d}) * s.sv + {d} * (COALESCE(c.cs, 0)"
+            f" + (SELECT COALESCE(SUM({p}.r), 0) FROM {p} LEFT JOIN deg"
+            f" ON {p}.node = deg.src WHERE deg.src IS NULL) * s.sv) AS r"
+            f" FROM s LEFT JOIN"
+            f" (SELECT e.dst AS node, SUM({p}.r / deg.d) AS cs"
+            f" FROM {p} JOIN deg ON {p}.node = deg.src JOIN e ON e.src = {p}.node"
+            f" GROUP BY e.dst) c ON s.node = c.node)"
+        )
+    return ",\n".join(parts) + f"\nSELECT node, ROUND(r, 6) AS trust FROM r{iters}"
+
+
+_MODALITY_MIX_ORACLE = """
+    WITH base AS (
+      SELECT doc_id, source, text,
+             UNNEST(range(0, CAST(greatest(ceil(length(text) / 80.0), 1) AS BIGINT))) AS i
+      FROM documents
+    ), tspans AS (
+      SELECT doc_id, substr(text, CAST(i * 80 + 1 AS INTEGER), 80) AS chunk,
+             i + i // 3 AS off
+      FROM base
+    ), t2 AS (
+      SELECT * FROM tspans WHERE NOT (doc_id % 5 = 0 AND off = 0)
+    ), mspans AS (
+      SELECT doc_id, i + i // 3 + 1 AS off FROM base WHERE i % 3 = 2
+    ), tok AS (
+      SELECT doc_id,
+             SUM(len(string_split_regex(trim(chunk), '\\s+'))) AS toks,
+             MIN(off) AS tmin
+      FROM t2 GROUP BY doc_id
+    ), med AS (
+      SELECT doc_id, COUNT(*) AS m, MIN(off) AS mmin FROM mspans GROUP BY doc_id
+    ), perdoc AS (
+      SELECT d.doc_id, d.source,
+             COALESCE(toks, 0) AS toks, COALESCE(m, 0) AS m,
+             CASE WHEN mmin IS NOT NULL AND (tmin IS NULL OR mmin < tmin)
+                  THEN 1 ELSE 0 END AS lead
+      FROM documents d
+      LEFT JOIN tok USING (doc_id)
+      LEFT JOIN med USING (doc_id)
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS text_tokens,
+           CAST(SUM(m) AS BIGINT) AS n_media,
+           ROUND(SUM(m) * 1.0 / greatest(SUM(toks), 1), 6) AS media_text_ratio,
+           ROUND(AVG(lead), 6) AS leading_media_frac
+    FROM perdoc GROUP BY source
 """
 
 
@@ -5058,6 +5178,8 @@ def oracle_sql() -> dict[str, str]:
         "q135_link_prediction": _LINKPRED_ORACLE,
         "q136_fetch_sessions": _SESSIONS_ORACLE,
         "q137_cdc_delta": _CDC_DELTA_ORACLE,
+        "q138_trustrank": _trustrank_oracle(),
+        "q139_modality_mix": _MODALITY_MIX_ORACLE,
         "q61_budget_allocation": _pagerank_cte(iters=5, damping=0.85) + """
             SELECT node AS host,
                    CAST(least(greatest(

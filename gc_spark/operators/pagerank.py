@@ -136,3 +136,90 @@ def frontier_priority(
     return frontier.join(F.broadcast(r), host_col, "left").withColumn(
         "priority", F.coalesce(F.col("priority"), F.lit(floor))
     )
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """TrustRank (Gyongyi/Garcia-Molina/Pedersen, VLDB 2004): PageRank with
+    the teleport vector concentrated on a hand-vetted TRUSTED seed set —
+    trust flows out along links and decays with distance, so link farms
+    that rank well under uniform teleport (they manufacture in-links from
+    nowhere trusted) score ~0 here. The spam screen that complements
+    linkspam.reciprocity_stats' structural test; (node, trust) feeds the
+    frontier drain priority exactly like pagerank's output.
+
+    Personalized-PageRank recurrence: r(v) = (1-d)*s(v) + d*(contrib(v) +
+    dangling*s(v)) with s the uniform seed distribution and r0 = s —
+    dangling mass teleports BACK TO SEEDS, not to all nodes, so unreachable
+    nodes stay at exactly 0 (the manual-vetting budget is what's scarce;
+    see the paper's inverse-pagerank seed selection, out of scope here).
+
+    `seeds` is a 1-column (node) frame. Scale shape identical to pagerank:
+    one contribution shuffle per round, dangling as an in-dataflow 1-row
+    broadcast, per-round lazy localCheckpoints; the seed vector rides the
+    node table as a column, never a separate join in the loop.
+    """
+    e = (
+        edges.select(F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    node_ids = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    sd = seeds.select(F.col("node").cast("long").alias("_snode")).distinct()
+    m = sd.count()
+    if m == 0:
+        raise ValueError("trustrank needs a non-empty seed set")
+    nodes = (
+        node_ids.join(sd, node_ids["node"] == sd["_snode"], "left")
+        .select(
+            "node",
+            F.when(F.col("_snode").isNotNull(), F.lit(1.0 / m))
+            .otherwise(F.lit(0.0))
+            .alias("_s"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    deg = e.groupBy("src").agg(F.count("*").cast("double").alias("_deg")).select(
+        F.col("src").alias("_dnode"), "_deg"
+    )
+
+    ranks = nodes.select("node", "_s", F.col("_s").alias("trust"))
+    for _ in range(iters):
+        with_deg = ranks.join(deg, ranks["node"] == deg["_dnode"], "left")
+        dangling = with_deg.filter(F.col("_deg").isNull()).agg(
+            F.coalesce(F.sum("trust"), F.lit(0.0)).alias("_dangling")
+        )
+        contrib = (
+            with_deg.filter(F.col("_deg").isNotNull())
+            .join(e, with_deg["node"] == e["src"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("trust") / F.col("_deg")).alias("_c"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                "_s",
+                (
+                    (1.0 - damping) * F.col("_s")
+                    + damping
+                    * (
+                        F.coalesce(F.col("_c"), F.lit(0.0))
+                        + F.col("_dangling") * F.col("_s")
+                    )
+                ).alias("trust"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("node", "trust")

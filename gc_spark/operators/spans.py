@@ -403,3 +403,53 @@ def media_dedup_stats(df: DataFrame) -> DataFrame:
             "dup_media_frac"
         ),
     )
+
+
+def modality_mix(
+    df: DataFrame, source_col: str = "source", token_split: str = r"\s+"
+) -> DataFrame:
+    """Per-source modality ledger over interleaved span sequences — the
+    release_report (operators/report) sibling for the multimodal axis:
+
+      (source, n_docs, text_tokens, n_media, media_text_ratio,
+       leading_media_frac)
+
+    text_tokens counts whitespace tokens inside text spans (per-span, the
+    same split the quality ops use); media_text_ratio is the corpus-level
+    media-per-token density VLM training mixes are tuned on;
+    leading_media_frac is the share of docs whose FIRST span (min offset)
+    is media — caption-style docs behave differently from article-style
+    docs in packing (pack_multimodal) and truncation (truncate_spans).
+
+    Scale shape: every per-doc figure is ONE array fold over the spans
+    column (blobs and span structs never shuffle, no explode), then a
+    single source-keyed aggregate of 4 longs — the output is
+    source-cardinality.
+    """
+    spans = F.col("spans")
+    toks = F.aggregate(
+        F.filter(spans, lambda s: s["kind"] == "text"),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + F.size(F.split(F.trim(s["text"]), token_split)),
+    )
+    n_media = F.size(F.filter(spans, lambda s: s["kind"] == "media"))
+    min_off = F.array_min(F.transform(spans, lambda s: s["offset"]))
+    leads = F.exists(
+        spans,
+        lambda s: (s["offset"] == min_off) & (s["kind"] == "media"),
+    ).cast("int")
+    per_doc = df.select(
+        F.col(source_col).alias("source"),
+        toks.alias("_toks"),
+        n_media.cast("long").alias("_m"),
+        leads.alias("_lead"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_toks").alias("text_tokens"),
+        F.sum("_m").alias("n_media"),
+        F.round(
+            F.sum("_m") / F.greatest(F.sum("_toks"), F.lit(1)), 6
+        ).alias("media_text_ratio"),
+        F.round(F.avg("_lead"), 6).alias("leading_media_frac"),
+    )

@@ -99,3 +99,99 @@ class TestCdcDelta:
         old, new = self._docs(spark, t, edited)
         r = cdc_delta_stats(old, new).collect()[0]
         assert r["reused_bytes"] + r["new_bytes"] == len(edited)
+
+
+class TestTrustRank:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(pairs, "src long, dst long")
+
+    def _seeds(self, spark, nodes):
+        return spark.createDataFrame([(n,) for n in nodes], "node long")
+
+    def test_unreachable_farm_scores_exactly_zero(self, spark):
+        from gc_spark.operators.pagerank import trustrank
+
+        # trusted chain 1->2->3; link farm 10<->11 with no trusted in-path
+        e = self._edges(spark, [(1, 2), (2, 3), (10, 11), (11, 10)])
+        got = {r["node"]: r["trust"] for r in
+               trustrank(e, self._seeds(spark, [1]), iters=4).collect()}
+        assert got[10] == 0.0 and got[11] == 0.0
+        assert got[1] > 0 and got[2] > 0 and got[3] > 0
+
+    def test_matches_numpy_reference_recurrence(self, spark):
+        from gc_spark.operators.pagerank import trustrank
+
+        e = self._edges(spark, [(1, 2), (2, 3), (3, 4)])
+        got = {r["node"]: r["trust"] for r in
+               trustrank(e, self._seeds(spark, [1]), iters=6).collect()}
+        # same recurrence, sequentially: r = 0.15*s + 0.85*(contrib + dang*s)
+        s = {1: 1.0, 2: 0.0, 3: 0.0, 4: 0.0}
+        r = dict(s)
+        for _ in range(6):
+            dang = r[4]  # node 4 has no out-edges
+            r = {
+                v: 0.15 * s[v]
+                + 0.85 * ({2: r[1], 3: r[2], 4: r[3]}.get(v, 0.0) + dang * s[v])
+                for v in (1, 2, 3, 4)
+            }
+        for v in (1, 2, 3, 4):
+            assert abs(got[v] - r[v]) < 1e-12
+
+    def test_trust_decays_with_distance_at_convergence(self, spark):
+        from gc_spark.operators.pagerank import trustrank
+
+        e = self._edges(spark, [(1, 2), (2, 3), (3, 4)])
+        got = {r["node"]: r["trust"] for r in
+               trustrank(e, self._seeds(spark, [1]), iters=40).collect()}
+        # fixed point: t(k+1) = 0.85 * t(k) along the chain
+        assert got[1] > got[2] > got[3] > got[4] > 0
+
+    def test_trust_mass_conserved(self, spark):
+        from gc_spark.operators.pagerank import trustrank
+
+        e = self._edges(spark, [(1, 2), (2, 3), (3, 1), (3, 4), (5, 1)])
+        rows = trustrank(e, self._seeds(spark, [1, 5]), iters=5).collect()
+        assert abs(sum(r["trust"] for r in rows) - 1.0) < 1e-9
+
+    def test_empty_seed_set_rejected(self, spark):
+        import pytest
+        from gc_spark.operators.pagerank import trustrank
+
+        e = self._edges(spark, [(1, 2)])
+        with pytest.raises(ValueError):
+            trustrank(e, self._seeds(spark, []), iters=1)
+
+
+class TestModalityMix:
+    _SCHEMA = (
+        "doc_id long, source string, "
+        "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    )
+
+    def test_ledger_numbers(self, spark):
+        from gc_spark.operators.spans import modality_mix
+
+        rows = [
+            # media-leading doc: 1 media + 2 text spans of 2 tokens each
+            (1, "a", [("media", None, "img://1", 0),
+                      ("text", "x y", None, 1),
+                      ("text", "p q", None, 2)]),
+            # text-only doc: 3 tokens
+            (2, "a", [("text", "a b c", None, 0)]),
+        ]
+        df = spark.createDataFrame(rows, self._SCHEMA)
+        r = modality_mix(df).collect()[0]
+        assert r["n_docs"] == 2
+        assert r["text_tokens"] == 7
+        assert r["n_media"] == 1
+        assert abs(r["media_text_ratio"] - round(1 / 7, 6)) < 1e-9
+        assert r["leading_media_frac"] == 0.5
+
+    def test_empty_spans_doc_counts_with_zero_tokens(self, spark):
+        from gc_spark.operators.spans import modality_mix
+
+        rows = [(1, "s", []), (2, "s", [("text", "one two", None, 0)])]
+        df = spark.createDataFrame(rows, self._SCHEMA)
+        r = modality_mix(df).collect()[0]
+        assert r["n_docs"] == 2 and r["text_tokens"] == 2
+        assert r["leading_media_frac"] == 0.0
