@@ -2843,6 +2843,56 @@ def q139_modality_mix(spark, sf_dir):
     return modality_mix(staged)
 
 
+def q140_cms_estimates(spark, sf_dir):
+    """Count-min sketch frequency surface (operators/cms): depth-4 ×
+    width-512 counters built in one constant-fan-out pass over document
+    tokens (shuffle is sketch-sized — map-side combine absorbs the rest),
+    then probed for every term with true count >= 30; estimate = min over
+    the 4 counters, always >= truth, identical in both engines because the
+    bucket hash is the shared portable sha-60 kernel."""
+    from gc_spark.operators.cms import cms_build, cms_estimate
+
+    d = _t_wide(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
+    )
+    sketch = cms_build(toks, depth=4, width=512)
+    truth = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .filter(F.col("true_cnt") >= 30)
+    )
+    return cms_estimate(sketch, truth, depth=4, width=512)
+
+
+def q141_phash_dups(spark, sf_dir):
+    """Perceptual-hash media near-dup pairs (operators/phash.
+    phash_near_dup_pairs): Manku-style 4×16-bit banding + exact
+    bit_count(xor) <= 3 verify on band-collision candidates only. Planted
+    over a 50-image pool: class (pk//50)%5==0 carries the pool hash with
+    2 bits flipped (near-dup), class 1 the exact pool hash, the rest
+    unique hashes (Hamming ~30 apart — band collisions happen,
+    verification kills them). Class is decoupled from the pool id so
+    variant and exact copies of the SAME image coexist: output mixes
+    hamming-0 (exact) and hamming-2 (near) pairs."""
+    from gc_spark.operators.phash import phash_near_dup_pairs
+    from gc_spark.operators.text_dedup import sha60_col
+
+    p = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    cls = F.floor(pk / 50) % 5
+    base = sha60_col(F.concat(F.lit("img"), (pk % 50).cast("string")))
+    h = (
+        F.when(cls == 0, base.bitwiseXOR(F.lit(3)))
+        .when(cls == 1, base)
+        .otherwise(sha60_col(F.concat(F.lit("uniq"), pk.cast("string"))))
+    )
+    media = p.select(pk.cast("long").alias("media_id"), h.alias("phash64"))
+    return phash_near_dup_pairs(
+        media, id_col="media_id", hash_col="phash64", bands=4, max_hamming=3
+    )
+
+
 _MIRRORS_ORACLE = """
     WITH corpus AS (
       SELECT source AS h, text FROM documents
@@ -4121,6 +4171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q137_cdc_delta": q137_cdc_delta,
         "q138_trustrank": q138_trustrank,
         "q139_modality_mix": q139_modality_mix,
+        "q140_cms_estimates": q140_cms_estimates,
+        "q141_phash_dups": q141_phash_dups,
     }
 
 
@@ -4615,6 +4667,63 @@ _MODALITY_MIX_ORACLE = """
            ROUND(SUM(m) * 1.0 / greatest(SUM(toks), 1), 6) AS media_text_ratio,
            ROUND(AVG(lead), 6) AS leading_media_frac
     FROM perdoc GROUP BY source
+"""
+
+
+_CMS_ORACLE = """
+    WITH toks AS (
+      SELECT UNNEST(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents
+    ), sk AS (
+      SELECT dd AS "row",
+             CAST('0x' || substr(sha256(term || '|' || CAST(dd AS VARCHAR)),
+               1, 15) AS BIGINT) % 512 AS bucket,
+             COUNT(*) AS cnt
+      FROM toks CROSS JOIN (SELECT UNNEST(range(0, 4)) AS dd)
+      GROUP BY 1, 2
+    ), truth AS (
+      SELECT term, COUNT(*) AS true_cnt FROM toks
+      GROUP BY term HAVING COUNT(*) >= 30
+    ), probes AS (
+      SELECT term, true_cnt, dd,
+             CAST('0x' || substr(sha256(term || '|' || CAST(dd AS VARCHAR)),
+               1, 15) AS BIGINT) % 512 AS b
+      FROM truth CROSS JOIN (SELECT UNNEST(range(0, 4)) AS dd)
+    )
+    SELECT term, true_cnt, MIN(COALESCE(cnt, 0)) AS cms_est
+    FROM probes LEFT JOIN sk ON sk."row" = probes.dd AND sk.bucket = probes.b
+    GROUP BY term, true_cnt
+"""
+
+
+_PHASH_ORACLE = """
+    WITH m AS (
+      SELECT CAST(p_partkey AS BIGINT) AS media_id,
+             CASE WHEN (p_partkey // 50) % 5 = 0 THEN
+                    xor(CAST('0x' || substr(sha256('img'
+                      || CAST(p_partkey % 50 AS VARCHAR)), 1, 15) AS BIGINT), 3)
+                  WHEN (p_partkey // 50) % 5 = 1 THEN
+                    CAST('0x' || substr(sha256('img'
+                      || CAST(p_partkey % 50 AS VARCHAR)), 1, 15) AS BIGINT)
+                  ELSE
+                    CAST('0x' || substr(sha256('uniq'
+                      || CAST(p_partkey AS VARCHAR)), 1, 15) AS BIGINT)
+             END AS h
+      FROM part
+    ), banded AS (
+      SELECT media_id, h, b AS band_no, (h >> (b * 16)) & 65535 AS band_bits
+      FROM m CROSS JOIN (SELECT UNNEST(range(0, 4)) AS b)
+    ), df_ AS (
+      SELECT band_no, band_bits, COUNT(*) AS c
+      FROM banded GROUP BY band_no, band_bits
+    ), capped AS (
+      SELECT banded.* FROM banded JOIN df_ USING (band_no, band_bits)
+      WHERE c <= 1000
+    )
+    SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+           CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming
+    FROM capped a JOIN capped b USING (band_no, band_bits)
+    WHERE a.media_id < b.media_id AND bit_count(xor(a.h, b.h)) <= 3
 """
 
 
@@ -5180,6 +5289,8 @@ def oracle_sql() -> dict[str, str]:
         "q137_cdc_delta": _CDC_DELTA_ORACLE,
         "q138_trustrank": _trustrank_oracle(),
         "q139_modality_mix": _MODALITY_MIX_ORACLE,
+        "q140_cms_estimates": _CMS_ORACLE,
+        "q141_phash_dups": _PHASH_ORACLE,
         "q61_budget_allocation": _pagerank_cte(iters=5, damping=0.85) + """
             SELECT node AS host,
                    CAST(least(greatest(

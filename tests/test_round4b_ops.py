@@ -195,3 +195,100 @@ class TestModalityMix:
         r = modality_mix(df).collect()[0]
         assert r["n_docs"] == 2 and r["text_tokens"] == 2
         assert r["leading_media_frac"] == 0.0
+
+
+def _sha60_py(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.sha256(s.encode()).hexdigest()[:15], 16)
+
+
+class TestCountMinSketch:
+    def _toks(self, spark, words):
+        return spark.createDataFrame([(w,) for w in words], "term string")
+
+    def test_estimates_match_python_reference_and_overcount_only(self, spark):
+        from gc_spark.operators.cms import cms_build, cms_estimate
+
+        words = (["apple"] * 5 + ["pear"] * 3 + ["plum"] * 2
+                 + [f"noise{i}" for i in range(40)])
+        toks = self._toks(spark, words)
+        depth, width = 4, 32  # small width -> collisions on purpose
+        sketch = cms_build(toks, depth=depth, width=width)
+        truth = toks.groupBy("term").agg(F.count(F.lit(1)).alias("true_cnt"))
+        got = {r["term"]: r for r in
+               cms_estimate(sketch, truth, depth=depth, width=width).collect()}
+
+        # python reference: same counters, same hash kernel
+        from collections import Counter
+
+        counters = Counter()
+        for w in words:
+            for d in range(depth):
+                counters[(d, _sha60_py(f"{w}|{d}") % width)] += 1
+        for w in set(words):
+            ref = min(counters[(d, _sha60_py(f"{w}|{d}") % width)]
+                      for d in range(depth))
+            assert got[w]["cms_est"] == ref
+            assert got[w]["cms_est"] >= got[w]["true_cnt"]
+
+    def test_merge_of_disjoint_halves_equals_whole(self, spark):
+        from gc_spark.operators.cms import cms_build, cms_merge
+
+        words = [f"w{i % 7}" for i in range(30)]
+        whole = cms_build(self._toks(spark, words), depth=3, width=16)
+        merged = cms_merge(
+            cms_build(self._toks(spark, words[:13]), depth=3, width=16),
+            cms_build(self._toks(spark, words[13:]), depth=3, width=16),
+        )
+        as_set = lambda df: {(r["row"], r["bucket"], r["cnt"]) for r in df.collect()}  # noqa: E731
+        assert as_set(whole) == as_set(merged)
+
+
+class TestPhashNearDup:
+    def _media(self, spark, rows):
+        return spark.createDataFrame(rows, "media_id long, phash64 long")
+
+    def test_planted_near_dup_found_with_exact_hamming(self, spark):
+        from gc_spark.operators.phash import phash_near_dup_pairs
+
+        base = _sha60_py("imgA")
+        rows = [(1, base), (2, base ^ 0b101), (3, _sha60_py("other"))]
+        got = phash_near_dup_pairs(self._media(spark, rows)).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert (r["id_a"], r["id_b"], r["hamming"]) == (1, 2, 2)
+
+    def test_pair_beyond_threshold_not_emitted(self, spark):
+        from gc_spark.operators.phash import phash_near_dup_pairs
+
+        base = _sha60_py("imgB")
+        # flip one bit in each of the 4 bands: hamming 4 > max 3, and no
+        # band agrees so it is not even a candidate
+        far = base ^ ((1 << 0) | (1 << 16) | (1 << 32) | (1 << 48))
+        got = phash_near_dup_pairs(self._media(spark, [(1, base), (2, far)])).collect()
+        assert got == []
+
+    def test_exact_dups_hamming_zero(self, spark):
+        from gc_spark.operators.phash import phash_near_dup_pairs
+
+        h = _sha60_py("imgC")
+        got = phash_near_dup_pairs(self._media(spark, [(7, h), (9, h)])).collect()
+        assert [(r["id_a"], r["id_b"], r["hamming"]) for r in got] == [(7, 9, 0)]
+
+    def test_band_df_cap_drops_degenerate_buckets(self, spark):
+        from gc_spark.operators.phash import phash_near_dup_pairs
+
+        h = _sha60_py("imgD")
+        rows = [(i, h) for i in range(1, 4)]  # 3 identical: every band df=3
+        got = phash_near_dup_pairs(self._media(spark, rows), max_band_df=2).collect()
+        assert got == []  # capped everywhere -> documented recall loss
+
+    def test_threshold_must_respect_pigeonhole(self, spark):
+        import pytest
+        from gc_spark.operators.phash import phash_near_dup_pairs
+
+        with pytest.raises(ValueError):
+            phash_near_dup_pairs(
+                self._media(spark, [(1, 1)]), bands=4, max_hamming=4
+            )
