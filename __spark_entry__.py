@@ -2893,6 +2893,44 @@ def q141_phash_dups(spark, sf_dir):
     )
 
 
+def q142_span_redact(spark, sf_dir):
+    """Structure-preserving PII redaction over interleaved documents
+    (operators/spans.redact_spans after coalesce_text_spans): emails/phones
+    planted into the raw text (q47's plants), spans built and text runs
+    coalesced so only REAL media boundaries split text, then redaction +
+    audit counts inside the span arrays — the sequence fingerprint pins the
+    exact redacted interleaved bytes."""
+    from gc_spark.operators.spans import (
+        build_interleaved_spans,
+        coalesce_text_spans,
+        redact_spans,
+        span_sequence_fingerprint,
+    )
+
+    d = _t_wide(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            doc % 7 == 0,
+            F.concat(
+                F.lit(" contact user"), doc.cast("string"), F.lit("@example.mil")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            doc % 11 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad(F.pmod(doc, F.lit(10000)).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    staged = d.select("doc_id", planted.alias("text"))
+    red = redact_spans(coalesce_text_spans(build_interleaved_spans(staged)))
+    fp = span_sequence_fingerprint(red.select("doc_id", "spans"))
+    return red.select("doc_id", "n_emails", "n_phones").join(fp, "doc_id")
+
+
 _MIRRORS_ORACLE = """
     WITH corpus AS (
       SELECT source AS h, text FROM documents
@@ -4173,6 +4211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q139_modality_mix": q139_modality_mix,
         "q140_cms_estimates": q140_cms_estimates,
         "q141_phash_dups": q141_phash_dups,
+        "q142_span_redact": q142_span_redact,
     }
 
 
@@ -4724,6 +4763,75 @@ _PHASH_ORACLE = """
            CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming
     FROM capped a JOIN capped b USING (band_no, band_bits)
     WHERE a.media_id < b.media_id AND bit_count(xor(a.h, b.h)) <= 3
+"""
+
+
+_SPAN_REDACT_ORACLE = """
+    WITH p AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.mil'
+                     ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                     THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END AS t
+      FROM documents
+    ), base AS (
+      SELECT doc_id, t,
+             CAST(greatest(ceil(length(t) / 80.0), 1) AS BIGINT) AS nch
+      FROM p
+    ), runs AS (
+      SELECT doc_id, t, (nch + 2) // 3 AS nruns, nch // 3 AS nmedia
+      FROM base
+    ), lines AS (
+      SELECT doc_id, nruns, nmedia,
+             flatten(list_transform(range(0, nruns), r ->
+               CASE WHEN r < nmedia THEN
+                 [concat_ws('|', 'text',
+                    CAST(length(regexp_replace(regexp_replace(
+                      substr(t, CAST(r * 240 + 1 AS INTEGER), 240),
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                      '<EMAIL>', 'g'), '\\b\\d{3}-\\d{4}\\b', '<PHONE>', 'g'))
+                      AS VARCHAR),
+                    regexp_replace(regexp_replace(
+                      substr(t, CAST(r * 240 + 1 AS INTEGER), 240),
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                      '<EMAIL>', 'g'), '\\b\\d{3}-\\d{4}\\b', '<PHONE>', 'g'),
+                    '0', ''),
+                  concat_ws('|', 'media', '0', '',
+                    CAST(length('blob://doc/' || CAST(doc_id AS VARCHAR) || '/'
+                      || CAST(3 * r + 2 AS VARCHAR)) AS VARCHAR),
+                    'blob://doc/' || CAST(doc_id AS VARCHAR) || '/'
+                      || CAST(3 * r + 2 AS VARCHAR))]
+               ELSE
+                 [concat_ws('|', 'text',
+                    CAST(length(regexp_replace(regexp_replace(
+                      substr(t, CAST(r * 240 + 1 AS INTEGER), 240),
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                      '<EMAIL>', 'g'), '\\b\\d{3}-\\d{4}\\b', '<PHONE>', 'g'))
+                      AS VARCHAR),
+                    regexp_replace(regexp_replace(
+                      substr(t, CAST(r * 240 + 1 AS INTEGER), 240),
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                      '<EMAIL>', 'g'), '\\b\\d{3}-\\d{4}\\b', '<PHONE>', 'g'),
+                    '0', '')]
+               END)) AS ls,
+             list_sum(list_transform(range(0, nruns), r ->
+               len(regexp_extract_all(substr(t, CAST(r * 240 + 1 AS INTEGER), 240),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')))) AS ne,
+             list_sum(list_transform(range(0, nruns), r ->
+               len(regexp_extract_all(substr(t, CAST(r * 240 + 1 AS INTEGER), 240),
+                 '\\b\\d{3}-\\d{4}\\b')))) AS np
+      FROM runs
+    )
+    SELECT doc_id,
+           CAST(COALESCE(ne, 0) AS INTEGER) AS n_emails,
+           CAST(COALESCE(np, 0) AS INTEGER) AS n_phones,
+           CAST(nruns + nmedia AS INTEGER) AS n_spans,
+           CAST(nmedia AS INTEGER) AS n_media,
+           sha256(array_to_string(ls, chr(10))) AS span_seq_sha
+    FROM lines
 """
 
 
@@ -5291,6 +5399,7 @@ def oracle_sql() -> dict[str, str]:
         "q139_modality_mix": _MODALITY_MIX_ORACLE,
         "q140_cms_estimates": _CMS_ORACLE,
         "q141_phash_dups": _PHASH_ORACLE,
+        "q142_span_redact": _SPAN_REDACT_ORACLE,
         "q61_budget_allocation": _pagerank_cte(iters=5, damping=0.85) + """
             SELECT node AS host,
                    CAST(least(greatest(

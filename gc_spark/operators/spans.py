@@ -453,3 +453,56 @@ def modality_mix(
         ).alias("media_text_ratio"),
         F.round(F.avg("_lead"), 6).alias("leading_media_frac"),
     )
+
+
+def redact_spans(df: DataFrame) -> DataFrame:
+    """PII-redact interleaved documents WITHOUT flattening them: emails and
+    phone-shaped runs inside text spans become typed placeholders
+    (functions/text.redact_pii_col's kernel), media spans and the span
+    structure pass through untouched. Emits (doc_id, spans, n_emails,
+    n_phones) — the redacted sequence plus the audit counts.
+
+    Run coalesce_text_spans FIRST: extractors chunk text arbitrarily, and
+    PII straddling an artificial chunk boundary matches in neither half;
+    after coalescing, the only span boundaries left are real media
+    boundaries, which genuinely do split text. Pure per-row array
+    transforms + folds — map-side, blobs never move, no Python.
+    """
+    from gc_spark.functions.text import EMAIL_PATTERN, PHONE_PATTERN
+
+    spans = F.col("spans")
+
+    def scrubbed(t):
+        return F.regexp_replace(
+            F.regexp_replace(t, EMAIL_PATTERN, "<EMAIL>"),
+            PHONE_PATTERN,
+            "<PHONE>",
+        )
+
+    red = F.transform(
+        spans,
+        lambda s: F.struct(
+            s["kind"].alias("kind"),
+            F.when(s["kind"] == "text", scrubbed(s["text"]))
+            .otherwise(s["text"])
+            .alias("text"),
+            s["media_ref"].alias("media_ref"),
+            s["offset"].alias("offset"),
+        ),
+    )
+
+    def pat_count(pattern: str):
+        return F.aggregate(
+            F.filter(spans, lambda s: s["kind"] == "text"),
+            F.lit(0),
+            lambda acc, s: acc
+            + F.size(F.regexp_extract_all(s["text"], F.lit(pattern), 0)),
+        )
+
+    keep = [c for c in df.columns if c != "spans"]
+    return df.select(
+        *keep,
+        red.alias("spans"),
+        pat_count(EMAIL_PATTERN).cast("int").alias("n_emails"),
+        pat_count(PHONE_PATTERN).cast("int").alias("n_phones"),
+    )

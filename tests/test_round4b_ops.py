@@ -292,3 +292,38 @@ class TestPhashNearDup:
             phash_near_dup_pairs(
                 self._media(spark, [(1, 1)]), bands=4, max_hamming=4
             )
+
+
+class TestRedactSpans:
+    def test_redacts_inside_text_spans_and_counts(self, spark):
+        from gc_spark.operators.spans import redact_spans
+
+        rows = [(1, [("text", "mail bob@example.mil now", None, 0),
+                     ("media", None, "img://7", 1),
+                     ("text", "call 555-1234 ok", None, 2)])]
+        df = spark.createDataFrame(rows, TestModalityMix._SCHEMA.replace(
+            "source string, ", ""))
+        r = redact_spans(df).collect()[0]
+        texts = [s["text"] for s in r["spans"]]
+        assert texts[0] == "mail <EMAIL> now"
+        assert texts[2] == "call <PHONE> ok"
+        assert r["spans"][1]["media_ref"] == "img://7"
+        assert r["n_emails"] == 1 and r["n_phones"] == 1
+        # structure untouched
+        assert [s["offset"] for s in r["spans"]] == [0, 1, 2]
+
+    def test_coalesce_first_catches_boundary_straddling_pii(self, spark):
+        from gc_spark.operators.spans import (
+            build_interleaved_spans,
+            coalesce_text_spans,
+            redact_spans,
+        )
+
+        # email crosses the 80-char chunk boundary inside one text run
+        text = "x" * 75 + " bob@example.mil " + "y" * 100
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        spans = build_interleaved_spans(df)
+        raw = redact_spans(spans).collect()[0]
+        coalesced = redact_spans(coalesce_text_spans(spans)).collect()[0]
+        assert raw["n_emails"] == 0          # split across chunks: missed
+        assert coalesced["n_emails"] == 1    # real boundaries only: caught
