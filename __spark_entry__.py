@@ -2931,6 +2931,54 @@ def q142_span_redact(spark, sf_dir):
     return red.select("doc_id", "n_emails", "n_phones").join(fp, "doc_id")
 
 
+def q143_span_langs(spark, sf_dir):
+    """Span-grain language segmentation (operators/spans.
+    span_language_profile): the q12 stopword heuristic per COALESCED text
+    run, rolled up to (en span counts, en_frac, majority doc_lang,
+    is_mixed) — the mixed-language docs doc-grain language ID mislabels.
+    Docs ≡ 0 mod 6 get a 300-char non-English tail so mixed docs exist by
+    construction."""
+    from gc_spark.operators.spans import (
+        build_interleaved_spans,
+        coalesce_text_spans,
+        span_language_profile,
+    )
+
+    d = _t_wide(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    planted = F.concat(
+        "text",
+        F.when(doc % 6 == 0, F.lit(" zzz qqq vvv kkk" * 20)).otherwise(
+            F.lit("")
+        ),
+    )
+    staged = d.select("doc_id", planted.alias("text"))
+    return span_language_profile(
+        coalesce_text_spans(build_interleaved_spans(staged))
+    )
+
+
+def q144_size_quantiles(spark, sf_dir):
+    """Mergeable log2-histogram quantiles (operators/qsketch): per-host
+    p50/p95/p99 response-size upper-bound estimates from integer
+    bit-length buckets — counters merge across partitions/micro-batches,
+    the raw stream collapses map-side, and the quantile read is one
+    window over a ~64-row-per-host table. Thresholds are integer
+    ceil(P*n/100); bucketing is bit length, not float log2, so engines
+    agree bit-exactly."""
+    from gc_spark.operators.qsketch import histogram_quantiles, log2_histogram
+
+    ev = _t(spark, sf_dir, "events")
+    staged = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 40).cast("string")).alias(
+            "host"
+        ),
+        F.floor(F.abs(F.col("value")) * 1000).cast("long").alias("sz"),
+    )
+    hist = log2_histogram(staged, value_col="sz", group_col="host")
+    return histogram_quantiles(hist).withColumnRenamed("group", "host")
+
+
 _MIRRORS_ORACLE = """
     WITH corpus AS (
       SELECT source AS h, text FROM documents
@@ -4212,6 +4260,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q140_cms_estimates": q140_cms_estimates,
         "q141_phash_dups": q141_phash_dups,
         "q142_span_redact": q142_span_redact,
+        "q143_span_langs": q143_span_langs,
+        "q144_size_quantiles": q144_size_quantiles,
     }
 
 
@@ -4835,6 +4885,70 @@ _SPAN_REDACT_ORACLE = """
 """
 
 
+_SPAN_LANGS_ORACLE = """
+    WITH p AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 6 = 0
+                          THEN repeat(' zzz qqq vvv kkk', 20) ELSE '' END AS t
+      FROM documents
+    ), runs AS (
+      SELECT doc_id,
+             (CAST(greatest(ceil(length(t) / 80.0), 1) AS BIGINT) + 2) // 3
+               AS nruns,
+             t
+      FROM p
+    ), graded AS (
+      SELECT doc_id, nruns,
+             list_sum(list_transform(range(0, nruns), r ->
+               CASE WHEN substr(t, CAST(r * 240 + 1 AS INTEGER), 240)
+                      LIKE '% the %'
+                    OR substr(t, CAST(r * 240 + 1 AS INTEGER), 240)
+                      LIKE 'the %'
+                    OR substr(t, CAST(r * 240 + 1 AS INTEGER), 240)
+                      LIKE '% a %'
+                    THEN 1 ELSE 0 END)) AS nen
+      FROM runs
+    )
+    SELECT doc_id,
+           CAST(nruns AS INTEGER) AS n_text_spans,
+           CAST(COALESCE(nen, 0) AS INTEGER) AS n_en_spans,
+           ROUND(COALESCE(nen, 0) * 1.0 / nruns, 6) AS en_frac,
+           CASE WHEN COALESCE(nen, 0) * 2 >= nruns THEN 'en'
+                ELSE 'other' END AS doc_lang,
+           CASE WHEN COALESCE(nen, 0) > 0 AND nen < nruns
+                THEN 1 ELSE 0 END AS is_mixed
+    FROM graded
+"""
+
+
+_SIZE_QUANTILES_ORACLE = """
+    WITH s AS (
+      SELECT 'h' || CAST(user_id % 40 AS VARCHAR) AS host,
+             CAST(floor(abs(value) * 1000) AS BIGINT) AS sz
+      FROM events
+    ), h AS (
+      SELECT host,
+             CAST(length(bin(greatest(sz, 1))) AS INTEGER) AS bucket,
+             COUNT(*) AS cnt
+      FROM s GROUP BY host, bucket
+    ), c AS (
+      SELECT host, bucket,
+             SUM(cnt) OVER (PARTITION BY host ORDER BY bucket
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER (PARTITION BY host) AS n
+      FROM h
+    )
+    SELECT host, CAST(MAX(n) AS BIGINT) AS n,
+           MIN(CASE WHEN cum >= (n * 50 + 99) // 100
+                    THEN CAST(pow(2, bucket) AS BIGINT) - 1 END) AS p50_est,
+           MIN(CASE WHEN cum >= (n * 95 + 99) // 100
+                    THEN CAST(pow(2, bucket) AS BIGINT) - 1 END) AS p95_est,
+           MIN(CASE WHEN cum >= (n * 99 + 99) // 100
+                    THEN CAST(pow(2, bucket) AS BIGINT) - 1 END) AS p99_est
+    FROM c GROUP BY host
+"""
+
+
 _SESSIONS_ORACLE = """
     WITH log AS (
       SELECT 'h' || CAST(event_id % 40 AS VARCHAR) AS host,
@@ -5400,6 +5514,8 @@ def oracle_sql() -> dict[str, str]:
         "q140_cms_estimates": _CMS_ORACLE,
         "q141_phash_dups": _PHASH_ORACLE,
         "q142_span_redact": _SPAN_REDACT_ORACLE,
+        "q143_span_langs": _SPAN_LANGS_ORACLE,
+        "q144_size_quantiles": _SIZE_QUANTILES_ORACLE,
         "q61_budget_allocation": _pagerank_cte(iters=5, damping=0.85) + """
             SELECT node AS host,
                    CAST(least(greatest(

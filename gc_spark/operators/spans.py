@@ -506,3 +506,41 @@ def redact_spans(df: DataFrame) -> DataFrame:
         pat_count(EMAIL_PATTERN).cast("int").alias("n_emails"),
         pat_count(PHONE_PATTERN).cast("int").alias("n_phones"),
     )
+
+
+def span_language_profile(df: DataFrame) -> DataFrame:
+    """Span-grain language segmentation for interleaved documents: the
+    doc-level language-ID heuristic (stopword hit — q12's kernel) applied
+    PER TEXT SPAN, then rolled up per doc:
+
+      (doc_id, n_text_spans, n_en_spans, en_frac, doc_lang, is_mixed)
+
+    Mixed-language documents (en_frac strictly between 0 and 1) are the
+    rows a training mix either drops or routes to per-span filtering —
+    doc-grain language ID silently mislabels them. Run after
+    coalesce_text_spans so spans are maximal runs, not arbitrary chunks.
+
+    Pure per-row array expressions (two sizes over a filter each), one map
+    pass — the same scan-riding shape as every other span metric.
+    """
+    def _is_en(t):
+        return (
+            t.like("% the %") | t.like("the %") | t.like("% a %")
+        )
+
+    text_spans = F.filter(F.col("spans"), lambda s: s["kind"] == "text")
+    n_text = F.size(text_spans)
+    n_en = F.size(F.filter(text_spans, lambda s: _is_en(s["text"])))
+    en_frac = F.when(n_text > 0, F.round(n_en / n_text, 6)).otherwise(
+        F.lit(0.0)
+    )
+    return df.select(
+        "doc_id",
+        n_text.cast("int").alias("n_text_spans"),
+        n_en.cast("int").alias("n_en_spans"),
+        en_frac.alias("en_frac"),
+        F.when((n_text > 0) & (n_en * 2 >= n_text), F.lit("en"))
+        .otherwise(F.lit("other"))
+        .alias("doc_lang"),
+        ((n_en > 0) & (n_en < n_text)).cast("int").alias("is_mixed"),
+    )

@@ -327,3 +327,73 @@ class TestRedactSpans:
         coalesced = redact_spans(coalesce_text_spans(spans)).collect()[0]
         assert raw["n_emails"] == 0          # split across chunks: missed
         assert coalesced["n_emails"] == 1    # real boundaries only: caught
+
+
+class TestSpanLanguageProfile:
+    _S = ("doc_id long, "
+          "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>")
+
+    def test_mixed_doc_detected(self, spark):
+        from gc_spark.operators.spans import span_language_profile
+
+        rows = [
+            (1, [("text", "this is the best of a kind", None, 0),
+                 ("media", None, "img://1", 1),
+                 ("text", "zzz qqq vvv", None, 2)]),
+            (2, [("text", "over the hill and the dale", None, 0)]),
+            (3, [("text", "qqq zzz", None, 0)]),
+        ]
+        got = {r["doc_id"]: r for r in span_language_profile(
+            spark.createDataFrame(rows, self._S)).collect()}
+        assert got[1]["is_mixed"] == 1 and got[1]["doc_lang"] == "en"
+        assert got[1]["en_frac"] == 0.5
+        assert got[2]["is_mixed"] == 0 and got[2]["doc_lang"] == "en"
+        assert got[3]["is_mixed"] == 0 and got[3]["doc_lang"] == "other"
+
+    def test_media_only_doc_is_other_not_mixed(self, spark):
+        from gc_spark.operators.spans import span_language_profile
+
+        rows = [(1, [("media", None, "img://1", 0)])]
+        r = span_language_profile(spark.createDataFrame(rows, self._S)).collect()[0]
+        assert r["n_text_spans"] == 0 and r["doc_lang"] == "other"
+        assert r["is_mixed"] == 0 and r["en_frac"] == 0.0
+
+
+class TestLogHistogramQuantiles:
+    def test_quantiles_are_conservative_upper_bounds(self, spark):
+        from gc_spark.operators.qsketch import histogram_quantiles, log2_histogram
+
+        vals = list(range(1, 101))  # 1..100 on one host
+        df = spark.createDataFrame([("h", v) for v in vals], "host string, v long")
+        hist = log2_histogram(df, value_col="v", group_col="host")
+        r = histogram_quantiles(hist).collect()[0]
+        import numpy as np
+
+        for p in (50, 95, 99):
+            true = np.percentile(vals, p, method="inverted_cdf")
+            est = r[f"p{p}_est"]
+            assert est >= true            # never understates
+            assert est < 2 * true + 1     # within the 2x bucket bound
+
+    def test_merge_then_read_equals_whole_read(self, spark):
+        from gc_spark.operators.cms import cms_merge  # noqa: F401 (shape parity)
+        from gc_spark.operators.qsketch import histogram_quantiles, log2_histogram
+
+        vals = [(f"h{i % 3}", (i * 37) % 500 + 1) for i in range(300)]
+        df = spark.createDataFrame(vals, "host string, v long")
+        whole = log2_histogram(df, "v", "host")
+        halves = (
+            log2_histogram(df.filter("v % 2 = 0"), "v", "host")
+            .unionByName(log2_histogram(df.filter("v % 2 = 1"), "v", "host"))
+            .groupBy("group", "bucket").agg(F.sum("cnt").alias("cnt"))
+        )
+        a = {tuple(r) for r in histogram_quantiles(whole).collect()}
+        b = {tuple(r) for r in histogram_quantiles(halves).collect()}
+        assert a == b
+
+    def test_zero_and_one_share_first_bucket(self, spark):
+        from gc_spark.operators.qsketch import log2_histogram
+
+        df = spark.createDataFrame([("h", 0), ("h", 1)], "host string, v long")
+        got = log2_histogram(df, "v", "host").collect()
+        assert len(got) == 1 and got[0]["bucket"] == 1 and got[0]["cnt"] == 2
