@@ -2979,6 +2979,64 @@ def q144_size_quantiles(spark, sf_dir):
     return histogram_quantiles(hist).withColumnRenamed("group", "host")
 
 
+def q145_embed_decontam(spark, sf_dir):
+    """Embedding-space benchmark decontamination (operators/similarity.
+    embedding_decontaminate): best cosine per corpus vector against a
+    broadcast benchmark set (vec_id ≡ 0 mod 50) — the semantic complement
+    of exact 5-gram decontamination (q48). Corpus vectors ≡ 1 mod 50 are
+    replaced by 2× the preceding benchmark vector (scale-invariant plant:
+    cosine 1 by construction)."""
+    from gc_spark.operators.similarity import embedding_decontaminate
+
+    em = _t(spark, sf_dir, "embeddings")
+    vid = F.col("vec_id")
+    bench = em.filter(vid % 50 == 0).select("vec_id", "embedding")
+    planted_src = em.filter(vid % 50 == 0).select(
+        (vid + 1).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 2.0).alias(
+            "_pl"
+        ),
+    )
+    corpus = (
+        em.filter(vid % 50 != 0)
+        .join(planted_src, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(
+                F.col("_pl"),
+                F.transform("embedding", lambda x: x.cast("double")),
+            ).alias("embedding"),
+        )
+    )
+    return embedding_decontaminate(corpus, bench, threshold=0.95)
+
+
+def q146_failure_triage(spark, sf_dir):
+    """Dead-letter policy rollup (operators/triage): 2xx ok, 4xx
+    dead_permanent (never retried), 5xx/status-0 (network) retry under an
+    attempt ceiling else dead_exhausted; retry_budget_sec prices the retry
+    queue with the same capped exponential as eta.retry_backoff. The
+    policy layer over the reference's raw dead-queue CSV sink (S10)."""
+    from gc_spark.operators.triage import triage_rollup
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    staged = o.select(
+        # 23 is coprime to the status modulus 10, so every host sees the
+        # full policy lattice (k%25 would lock each host to 2 classes)
+        F.concat(F.lit("h"), (k % 23).cast("string")).alias("host"),
+        F.when(k % 10 <= 5, 200)
+        .when(k % 10 == 6, 404)
+        .when(k % 10 == 7, 500)
+        .when(k % 10 == 8, 0)
+        .otherwise(503)
+        .cast("int")
+        .alias("status"),
+        (k % 5).cast("int").alias("attempts"),
+    )
+    return triage_rollup(staged, max_attempts=4)
+
+
 _MIRRORS_ORACLE = """
     WITH corpus AS (
       SELECT source AS h, text FROM documents
@@ -4262,6 +4320,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q142_span_redact": q142_span_redact,
         "q143_span_langs": q143_span_langs,
         "q144_size_quantiles": q144_size_quantiles,
+        "q145_embed_decontam": q145_embed_decontam,
+        "q146_failure_triage": q146_failure_triage,
     }
 
 
@@ -4949,6 +5009,69 @@ _SIZE_QUANTILES_ORACLE = """
 """
 
 
+_EMBED_DECONTAM_ORACLE = """
+    WITH bench AS (
+      SELECT vec_id AS bench_id, CAST(embedding AS DOUBLE[]) AS be
+      FROM embeddings WHERE vec_id % 50 = 0
+    ), planted AS (
+      SELECT vec_id + 1 AS vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0) AS pl
+      FROM embeddings WHERE vec_id % 50 = 0
+    ), corpus AS (
+      SELECT e.vec_id,
+             COALESCE(p.pl, CAST(e.embedding AS DOUBLE[])) AS ce
+      FROM embeddings e LEFT JOIN planted p USING (vec_id)
+      WHERE e.vec_id % 50 <> 0
+    ), scored AS (
+      SELECT c.vec_id, b.bench_id,
+             ROUND(list_dot_product(c.ce, b.be)
+               / (sqrt(list_dot_product(c.ce, c.ce))
+                  * sqrt(list_dot_product(b.be, b.be))), 4) AS cosine
+      FROM corpus c CROSS JOIN bench b
+    ), ranked AS (
+      SELECT vec_id, bench_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cosine DESC, bench_id) AS rn
+      FROM scored
+    )
+    SELECT vec_id, bench_id, cosine,
+           CAST(cosine >= 0.95 AS INTEGER) AS contaminated
+    FROM ranked WHERE rn = 1
+"""
+
+
+_TRIAGE_ORACLE = """
+    WITH s AS (
+      SELECT 'h' || CAST(o_orderkey % 23 AS VARCHAR) AS host,
+             CASE WHEN o_orderkey % 10 <= 5 THEN 200
+                  WHEN o_orderkey % 10 = 6 THEN 404
+                  WHEN o_orderkey % 10 = 7 THEN 500
+                  WHEN o_orderkey % 10 = 8 THEN 0
+                  ELSE 503 END AS status,
+             CAST(o_orderkey % 5 AS INTEGER) AS attempts
+      FROM orders
+    ), v AS (
+      SELECT host, attempts,
+             CASE WHEN status >= 200 AND status < 300 THEN 'ok'
+                  WHEN status >= 400 AND status < 500 THEN 'dead_permanent'
+                  WHEN attempts < 4 THEN 'retry'
+                  ELSE 'dead_exhausted' END AS action
+      FROM s
+    )
+    SELECT host,
+           SUM(CASE WHEN action = 'ok' THEN 1 ELSE 0 END) AS n_ok,
+           SUM(CASE WHEN action = 'dead_permanent' THEN 1 ELSE 0 END)
+             AS n_dead_permanent,
+           SUM(CASE WHEN action = 'retry' THEN 1 ELSE 0 END) AS n_retry,
+           SUM(CASE WHEN action = 'dead_exhausted' THEN 1 ELSE 0 END)
+             AS n_dead_exhausted,
+           ROUND(COALESCE(SUM(CASE WHEN action = 'retry'
+             THEN least(1.0 * pow(2, attempts), 60.0) END), 0), 6)
+             AS retry_budget_sec
+    FROM v GROUP BY host
+"""
+
+
 _SESSIONS_ORACLE = """
     WITH log AS (
       SELECT 'h' || CAST(event_id % 40 AS VARCHAR) AS host,
@@ -5516,6 +5639,8 @@ def oracle_sql() -> dict[str, str]:
         "q142_span_redact": _SPAN_REDACT_ORACLE,
         "q143_span_langs": _SPAN_LANGS_ORACLE,
         "q144_size_quantiles": _SIZE_QUANTILES_ORACLE,
+        "q145_embed_decontam": _EMBED_DECONTAM_ORACLE,
+        "q146_failure_triage": _TRIAGE_ORACLE,
         "q61_budget_allocation": _pagerank_cte(iters=5, damping=0.85) + """
             SELECT node AS host,
                    CAST(least(greatest(

@@ -352,3 +352,52 @@ def semantic_dedup(
     return assigned.join(dropped, "_id", "left_anti").select(
         F.col("_id").alias(id_col), "cell"
     )
+
+
+def embedding_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.95,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination in EMBEDDING space — the semantic
+    complement of the exact word-5-gram screen (operators/decontam): a
+    paraphrased eval question shares no 5-gram with the training doc but
+    sits next to it in embedding space. For every corpus vector, the best
+    cosine against the benchmark set decides (vec_id, bench_id, cosine,
+    contaminated).
+
+    Scale shape: benchmark sets are small by nature (eval suites, not
+    corpora) — broadcast crossJoin, so the corpus NEVER shuffles; one
+    window per corpus id picks the argmax deterministically (cosine desc,
+    bench_id asc — ties can exist after rounding). Cosine is rounded
+    BEFORE the comparison and the threshold test so the emitted verdict
+    and the ordering use the same number.
+    """
+    from pyspark.sql import Window
+
+    b = benchmark.select(
+        F.col(id_col).alias("bench_id"), _emb_double(F.col(emb_col)).alias("_be")
+    )
+    c = corpus.select(
+        F.col(id_col), _emb_double(F.col(emb_col)).alias("_ce")
+    )
+    cos = _dot(F.col("_ce"), F.col("_be")) / (
+        _norm(F.col("_ce")) * _norm(F.col("_be"))
+    )
+    scored = c.crossJoin(F.broadcast(b)).select(
+        id_col, "bench_id", F.round(cos, round_digits).alias("cosine")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cosine"), F.col("bench_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            id_col,
+            "bench_id",
+            "cosine",
+            (F.col("cosine") >= threshold).cast("int").alias("contaminated"),
+        )
+    )

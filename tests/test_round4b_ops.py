@@ -397,3 +397,67 @@ class TestLogHistogramQuantiles:
         df = spark.createDataFrame([("h", 0), ("h", 1)], "host string, v long")
         got = log2_histogram(df, "v", "host").collect()
         assert len(got) == 1 and got[0]["bucket"] == 1 and got[0]["cnt"] == 2
+
+
+class TestEmbeddingDecontam:
+    def test_planted_copy_flagged_scaled_copy_too(self, spark):
+        from gc_spark.operators.similarity import embedding_decontaminate
+
+        bench = spark.createDataFrame(
+            [(100, [1.0, 0.0, 0.0]), (200, [0.0, 1.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        corpus = spark.createDataFrame(
+            [
+                (1, [2.0, 0.0, 0.0]),    # scaled copy of bench 100
+                (2, [0.0, 0.0, 1.0]),    # orthogonal to both
+                (3, [0.0, 0.9, 0.1]),    # near bench 200
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        got = {r["vec_id"]: r for r in
+               embedding_decontaminate(corpus, bench, threshold=0.95).collect()}
+        assert got[1]["contaminated"] == 1 and got[1]["bench_id"] == 100
+        assert got[1]["cosine"] == 1.0
+        assert got[2]["contaminated"] == 0
+        assert got[3]["contaminated"] == 1 and got[3]["bench_id"] == 200
+
+    def test_tie_breaks_to_lower_bench_id(self, spark):
+        from gc_spark.operators.similarity import embedding_decontaminate
+
+        bench = spark.createDataFrame(
+            [(5, [1.0, 0.0]), (3, [1.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        corpus = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        r = embedding_decontaminate(corpus, bench).collect()[0]
+        assert r["bench_id"] == 3
+
+
+class TestFailureTriage:
+    def test_policy_lattice(self, spark):
+        from gc_spark.operators.triage import triage_rollup
+
+        rows = [
+            ("h", 200, 0),   # ok
+            ("h", 404, 0),   # dead_permanent (never retried)
+            ("h", 500, 1),   # retry (backoff 2s)
+            ("h", 0, 3),     # retry (network, backoff 8s)
+            ("h", 503, 4),   # dead_exhausted (ceiling)
+        ]
+        df = spark.createDataFrame(rows, "host string, status int, attempts int")
+        r = triage_rollup(df, max_attempts=4).collect()[0]
+        assert (r["n_ok"], r["n_dead_permanent"], r["n_retry"],
+                r["n_dead_exhausted"]) == (1, 1, 2, 1)
+        assert r["retry_budget_sec"] == 10.0  # 2 + 8
+
+    def test_backoff_capped(self, spark):
+        from gc_spark.operators.triage import triage_rollup
+
+        df = spark.createDataFrame(
+            [("h", 500, 9)], "host string, status int, attempts int"
+        )
+        r = triage_rollup(df, max_attempts=20, cap_sec=60.0).collect()[0]
+        assert r["n_retry"] == 1 and r["retry_budget_sec"] == 60.0
