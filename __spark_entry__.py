@@ -3037,6 +3037,36 @@ def q146_failure_triage(spark, sf_dir):
     return triage_rollup(staged, max_attempts=4)
 
 
+def q147_refresh_value(spark, sf_dir):
+    """Freshness-weighted recrawl ordering (operators/recrawl.
+    refresh_value): expected value of a refetch = P(changed since last
+    fetch) (q56's Cho & Garcia-Molina estimator) × host PageRank (q52's
+    graph — url_id % 50 IS the host node id, so the two judged pipelines
+    compose exactly). Ranks broadcast onto the URL table; the URL side
+    never shuffles beyond q56's own aggregate."""
+    from gc_spark.operators.pagerank import pagerank
+    from gc_spark.operators.recrawl import recrawl_priority, refresh_value
+
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        F.col("user_id").alias("url_id"),
+        "ts",
+        (F.col("event_type") == "click").alias("changed"),
+    )
+    scored = recrawl_priority(log).withColumn(
+        "node", F.col("url_id") % 50
+    )
+    edges = ev.select(
+        (F.col("user_id") % 50).alias("src"),
+        ((F.col("user_id") * 7 + F.col("event_id")) % 50).alias("dst"),
+    )
+    ranks = pagerank(edges, iters=5, damping=0.85)
+    out = refresh_value(scored, ranks)
+    return out.select(
+        "url_id", "node", "p_changed", "host_rank", "refresh_value"
+    )
+
+
 _MIRRORS_ORACLE = """
     WITH corpus AS (
       SELECT source AS h, text FROM documents
@@ -4322,6 +4352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q144_size_quantiles": q144_size_quantiles,
         "q145_embed_decontam": q145_embed_decontam,
         "q146_failure_triage": q146_failure_triage,
+        "q147_refresh_value": q147_refresh_value,
     }
 
 
@@ -5072,6 +5103,41 @@ _TRIAGE_ORACLE = """
 """
 
 
+def _refresh_value_oracle() -> str:
+    """q52's pagerank CTE chain composed with q56's change-rate estimator:
+    refresh_value = round6(rank) * round6(p_changed), rounded again."""
+    return _pagerank_cte(5, 0.85).rstrip() + """,
+    log AS (
+      SELECT user_id AS url_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS chg
+      FROM events
+    ), agg AS (
+      SELECT url_id, COUNT(*) AS n_visits, CAST(SUM(chg) AS BIGINT) AS n_changes,
+             MIN(ep) AS f, MAX(ep) AS l
+      FROM log GROUP BY url_id HAVING COUNT(*) >= 2
+    ), nw AS (
+      SELECT MAX(ep) + 3600 AS now FROM log
+    ), calc AS (
+      SELECT url_id, n_visits, n_changes,
+             greatest(CAST(l - f AS DOUBLE) / (n_visits - 1), 1.0) AS itv,
+             CAST((SELECT now FROM nw) - l AS DOUBLE) AS age
+      FROM agg
+    ), scored AS (
+      SELECT url_id, url_id % 50 AS node,
+             ROUND(1.0 - exp(ln((n_visits - n_changes + 0.5) / (n_visits + 0.5))
+               / itv * age), 6) AS p_changed
+      FROM calc
+    ), rk AS (
+      SELECT node, ROUND(r, 6) AS host_rank FROM r5
+    )
+    SELECT s.url_id, s.node, s.p_changed,
+           COALESCE(rk.host_rank, 0.0) AS host_rank,
+           ROUND(COALESCE(rk.host_rank, 0.0) * s.p_changed, 6) AS refresh_value
+    FROM scored s LEFT JOIN rk USING (node)
+"""
+
+
 _SESSIONS_ORACLE = """
     WITH log AS (
       SELECT 'h' || CAST(event_id % 40 AS VARCHAR) AS host,
@@ -5641,6 +5707,7 @@ def oracle_sql() -> dict[str, str]:
         "q144_size_quantiles": _SIZE_QUANTILES_ORACLE,
         "q145_embed_decontam": _EMBED_DECONTAM_ORACLE,
         "q146_failure_triage": _TRIAGE_ORACLE,
+        "q147_refresh_value": _refresh_value_oracle(),
         "q61_budget_allocation": _pagerank_cte(iters=5, damping=0.85) + """
             SELECT node AS host,
                    CAST(least(greatest(

@@ -163,3 +163,37 @@ def revalidation_plan(
         F.round(expected, 4).alias("expected_bytes"),
         F.round(F.col("avg_bytes") - expected, 4).alias("saved_bytes"),
     )
+
+
+def refresh_value(
+    scored: DataFrame,
+    ranks: DataFrame,
+    node_col: str = "node",
+    rank_col: str = "rank",
+    p_col: str = "p_changed",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Freshness-weighted recrawl ordering — the Cho/Garcia-Molina pair of
+    questions closed into one number: `p_changed` (recrawl_priority) says
+    how LIKELY a page moved, PageRank says how much anyone CARES; the
+    expected value of a refetch is their product, and draining by it
+    descending spends the politeness budget where staleness costs most
+    (a dead blog at p=0.9 loses to a hub page at p=0.2).
+
+    `scored` is recrawl_priority's output plus a `node_col` mapping each
+    URL onto the rank graph (its host). Ranks are node-cardinality —
+    broadcast join, the URL table never shuffles; both factors are
+    pre-rounded so the product is engine-stable.
+    """
+    r = ranks.select(
+        F.col(node_col),
+        F.round(F.col(rank_col), round_digits).alias("_rank"),
+    )
+    return scored.join(F.broadcast(r), node_col, "left").select(
+        *[c for c in scored.columns],
+        F.coalesce(F.col("_rank"), F.lit(0.0)).alias("host_rank"),
+        F.round(
+            F.coalesce(F.col("_rank"), F.lit(0.0)) * F.col(p_col),
+            round_digits,
+        ).alias("refresh_value"),
+    )

@@ -461,3 +461,30 @@ class TestFailureTriage:
         )
         r = triage_rollup(df, max_attempts=20, cap_sec=60.0).collect()[0]
         assert r["n_retry"] == 1 and r["retry_budget_sec"] == 60.0
+
+
+class TestRefreshValue:
+    def test_important_host_outranks_likelier_change_on_dead_host(self, spark):
+        from gc_spark.operators.recrawl import refresh_value
+
+        scored = spark.createDataFrame(
+            [(1, 10, 0.9), (2, 20, 0.2)],
+            "url_id long, node long, p_changed double",
+        )
+        ranks = spark.createDataFrame(
+            [(10, 0.01), (20, 0.30)], "node long, rank double"
+        )
+        got = {r["url_id"]: r for r in refresh_value(scored, ranks).collect()}
+        # dead blog at p=0.9: 0.01*0.9 = 0.009; hub at p=0.2: 0.3*0.2 = 0.06
+        assert got[2]["refresh_value"] > got[1]["refresh_value"]
+        assert got[1]["refresh_value"] == 0.009
+
+    def test_unranked_host_scores_zero(self, spark):
+        from gc_spark.operators.recrawl import refresh_value
+
+        scored = spark.createDataFrame(
+            [(1, 99, 0.8)], "url_id long, node long, p_changed double"
+        )
+        ranks = spark.createDataFrame([(10, 0.5)], "node long, rank double")
+        r = refresh_value(scored, ranks).collect()[0]
+        assert r["host_rank"] == 0.0 and r["refresh_value"] == 0.0
