@@ -3067,6 +3067,25 @@ def q147_refresh_value(spark, sf_dir):
     )
 
 
+def q148_waterfill(spark, sf_dir):
+    """Max-min fair budget split under a global fetch cap (operators/
+    waterfill.waterfill_budgets): closed-form water level over the sorted
+    demand table (one host-grain window + a broadcast 1-row level), no
+    iteration — the fairness-first alternative to q61's proportional
+    split; small hosts are served fully, the slack flows to big ones.
+    Demands synthesized from nation (25 hosts, skewed), budget 3000 —
+    5 hosts saturate, the rest share level 134.5."""
+    from gc_spark.operators.waterfill import waterfill_budgets
+
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    demands = n.select(
+        F.col("n_name").alias("host"),
+        ((k + 1) * (F.pmod(k, F.lit(5)) + 1) * 10).cast("long").alias("demand"),
+    )
+    return waterfill_budgets(demands, total_budget=3000)
+
+
 _MIRRORS_ORACLE = """
     WITH corpus AS (
       SELECT source AS h, text FROM documents
@@ -4353,6 +4372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q145_embed_decontam": q145_embed_decontam,
         "q146_failure_triage": q146_failure_triage,
         "q147_refresh_value": q147_refresh_value,
+        "q148_waterfill": q148_waterfill,
     }
 
 
@@ -5138,6 +5158,37 @@ def _refresh_value_oracle() -> str:
 """
 
 
+_WATERFILL_ORACLE = """
+    WITH d AS (
+      SELECT n_name AS host,
+             CAST((n_nationkey + 1) * ((n_nationkey % 5) + 1) * 10 AS BIGINT)
+               AS demand
+      FROM nation
+    ), ranked AS (
+      SELECT host, CAST(demand AS DOUBLE) AS dd, demand,
+             ROW_NUMBER() OVER (ORDER BY demand, host) AS rn,
+             COALESCE(SUM(demand) OVER (ORDER BY demand, host
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx,
+             COUNT(*) OVER () AS n
+      FROM d
+    ), sat AS (
+      SELECT *, (pfx + (n - rn + 1) * dd <= 3000) AS s FROM ranked
+    ), lvl AS (
+      SELECT CAST(SUM(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS i,
+             COALESCE(SUM(CASE WHEN s THEN dd END), 0) AS si,
+             MAX(n) AS nn
+      FROM sat
+    )
+    SELECT host, demand,
+           ROUND(least(dd, CASE WHEN (SELECT i FROM lvl) < (SELECT nn FROM lvl)
+             THEN (3000.0 - (SELECT si FROM lvl))
+                  / ((SELECT nn FROM lvl) - (SELECT i FROM lvl))
+             ELSE dd END), 6) AS allocation,
+           CAST(s AS INTEGER) AS saturated
+    FROM sat
+"""
+
+
 _SESSIONS_ORACLE = """
     WITH log AS (
       SELECT 'h' || CAST(event_id % 40 AS VARCHAR) AS host,
@@ -5708,6 +5759,7 @@ def oracle_sql() -> dict[str, str]:
         "q145_embed_decontam": _EMBED_DECONTAM_ORACLE,
         "q146_failure_triage": _TRIAGE_ORACLE,
         "q147_refresh_value": _refresh_value_oracle(),
+        "q148_waterfill": _WATERFILL_ORACLE,
         "q61_budget_allocation": _pagerank_cte(iters=5, damping=0.85) + """
             SELECT node AS host,
                    CAST(least(greatest(

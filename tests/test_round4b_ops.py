@@ -488,3 +488,38 @@ class TestRefreshValue:
         ranks = spark.createDataFrame([(10, 0.5)], "node long, rank double")
         r = refresh_value(scored, ranks).collect()[0]
         assert r["host_rank"] == 0.0 and r["refresh_value"] == 0.0
+
+
+class TestWaterfill:
+    def _alloc(self, spark, demands, budget):
+        from gc_spark.operators.waterfill import waterfill_budgets
+
+        df = spark.createDataFrame(demands, "host string, demand long")
+        return {r["host"]: r for r in
+                waterfill_budgets(df, total_budget=budget).collect()}
+
+    def test_level_spends_budget_exactly(self, spark):
+        got = self._alloc(spark, [("a", 10), ("b", 100), ("c", 100)], 110)
+        # a saturates at 10; b and c share (110-10)/2 = 50 each
+        assert got["a"]["allocation"] == 10.0 and got["a"]["saturated"] == 1
+        assert got["b"]["allocation"] == 50.0 and got["b"]["saturated"] == 0
+        assert got["c"]["allocation"] == 50.0
+        assert sum(r["allocation"] for r in got.values()) == 110.0
+
+    def test_budget_exceeds_total_demand_gives_everyone_their_demand(self, spark):
+        got = self._alloc(spark, [("a", 5), ("b", 7)], 1000)
+        assert got["a"]["allocation"] == 5.0 and got["b"]["allocation"] == 7.0
+        assert all(r["saturated"] == 1 for r in got.values())
+
+    def test_no_host_exceeds_demand_and_small_hosts_never_starve(self, spark):
+        got = self._alloc(spark, [("tiny", 2), ("huge", 10_000)], 100)
+        assert got["tiny"]["allocation"] == 2.0      # fully served
+        assert got["huge"]["allocation"] == 98.0     # gets ALL the slack
+        for r in got.values():
+            assert r["allocation"] <= r["demand"]
+
+    def test_jain_fairness_is_one_when_nothing_saturates(self, spark):
+        got = self._alloc(spark, [("a", 500), ("b", 600), ("c", 700)], 300)
+        allocs = [r["allocation"] for r in got.values()]
+        assert len(set(allocs)) == 1  # equal shares == Jain index 1.0
+        assert sum(allocs) == 300.0
