@@ -23,7 +23,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -209,6 +211,84 @@ def streaming_cusum(
         _cusum_factory(k_ref, h_threshold, x_col, ts_col, order_col),
         outputStructType=CUSUM_OUTPUT,
         stateStructType=CUSUM_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+HIST_STATE = StructType(
+    [
+        StructField("buckets", ArrayType(IntegerType())),
+        StructField("counts", ArrayType(LongType())),
+    ]
+)
+
+HIST_OUTPUT = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("n", LongType()),
+        StructField("p50_est", LongType()),
+        StructField("p95_est", LongType()),
+        StructField("p99_est", LongType()),
+    ]
+)
+
+
+def _hist_factory(value_col: str, percents: tuple):
+    def _update(key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        counters: dict[int, int] = {}
+        if state.exists:
+            bks, cts = state.get
+            counters = dict(zip(bks, cts))
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            v = pdf[value_col].to_numpy()
+            for x in v:
+                b = max(int(x), 1).bit_length()
+                counters[b] = counters.get(b, 0) + 1
+        bks = sorted(counters)
+        cts = [counters[b] for b in bks]
+        state.update((bks, cts))
+        n = sum(cts)
+        row = {"host": [key[0]], "n": [n]}
+        cum = 0
+        idx = 0
+        # same integer math as operators/qsketch.histogram_quantiles:
+        # first bucket whose cumulative count reaches ceil(p*n/100)
+        cums = []
+        for c in cts:
+            cum += c
+            cums.append(cum)
+        for p in percents:
+            thr = (n * p + 99) // 100
+            est = None
+            for b, cm in zip(bks, cums):
+                if cm >= thr:
+                    est = (1 << b) - 1
+                    break
+            row[f"p{p}_est"] = [est]
+        yield pd.DataFrame(row)
+
+    return _update
+
+
+def streaming_size_histogram(
+    stream: DataFrame, value_col: str = "sz", percents: tuple = (50, 95, 99)
+) -> DataFrame:
+    """Streaming twin of operators/qsketch (log2_histogram +
+    histogram_quantiles): the per-host counter map IS the state — bounded
+    at ~64 (bucket, count) pairs per host regardless of stream length,
+    checkpoint-durable, merged counter-wise per micro-batch (the
+    mergeability the batch op guarantees is exactly what makes the
+    streaming state O(1)). Emits the running n/p50/p95/p99 per host each
+    batch in update mode; the last row per host equals the batch answer
+    over the full log. Order-insensitive (histograms commute), so no
+    arrival-order contract is needed — unlike streaming_cusum."""
+    return stream.groupBy("host").applyInPandasWithState(
+        _hist_factory(value_col, percents),
+        outputStructType=HIST_OUTPUT,
+        stateStructType=HIST_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

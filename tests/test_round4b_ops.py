@@ -523,3 +523,64 @@ class TestWaterfill:
         allocs = [r["allocation"] for r in got.values()]
         assert len(set(allocs)) == 1  # equal shares == Jain index 1.0
         assert sum(allocs) == 300.0
+
+
+class TestStreamingSizeHistogram:
+    def test_streaming_equals_batch_across_restart(self, spark, tmp_path):
+        """Counter-map state must make the final streaming row per host
+        equal the batch qsketch answer over the full log, including across
+        a restart on the same checkpoint — and arrival ORDER must not
+        matter (histograms commute)."""
+        from pyspark.sql.types import (
+            LongType, StringType, StructField, StructType,
+        )
+        from gc_spark.operators.qsketch import histogram_quantiles, log2_histogram
+        from gc_spark.streaming.state import streaming_size_histogram
+
+        schema = StructType(
+            [StructField("host", StringType()), StructField("sz", LongType())]
+        )
+        # wave2 delivers the SMALL values last: order-insensitivity probe
+        wave1 = [("a", (i * 131) % 5000 + 200) for i in range(60)] + [
+            ("b", 9000 + i) for i in range(30)
+        ]
+        wave2 = [("a", i % 7 + 1) for i in range(40)] + [
+            ("b", (i * 17) % 300 + 1) for i in range(20)
+        ]
+
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+
+        def run_once():
+            stream = spark.readStream.schema(schema).parquet(src)
+            q = (
+                streaming_size_histogram(stream)
+                .writeStream.outputMode("update")
+                .foreachBatch(lambda df, _id: df.write.mode("append").parquet(out))
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        spark.createDataFrame(wave1, schema).write.mode("append").parquet(src)
+        run_once()
+        spark.createDataFrame(wave2, schema).write.mode("append").parquet(src)
+        run_once()
+
+        final = {
+            r["host"]: r
+            for r in spark.read.parquet(out).orderBy("n").collect()
+        }
+        batch_df = spark.createDataFrame(wave1 + wave2, schema)
+        batch = {
+            r["group"]: r
+            for r in histogram_quantiles(
+                log2_histogram(batch_df, value_col="sz", group_col="host")
+            ).collect()
+        }
+        for h in ("a", "b"):
+            assert final[h]["n"] == batch[h]["n"]
+            for p in (50, 95, 99):
+                assert final[h][f"p{p}_est"] == batch[h][f"p{p}_est"], (h, p)
