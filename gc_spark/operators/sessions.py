@@ -14,9 +14,11 @@ numbers the sessions, and a groupBy rolls sessions up. Session membership
 is tie-safe by construction — equal timestamps have gap 0 and can never
 open a session, so the result is invariant to the ordering of ties.
 
-Scale shape: ONE shuffle on host for the window; the rollup re-keys to
-(host, session) — strictly finer than host, so the map-side partial
-aggregate after AQE keeps the second exchange delta-sized. Hosts hot
+Scale shape: ONE shuffle on host, total — the (host, session) rollup's
+clustering requirement is satisfied by the window's host hash
+partitioning (grouping keys are a superset), so EnsureRequirements
+inserts NO second exchange and both windows share one sort
+(plan-asserted in the test). Hosts hot
 enough to skew a partition are exactly the hosts the politeness salter
 (operators/politeness) already profiles via traps.skew_profile.
 

@@ -584,3 +584,16 @@ class TestStreamingSizeHistogram:
             assert final[h]["n"] == batch[h]["n"]
             for p in (50, 95, 99):
                 assert final[h][f"p{p}_est"] == batch[h][f"p{p}_est"], (h, p)
+
+
+class TestSessionPlanShape:
+    def test_rollup_reuses_window_exchange(self, spark):
+        """The (host, session_seq) groupBy must NOT re-shuffle: host hash
+        partitioning from the window satisfies the grouping clustering, so
+        the whole operator is ONE Exchange and one Sort."""
+        from gc_spark.operators.sessions import session_stats
+
+        log = spark.createDataFrame([("a", 1), ("a", 2)], "host string, fetch_ts long")
+        plan = session_stats(log)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") <= 1
+        assert plan.count("Sort") <= 1
