@@ -3086,6 +3086,24 @@ def q148_waterfill(spark, sf_dir):
     return waterfill_budgets(demands, total_budget=3000)
 
 
+def q149_bpe_encode(spark, sf_dir):
+    """Tokenizer ENCODE (operators/bpe.apply_bpe_merges): the merge table
+    learned by q68 (3 rounds) applied back to the corpus as one broadcast
+    fold of substring replaces — learn-then-apply must reproduce the final
+    learned corpus byte-exactly, pinned per doc via (n_tokens, sha256).
+    The corpus never shuffles; the tokenizer never leaves the dataflow."""
+    from gc_spark.operators.bpe import apply_bpe_merges, learn_bpe_merges
+
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = learn_bpe_merges(d, rounds=3).select("round", "w1", "w2")
+    enc = apply_bpe_merges(d, merges)
+    return enc.select(
+        "doc_id",
+        F.size(F.split(F.trim("encoded"), r"\s+")).alias("n_tokens"),
+        F.sha2(F.col("encoded"), 256).alias("enc_sha"),
+    )
+
+
 _MIRRORS_ORACLE = """
     WITH corpus AS (
       SELECT source AS h, text FROM documents
@@ -4373,6 +4391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q146_failure_triage": q146_failure_triage,
         "q147_refresh_value": q147_refresh_value,
         "q148_waterfill": q148_waterfill,
+        "q149_bpe_encode": q149_bpe_encode,
     }
 
 
@@ -5189,6 +5208,27 @@ _WATERFILL_ORACLE = """
 """
 
 
+def _bpe_encode_oracle(rounds: int = 3) -> str:
+    """q68's learn CTEs re-used; the encoded corpus is the final t{rounds}
+    table — learn-then-apply equals the learned rewrite by construction."""
+    learn = _bpe_oracle(rounds)
+    ctes = learn.split("\nSELECT 1 AS")[0]  # keep only the WITH chain
+    # _bpe_oracle ends with the UNION ALL of per-round rows; rebuild just
+    # the CTE prefix by cutting at the first top-level SELECT
+    idx = ctes.rfind(")")
+    ctes = ctes[: idx + 1]
+    return (
+        ctes
+        + f"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(t), '\\s+')) AS INTEGER)
+             AS n_tokens,
+           sha256(t) AS enc_sha
+    FROM t{rounds}
+"""
+    )
+
+
 _SESSIONS_ORACLE = """
     WITH log AS (
       SELECT 'h' || CAST(event_id % 40 AS VARCHAR) AS host,
@@ -5760,6 +5800,7 @@ def oracle_sql() -> dict[str, str]:
         "q146_failure_triage": _TRIAGE_ORACLE,
         "q147_refresh_value": _refresh_value_oracle(),
         "q148_waterfill": _WATERFILL_ORACLE,
+        "q149_bpe_encode": _bpe_encode_oracle(),
         "q61_budget_allocation": _pagerank_cte(iters=5, damping=0.85) + """
             SELECT node AS host,
                    CAST(least(greatest(

@@ -123,3 +123,50 @@ def learn_bpe_merges(
         out = row if out is None else out.unionByName(row)
         cur = rewritten.select(id_col, "_t")
     return out
+
+
+def apply_bpe_merges(
+    df: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The ENCODE half of the tokenizer loop: apply a learned merge table
+    (learn_bpe_merges' output — the tokenizer release artifact) to any
+    corpus, in merge order. (doc_id, encoded) where encoded is the text
+    with every merge's ' w1 w2 ' collapsed to ' w1+w2 ', round by round —
+    byte-identical to running the learning rewrite, so learn-then-apply
+    on the same corpus reproduces the final learned corpus exactly.
+
+    Scale shape: the merge table is vocabulary-sized — ONE row of sorted
+    (round, w1, w2) structs crossJoin-broadcast onto the corpus, then the
+    whole application is a per-row F.aggregate fold of plain substring
+    replaces (same non-overlapping left-to-right semantics both engines,
+    see the module contract). The corpus never shuffles, no driver
+    collect: the tokenizer stays inside the dataflow."""
+    marr = merges.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("round").alias("r"),
+                    F.col("w1").alias("w1"),
+                    F.col("w2").alias("w2"),
+                )
+            )
+        ).alias("_m")
+    )
+    padded = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+    folded = F.aggregate(
+        F.col("_m"),
+        padded,
+        lambda acc, m: F.replace(
+            acc,
+            F.concat(F.lit(" "), m["w1"], F.lit(" "), m["w2"], F.lit(" ")),
+            F.concat(
+                F.lit(" "), m["w1"], F.lit(JOINER), m["w2"], F.lit(" ")
+            ),
+        ),
+    )
+    return df.crossJoin(F.broadcast(marr)).select(
+        F.col(id_col), F.trim(folded).alias("encoded")
+    )

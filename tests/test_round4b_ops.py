@@ -597,3 +597,46 @@ class TestSessionPlanShape:
         plan = session_stats(log)._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") <= 1
         assert plan.count("Sort") <= 1
+
+
+class TestApplyBpeMerges:
+    def test_learn_then_apply_reproduces_learned_corpus(self, spark):
+        from gc_spark.operators.bpe import apply_bpe_merges, learn_bpe_merges
+
+        rows = [(1, "a b a b c d"), (2, "a b a b a b"), (3, "c d c d x")]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        merges = learn_bpe_merges(d, rounds=2).select("round", "w1", "w2")
+        got = {r["doc_id"]: r["encoded"]
+               for r in apply_bpe_merges(d, merges).collect()}
+        # the invariant: applying the learned merges reproduces the learn
+        # loop's final corpus byte-exactly (same non-overlapping
+        # left-to-right replace semantics, same order)
+        import hashlib
+
+        final_sha = (
+            learn_bpe_merges(d, rounds=2)
+            .filter(F.col("round") == 2)
+            .collect()[0]["corpus_sha"]
+        )
+        joined = "\x01".join(got[i] for i in sorted(got))
+        assert hashlib.sha256(joined.encode()).hexdigest() == final_sha
+        # adjacent repeats merge alternately: the boundary space of a match
+        # is consumed, so "a b a b" collapses only its first pair per round
+        assert got[1].startswith("a+b a b")
+        # non-adjacent repeats merge at every occurrence
+        d2 = spark.createDataFrame(
+            [(9, "a b x a b y a b")], "doc_id long, text string"
+        )
+        got2 = apply_bpe_merges(d2, merges).collect()[0]["encoded"]
+        assert got2 == "a+b x a+b y a+b"
+
+    def test_merge_order_matters_and_is_respected(self, spark):
+        from gc_spark.operators.bpe import apply_bpe_merges
+
+        d = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+        merges = spark.createDataFrame(
+            [(1, "x", "y"), (2, "x+y", "z")], "round int, w1 string, w2 string"
+        )
+        got = apply_bpe_merges(d, merges).collect()[0]["encoded"]
+        # round 2's pattern only exists AFTER round 1 applied
+        assert got == "x+y+z"
