@@ -3104,6 +3104,43 @@ def q149_bpe_encode(spark, sf_dir):
     )
 
 
+def q150_registrable_domains(spark, sf_dir):
+    """eTLD+1 grouping (functions/urls.registrable_domain_col): subdomain
+    sprawl collapsed to the registrable domain — the grain politeness
+    budgets and host reputation should key on. Hosts synthesized from
+    customer as w<k>.site<m>.<suffix> over a mix of 1- and 2-label public
+    suffixes ('co.uk' must beat 'uk'); rollup = URLs and distinct hosts
+    per registrable domain, one map-side expression + one aggregate."""
+    from gc_spark.functions.urls import registrable_domain_col
+
+    c = _t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    suffix = (
+        F.when(ck % 5 == 0, F.lit("com"))
+        .when(ck % 5 == 1, F.lit("co.uk"))
+        .when(ck % 5 == 2, F.lit("mil"))
+        .when(ck % 5 == 3, F.lit("org.uk"))
+        .otherwise(F.lit("io"))
+    )
+    # 37 is coprime to the suffix modulus 5, so every site appears under
+    # several suffixes (ck%40 would lock each site to one)
+    host = F.concat(
+        F.lit("w"), (ck % 7).cast("string"),
+        F.lit(".site"), (ck % 37).cast("string"),
+        F.lit("."), suffix,
+    )
+    staged = c.select(host.alias("host"))
+    return (
+        staged.groupBy(
+            registrable_domain_col(F.col("host")).alias("domain")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.count_distinct("host").alias("n_hosts"),
+        )
+    )
+
+
 _MIRRORS_ORACLE = """
     WITH corpus AS (
       SELECT source AS h, text FROM documents
@@ -4392,6 +4429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q147_refresh_value": q147_refresh_value,
         "q148_waterfill": q148_waterfill,
         "q149_bpe_encode": q149_bpe_encode,
+        "q150_registrable_domains": q150_registrable_domains,
     }
 
 
@@ -5229,6 +5267,33 @@ def _bpe_encode_oracle(rounds: int = 3) -> str:
     )
 
 
+_REG_DOMAIN_ORACLE = """
+    WITH hosts AS (
+      SELECT 'w' || CAST(c_custkey % 7 AS VARCHAR)
+             || '.site' || CAST(c_custkey % 37 AS VARCHAR) || '.'
+             || CASE WHEN c_custkey % 5 = 0 THEN 'com'
+                     WHEN c_custkey % 5 = 1 THEN 'co.uk'
+                     WHEN c_custkey % 5 = 2 THEN 'mil'
+                     WHEN c_custkey % 5 = 3 THEN 'org.uk'
+                     ELSE 'io' END AS host
+      FROM customer
+    ), reg AS (
+      SELECT host,
+             CASE WHEN len(l) > 2 AND array_to_string(l[-2:], '.') IN
+                    ('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au',
+                     'org.au','co.jp','ac.jp','go.jp')
+                  THEN array_to_string(l[-3:], '.')
+                  WHEN len(l) > 1 AND l[-1] IN
+                    ('com','org','net','mil','gov','edu','int','io')
+                  THEN array_to_string(l[-2:], '.')
+                  ELSE host END AS domain
+      FROM (SELECT host, string_split(host, '.') AS l FROM hosts)
+    )
+    SELECT domain, COUNT(*) AS n_urls, COUNT(DISTINCT host) AS n_hosts
+    FROM reg GROUP BY domain
+"""
+
+
 _SESSIONS_ORACLE = """
     WITH log AS (
       SELECT 'h' || CAST(event_id % 40 AS VARCHAR) AS host,
@@ -5801,6 +5866,7 @@ def oracle_sql() -> dict[str, str]:
         "q147_refresh_value": _refresh_value_oracle(),
         "q148_waterfill": _WATERFILL_ORACLE,
         "q149_bpe_encode": _bpe_encode_oracle(),
+        "q150_registrable_domains": _REG_DOMAIN_ORACLE,
         "q61_budget_allocation": _pagerank_cte(iters=5, damping=0.85) + """
             SELECT node AS host,
                    CAST(least(greatest(

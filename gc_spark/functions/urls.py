@@ -256,3 +256,42 @@ def file_extension_col(col: Column) -> Column:
     path = F.parse_url(col, F.lit("PATH"))
     ext = F.regexp_extract(path, r"[^/.][^/]*\.([^./]+)$", 1)
     return F.when(ext == "", F.lit(UNKNOWN_FILE_EXTENSION_PLACEHOLDER)).otherwise(F.lower(ext))
+
+
+# A pragmatic public-suffix subset for registrable-domain grouping. The
+# real list (publicsuffix.org) is ~9k entries — it broadcasts the same
+# way; this module keeps the mechanism and a useful default.
+DEFAULT_PUBLIC_SUFFIXES = (
+    "com", "org", "net", "mil", "gov", "edu", "int", "io",
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ac.jp", "go.jp",
+)
+
+
+def registrable_domain_col(
+    host_col: Column, suffixes: tuple = DEFAULT_PUBLIC_SUFFIXES
+) -> Column:
+    """eTLD+1: the registrable domain of a hostname — the grain politeness
+    budgets, seen-set salting, and host reputation SHOULD key on
+    ('a.cdn.example.co.uk' and 'b.cdn.example.co.uk' are one crawl target,
+    'example.co.uk'; two tenants of 'github.io' are NOT one). Longest
+    matching public suffix wins, then one more label is kept; a bare
+    suffix or unknown TLD passes through unchanged (conservative: never
+    merge what we can't prove shares a registrant).
+
+    Pure expressions over a split-label array with the suffix set inlined
+    as literals (the full PSL would broadcast identically); no UDF, no
+    shuffle — composes with fqdn_col upstream of any host-keyed operator.
+    """
+    labels = F.split(F.lower(host_col), r"\.")
+    n = F.size(labels)
+    out = F.lower(host_col)
+    # build shortest-first so the LONGEST suffix's when() wraps outermost
+    # and wins when both lengths match ('co.uk' beats a hypothetical 'uk')
+    for k in sorted({s.count(".") + 1 for s in suffixes}):
+        ks = [s for s in suffixes if s.count(".") + 1 == k]
+        tail = F.array_join(F.slice(labels, n - k + 1, k), ".")
+        cand = F.array_join(F.slice(labels, n - k, k + 1), ".")
+        out = F.when((n > k) & tail.isin(*ks), cand).otherwise(out)
+    return out

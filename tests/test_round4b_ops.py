@@ -640,3 +640,34 @@ class TestApplyBpeMerges:
         got = apply_bpe_merges(d, merges).collect()[0]["encoded"]
         # round 2's pattern only exists AFTER round 1 applied
         assert got == "x+y+z"
+
+
+class TestRegistrableDomain:
+    def _doms(self, spark, hosts):
+        from gc_spark.functions.urls import registrable_domain_col
+
+        df = spark.createDataFrame([(h,) for h in hosts], "host string")
+        return {r["host"]: r["d"] for r in df.select(
+            "host", registrable_domain_col(F.col("host")).alias("d")).collect()}
+
+    def test_two_label_suffix_beats_one_label(self, spark):
+        got = self._doms(spark, [
+            "a.cdn.example.co.uk", "b.cdn.example.co.uk", "example.co.uk",
+            "deep.sub.example.com",
+        ])
+        assert got["a.cdn.example.co.uk"] == "example.co.uk"
+        assert got["b.cdn.example.co.uk"] == "example.co.uk"
+        assert got["example.co.uk"] == "example.co.uk"
+        assert got["deep.sub.example.com"] == "example.com"
+
+    def test_bare_suffix_and_unknown_tld_pass_through(self, spark):
+        got = self._doms(spark, ["co.uk", "com", "example.internal", "localhost"])
+        # a bare public suffix has no registrant: never merged
+        assert got["co.uk"] == "co.uk" and got["com"] == "com"
+        # unknown TLDs stay whole (conservative)
+        assert got["example.internal"] == "example.internal"
+        assert got["localhost"] == "localhost"
+
+    def test_case_insensitive(self, spark):
+        got = self._doms(spark, ["WWW.Example.COM"])
+        assert got["WWW.Example.COM"] == "example.com"
