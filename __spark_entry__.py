@@ -3141,6 +3141,28 @@ def q150_registrable_domains(spark, sf_dir):
     )
 
 
+def q151_bandwidth_windows(spark, sf_dir):
+    """Per-host bandwidth audit (operators/eta.bandwidth_windows): bytes
+    moved per host per 60s fixed window, with an over-cap flag at 1.5 KB/s —
+    the BYTES-axis audit next to the request-rate compliance check (q115).
+    Fixed windows are mergeable (no window function — one aggregate).
+    Log synthesized from events: ts from the q136 visit pattern, bytes
+    from value."""
+    from gc_spark.operators.eta import bandwidth_windows
+
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    k = F.floor(eid / 40)
+    log = ev.select(
+        F.concat(F.lit("h"), (eid % 40).cast("string")).alias("host"),
+        (k * 7).cast("long").alias("fetch_ts"),
+        F.floor(F.abs(F.col("value")) * 100).cast("long").alias("nbytes"),
+    )
+    return bandwidth_windows(
+        log, window_sec=60, cap_bytes_per_sec=1500.0
+    )
+
+
 _MIRRORS_ORACLE = """
     WITH corpus AS (
       SELECT source AS h, text FROM documents
@@ -4430,6 +4452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q148_waterfill": q148_waterfill,
         "q149_bpe_encode": q149_bpe_encode,
         "q150_registrable_domains": q150_registrable_domains,
+        "q151_bandwidth_windows": q151_bandwidth_windows,
     }
 
 
@@ -5294,6 +5317,26 @@ _REG_DOMAIN_ORACLE = """
 """
 
 
+_BANDWIDTH_ORACLE = """
+    WITH log AS (
+      SELECT 'h' || CAST(event_id % 40 AS VARCHAR) AS host,
+             (event_id // 40) * 7 AS fetch_ts,
+             CAST(floor(abs(value) * 100) AS BIGINT) AS nbytes
+      FROM events
+    ), agg AS (
+      SELECT host, (fetch_ts // 60) * 60 AS window_start,
+             COUNT(*) AS n_fetches,
+             CAST(SUM(nbytes) AS BIGINT) AS total_bytes
+      FROM log GROUP BY host, window_start
+    )
+    SELECT host, CAST(window_start AS BIGINT) AS window_start, n_fetches,
+           total_bytes,
+           ROUND(total_bytes / 60.0, 6) AS bytes_per_sec,
+           CAST(total_bytes / 60.0 > 1500.0 AS INTEGER) AS over_cap
+    FROM agg
+"""
+
+
 _SESSIONS_ORACLE = """
     WITH log AS (
       SELECT 'h' || CAST(event_id % 40 AS VARCHAR) AS host,
@@ -5867,6 +5910,7 @@ def oracle_sql() -> dict[str, str]:
         "q148_waterfill": _WATERFILL_ORACLE,
         "q149_bpe_encode": _bpe_encode_oracle(),
         "q150_registrable_domains": _REG_DOMAIN_ORACLE,
+        "q151_bandwidth_windows": _BANDWIDTH_ORACLE,
         "q61_budget_allocation": _pagerank_cte(iters=5, damping=0.85) + """
             SELECT node AS host,
                    CAST(least(greatest(

@@ -87,3 +87,45 @@ def retry_backoff(
         F.round(raw * (0.5 + 0.5 * jitter), 6).alias("backoff_sec"),
         (n >= max_attempts).alias("give_up"),
     )
+
+
+def bandwidth_windows(
+    fetch_log: DataFrame,
+    host_col: str = "host",
+    ts_col: str = "fetch_ts",
+    bytes_col: str = "nbytes",
+    window_sec: int = 60,
+    cap_bytes_per_sec: float | None = None,
+) -> DataFrame:
+    """Per-host throughput accounting in fixed time windows: (host,
+    window_start, n_fetches, total_bytes, bytes_per_sec[, over_cap]) —
+    the observed counterpart of the crawl-delay budget (q63) on the BYTES
+    axis: politeness bounds request RATE, this audits whether the bytes
+    those requests moved exceed a per-host bandwidth cap (an egress
+    budget, a courtesy cap for small origins).
+
+    Fixed windows (floor(ts/window)) rather than sessions: windows are
+    mergeable across partitions and micro-batches exactly like the
+    histogram sketch — ONE (host, window) aggregate, map-side combined,
+    no window function at all."""
+    win = (F.floor(F.col(ts_col) / window_sec) * window_sec).cast("long")
+    agg = fetch_log.groupBy(
+        F.col(host_col), win.alias("window_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n_fetches"),
+        F.sum(bytes_col).cast("long").alias("total_bytes"),
+    )
+    out = agg.select(
+        "*",
+        F.round(F.col("total_bytes") / float(window_sec), 6).alias(
+            "bytes_per_sec"
+        ),
+    )
+    if cap_bytes_per_sec is not None:
+        out = out.select(
+            "*",
+            (F.col("bytes_per_sec") > cap_bytes_per_sec)
+            .cast("int")
+            .alias("over_cap"),
+        )
+    return out

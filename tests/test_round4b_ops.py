@@ -671,3 +671,38 @@ class TestRegistrableDomain:
     def test_case_insensitive(self, spark):
         got = self._doms(spark, ["WWW.Example.COM"])
         assert got["WWW.Example.COM"] == "example.com"
+
+
+class TestBandwidthWindows:
+    def test_windows_and_cap_flag(self, spark):
+        from gc_spark.operators.eta import bandwidth_windows
+
+        rows = [
+            ("h", 0, 100_000), ("h", 59, 260_000),   # window 0: 6000 B/s
+            ("h", 60, 6_000),                        # window 60: 100 B/s
+            ("g", 125, 30),                          # window 120
+        ]
+        df = spark.createDataFrame(rows, "host string, fetch_ts long, nbytes long")
+        got = {(r["host"], r["window_start"]): r for r in
+               bandwidth_windows(df, cap_bytes_per_sec=5000.0).collect()}
+        assert got[("h", 0)]["n_fetches"] == 2
+        assert got[("h", 0)]["bytes_per_sec"] == 6000.0
+        assert got[("h", 0)]["over_cap"] == 1
+        assert got[("h", 60)]["over_cap"] == 0
+        assert got[("g", 120)]["total_bytes"] == 30
+
+    def test_windows_merge_across_disjoint_slices(self, spark):
+        from gc_spark.operators.eta import bandwidth_windows
+
+        rows = [("h", i, 100) for i in range(0, 120, 10)]
+        df = spark.createDataFrame(rows, "host string, fetch_ts long, nbytes long")
+        whole = {(r["host"], r["window_start"]): r["total_bytes"]
+                 for r in bandwidth_windows(df).collect()}
+        halves = (
+            bandwidth_windows(df.filter("fetch_ts % 20 = 0"))
+            .unionByName(bandwidth_windows(df.filter("fetch_ts % 20 != 0")))
+            .groupBy("host", "window_start")
+            .agg(F.sum("total_bytes").alias("tb"))
+        )
+        merged = {(r["host"], r["window_start"]): r["tb"] for r in halves.collect()}
+        assert whole == merged
