@@ -3163,6 +3163,47 @@ def q151_bandwidth_windows(spark, sf_dir):
     )
 
 
+def q152_blob_integrity(spark, sf_dir):
+    """Blob referential-integrity audit (operators/spans.blob_integrity):
+    span media refs (q134's shared 97-image pool) full-outer-joined at
+    distinct-ref grain against a manifest synthesized from part that
+    (a) is missing refs 0 and 90-96 — orphan_ref, the broken-image class —
+    and (b) stores blobs 100-109 nothing references — the compactor's
+    reclaim feed."""
+    from gc_spark.operators.spans import blob_integrity, build_interleaved_spans
+
+    d = _t_wide(spark, sf_dir, "documents")
+    spans = build_interleaved_spans(d)
+    remapped = spans.select(
+        "doc_id",
+        F.transform(
+            "spans",
+            lambda s: F.struct(
+                s["kind"].alias("kind"),
+                s["text"].alias("text"),
+                F.when(
+                    s["kind"] == "media",
+                    F.concat(
+                        F.lit("img://"),
+                        ((F.col("doc_id") * 7 + s["offset"]) % 97).cast(
+                            "string"
+                        ),
+                    ),
+                )
+                .otherwise(s["media_ref"])
+                .alias("media_ref"),
+                s["offset"].alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    p = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    manifest = p.filter((pk < 90) | ((pk >= 100) & (pk < 110))).select(
+        F.concat(F.lit("img://"), pk.cast("string")).alias("media_ref")
+    )
+    return blob_integrity(remapped, manifest)
+
+
 _MIRRORS_ORACLE = """
     WITH corpus AS (
       SELECT source AS h, text FROM documents
@@ -4453,6 +4494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q149_bpe_encode": q149_bpe_encode,
         "q150_registrable_domains": q150_registrable_domains,
         "q151_bandwidth_windows": q151_bandwidth_windows,
+        "q152_blob_integrity": q152_blob_integrity,
     }
 
 
@@ -5337,6 +5379,30 @@ _BANDWIDTH_ORACLE = """
 """
 
 
+_BLOB_INTEGRITY_ORACLE = """
+    WITH base AS (
+      SELECT doc_id, text,
+             UNNEST(range(0, CAST(greatest(ceil(length(text) / 80.0), 1) AS BIGINT))) AS i
+      FROM documents
+    ), refs AS (
+      SELECT 'img://' || CAST((doc_id * 7 + (i + i // 3 + 1)) % 97 AS VARCHAR)
+               AS ref,
+             COUNT(DISTINCT doc_id) AS n_docs
+      FROM base WHERE i % 3 = 2 GROUP BY 1
+    ), man AS (
+      SELECT DISTINCT 'img://' || CAST(p_partkey AS VARCHAR) AS ref, 1 AS st
+      FROM part
+      WHERE p_partkey < 90 OR (p_partkey >= 100 AND p_partkey < 110)
+    )
+    SELECT COALESCE(refs.ref, man.ref) AS ref,
+           CAST(COALESCE(n_docs, 0) AS BIGINT) AS n_docs,
+           CASE WHEN n_docs IS NOT NULL AND st IS NOT NULL THEN 'ok'
+                WHEN n_docs IS NOT NULL THEN 'orphan_ref'
+                ELSE 'unreferenced' END AS class
+    FROM refs FULL OUTER JOIN man ON refs.ref = man.ref
+"""
+
+
 _SESSIONS_ORACLE = """
     WITH log AS (
       SELECT 'h' || CAST(event_id % 40 AS VARCHAR) AS host,
@@ -5911,6 +5977,7 @@ def oracle_sql() -> dict[str, str]:
         "q149_bpe_encode": _bpe_encode_oracle(),
         "q150_registrable_domains": _REG_DOMAIN_ORACLE,
         "q151_bandwidth_windows": _BANDWIDTH_ORACLE,
+        "q152_blob_integrity": _BLOB_INTEGRITY_ORACLE,
         "q61_budget_allocation": _pagerank_cte(iters=5, damping=0.85) + """
             SELECT node AS host,
                    CAST(least(greatest(

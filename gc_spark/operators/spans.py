@@ -544,3 +544,52 @@ def span_language_profile(df: DataFrame) -> DataFrame:
         .alias("doc_lang"),
         ((n_en > 0) & (n_en < n_text)).cast("int").alias("is_mixed"),
     )
+
+
+def blob_integrity(
+    spans_df: DataFrame, manifest: DataFrame, ref_col: str = "media_ref"
+) -> DataFrame:
+    """Referential-integrity audit between the interleaved document table
+    and the blob store manifest — the invariant an interleaved corpus
+    lives or dies by: every media span's ref must resolve (an ORPHAN ref
+    renders as a broken image at training time), and every stored blob
+    should be referenced (an UNREFERENCED blob is paid-for storage the
+    compactor can reclaim).
+
+    Returns one row per distinct ref with its class:
+      ok           — referenced and stored
+      orphan_ref   — referenced by spans, missing from the manifest
+      unreferenced — stored, referenced by nothing (plus n_docs = 0)
+
+    Scale shape: refs are projected out of span arrays MAP-SIDE (blobs
+    and span structs never move), reduced to (ref, doc count) — then ONE
+    full-outer join against the manifest at distinct-ref grain, orders of
+    magnitude smaller than the span table. The deletion feed for the
+    compactor is `class = 'unreferenced'`; the block-release gate is
+    `orphan_ref` count == 0."""
+    refs = (
+        spans_df.select(
+            F.explode(
+                F.filter(F.col("spans"), lambda s: s["kind"] == "media")
+            ).alias("_s"),
+            F.col("doc_id"),
+        )
+        .select(F.col("_s")[ref_col].alias("ref"), "doc_id")
+        .groupBy("ref")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+    )
+    man = manifest.select(F.col(ref_col).alias("ref")).distinct().select(
+        "ref", F.lit(1).alias("_stored")
+    )
+    joined = refs.join(man, "ref", "full_outer")
+    return joined.select(
+        "ref",
+        F.coalesce(F.col("n_docs"), F.lit(0)).alias("n_docs"),
+        F.when(
+            F.col("n_docs").isNotNull() & F.col("_stored").isNotNull(),
+            F.lit("ok"),
+        )
+        .when(F.col("n_docs").isNotNull(), F.lit("orphan_ref"))
+        .otherwise(F.lit("unreferenced"))
+        .alias("class"),
+    )

@@ -706,3 +706,27 @@ class TestBandwidthWindows:
         )
         merged = {(r["host"], r["window_start"]): r["tb"] for r in halves.collect()}
         assert whole == merged
+
+
+class TestBlobIntegrity:
+    def test_three_classes(self, spark):
+        from gc_spark.operators.spans import blob_integrity
+
+        spans_rows = [
+            (1, [("media", None, "img://a", 0), ("text", "x", None, 1)]),
+            (2, [("media", None, "img://a", 0),
+                 ("media", None, "img://gone", 1)]),
+        ]
+        spans_df = spark.createDataFrame(
+            spans_rows,
+            "doc_id long, "
+            "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+        )
+        manifest = spark.createDataFrame(
+            [("img://a",), ("img://idle",)], "media_ref string"
+        )
+        got = {r["ref"]: r for r in blob_integrity(spans_df, manifest).collect()}
+        assert got["img://a"]["class"] == "ok" and got["img://a"]["n_docs"] == 2
+        assert got["img://gone"]["class"] == "orphan_ref"
+        assert got["img://idle"]["class"] == "unreferenced"
+        assert got["img://idle"]["n_docs"] == 0
