@@ -3204,6 +3204,28 @@ def q152_blob_integrity(spark, sf_dir):
     return blob_integrity(remapped, manifest)
 
 
+def q153_bounded_shards(spark, sf_dir):
+    """Consistent hashing with bounded loads (operators/sharding.
+    bounded_load_shards, portable-hash mode): HRW first preference with a
+    per-shard cap at ceil(110% of average) — overflow keys spill to their
+    second preference deterministically (highest-affinity keys keep their
+    home). The assignment-side answer to hot-host skew, next to q78/q79's
+    plain rendezvous stability."""
+    import math
+
+    from gc_spark.operators.sharding import bounded_load_shards
+
+    o = _t(spark, sf_dir, "orders")
+    keys = o.select(
+        F.concat(F.lit("u"), F.col("o_orderkey").cast("string")).alias("url")
+    )
+    n = keys.count()
+    cap = (11 * n + 79) // 80  # ceil(1.1 * n / 8), integer-exact
+    return bounded_load_shards(
+        keys, key="url", num_shards=8, cap_per_shard=cap, portable=True
+    )
+
+
 _MIRRORS_ORACLE = """
     WITH corpus AS (
       SELECT source AS h, text FROM documents
@@ -4495,6 +4517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q150_registrable_domains": q150_registrable_domains,
         "q151_bandwidth_windows": q151_bandwidth_windows,
         "q152_blob_integrity": q152_blob_integrity,
+        "q153_bounded_shards": q153_bounded_shards,
     }
 
 
@@ -5403,6 +5426,38 @@ _BLOB_INTEGRITY_ORACLE = """
 """
 
 
+_BOUNDED_SHARDS_ORACLE = """
+    WITH keys AS (
+      SELECT 'u' || CAST(o_orderkey AS VARCHAR) AS k FROM orders
+    ), cap AS (
+      SELECT (11 * COUNT(*) + 79) // 80 AS c FROM keys
+    ), sc AS (
+      SELECT k, s,
+             CAST('0x' || substr(sha256(k || '#' || CAST(s AS VARCHAR)), 1, 15)
+               AS BIGINT) AS score
+      FROM keys CROSS JOIN (SELECT UNNEST(range(0, 8)) AS s)
+    ), rk AS (
+      SELECT k, s, score,
+             ROW_NUMBER() OVER (PARTITION BY k ORDER BY score DESC, s) AS rn
+      FROM sc
+    ), prefs AS (
+      SELECT k,
+             MAX(CASE WHEN rn = 1 THEN s END) AS p1,
+             MAX(CASE WHEN rn = 1 THEN score END) AS s1,
+             MAX(CASE WHEN rn = 2 THEN s END) AS p2
+      FROM rk GROUP BY k
+    ), loaded AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY p1 ORDER BY s1 DESC, k) AS cum
+      FROM prefs
+    )
+    SELECT k AS url,
+           CAST(CASE WHEN cum > (SELECT c FROM cap) THEN p2 ELSE p1 END
+             AS INTEGER) AS shard,
+           CAST(cum > (SELECT c FROM cap) AS INTEGER) AS spilled
+    FROM loaded
+"""
+
+
 _SESSIONS_ORACLE = """
     WITH log AS (
       SELECT 'h' || CAST(event_id % 40 AS VARCHAR) AS host,
@@ -5978,6 +6033,7 @@ def oracle_sql() -> dict[str, str]:
         "q150_registrable_domains": _REG_DOMAIN_ORACLE,
         "q151_bandwidth_windows": _BANDWIDTH_ORACLE,
         "q152_blob_integrity": _BLOB_INTEGRITY_ORACLE,
+        "q153_bounded_shards": _BOUNDED_SHARDS_ORACLE,
         "q61_budget_allocation": _pagerank_cte(iters=5, damping=0.85) + """
             SELECT node AS host,
                    CAST(least(greatest(

@@ -124,3 +124,72 @@ def shard_manifest(
             256,
         ).alias("manifest_sha"),
     )
+
+
+def bounded_load_shards(
+    df: DataFrame,
+    key: str,
+    num_shards: int,
+    cap_per_shard: int,
+    weight_col: str | None = None,
+    portable: bool = False,
+) -> DataFrame:
+    """Rendezvous assignment with a LOAD CAP — consistent hashing with
+    bounded loads (Mirrokni/Thorup/Zadimoghaddam), two-choice form: every
+    key keeps its HRW first preference unless that shard is over
+    `cap_per_shard` (by key count, or by `weight_col` mass), in which
+    case it spills to its second preference. Hot-host skew is exactly the
+    failure this bounds: a shard that would drown in one host's URLs
+    sheds the overflow deterministically instead of becoming the straggler
+    (the same skew the politeness salter fights, applied to shard
+    ASSIGNMENT rather than drain order).
+
+    Within an overloaded shard, the keys that STAY are the ones with the
+    highest rendezvous score there (they "belong" most strongly; ties
+    broken by key) — so assignments remain stable under key churn, and a
+    resize re-homes only the minimal HRW fraction (q78/q79's property),
+    plus whatever the cap forces.
+
+    (key, shard, spilled): one map-side preference computation (top-2 of
+    the score array per row), one window per first-preference shard for
+    the capacity cumsum. Spilled keys count against NOBODY's cap in this
+    one-round form (two-choice, not waterfall) — callers needing a hard
+    global bound run it with cap slack or iterate.
+    """
+    scored = F.array(
+        *[
+            F.named_struct(
+                F.lit("s"), _score(F.col(key), s, portable), F.lit("c"), F.lit(s)
+            )
+            for s in range(num_shards)
+        ]
+    )
+    top2 = F.slice(
+        F.array_sort(
+            scored, lambda a, b: F.when(a["s"] < b["s"], 1).when(a["s"] > b["s"], -1).otherwise(0)
+        ),
+        1,
+        2,
+    )
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    prefs = df.select(
+        "*",
+        F.element_at(top2, 1)["c"].alias("_p1"),
+        F.element_at(top2, 1)["s"].alias("_s1"),
+        F.element_at(top2, 2)["c"].alias("_p2"),
+        w.alias("_w"),
+    )
+    from pyspark.sql import Window
+
+    cum = (
+        Window.partitionBy("_p1")
+        .orderBy(F.desc("_s1"), F.col(key))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    loaded = prefs.select("*", F.sum("_w").over(cum).alias("_cum"))
+    spilled = F.col("_cum") > cap_per_shard
+    return loaded.select(
+        key,
+        F.when(spilled, F.col("_p2")).otherwise(F.col("_p1")).alias("shard"),
+        spilled.cast("int").alias("spilled"),
+    )

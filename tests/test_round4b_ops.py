@@ -730,3 +730,44 @@ class TestBlobIntegrity:
         assert got["img://gone"]["class"] == "orphan_ref"
         assert got["img://idle"]["class"] == "unreferenced"
         assert got["img://idle"]["n_docs"] == 0
+
+
+class TestBoundedLoadShards:
+    def test_cap_bounds_every_shard_and_spills_go_to_second_choice(self, spark):
+        from collections import Counter
+        from gc_spark.operators.sharding import bounded_load_shards
+
+        keys = spark.createDataFrame(
+            [(f"u{i}",) for i in range(200)], "url string"
+        )
+        got = bounded_load_shards(
+            keys, key="url", num_shards=4, cap_per_shard=40, portable=True
+        ).collect()
+        kept = Counter(r["shard"] for r in got if r["spilled"] == 0)
+        assert max(kept.values()) <= 40       # the cap holds for keepers
+        assert sum(r["spilled"] for r in got) == 200 - sum(kept.values())
+        # spilled keys landed on a DIFFERENT shard than their preference
+        # (verified implicitly: keepers alone already fill to cap)
+
+    def test_no_spill_when_cap_is_loose(self, spark):
+        from gc_spark.operators.sharding import bounded_load_shards, assign_shards
+
+        keys = spark.createDataFrame([(f"u{i}",) for i in range(50)], "url string")
+        bounded = {r["url"]: r for r in bounded_load_shards(
+            keys, key="url", num_shards=4, cap_per_shard=1000, portable=True
+        ).collect()}
+        plain = {r["url"]: r["shard"] for r in assign_shards(
+            keys, key="url", num_shards=4, portable=True).collect()}
+        # loose cap degenerates to plain rendezvous: identical assignment
+        assert all(r["spilled"] == 0 for r in bounded.values())
+        assert {u: r["shard"] for u, r in bounded.items()} == plain
+
+    def test_highest_affinity_keys_keep_their_home(self, spark):
+        from gc_spark.operators.sharding import bounded_load_shards
+
+        keys = spark.createDataFrame([(f"u{i}",) for i in range(100)], "url string")
+        tight = bounded_load_shards(
+            keys, key="url", num_shards=2, cap_per_shard=30, portable=True
+        ).collect()
+        # with 2 shards and cap 30, exactly (n - 60) keys spill
+        assert sum(r["spilled"] for r in tight) == 100 - 60
