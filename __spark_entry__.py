@@ -3226,6 +3226,63 @@ def q153_bounded_shards(spark, sf_dir):
     )
 
 
+def q154_epoch_shuffle(spark, sf_dir):
+    """Two-level per-epoch training shuffle (operators/curriculum.
+    epoch_shuffle_keys): a per-epoch shard permutation crossed with a
+    per-epoch salted within-shard hash — the global training read order
+    with NO global sort and no driver permutation table; epoch 3 here,
+    reproducible forever, resampled at epoch 4."""
+    from gc_spark.operators.curriculum import epoch_shuffle_keys
+
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id")
+    return epoch_shuffle_keys(d, epoch=3, num_shards=16)
+
+
+def q155_robots_diff(spark, sf_dir):
+    """Robots-change blast radius (operators/robots.robots_diff_impact):
+    verdicts under the old and new robots.txt per URL, classified into
+    unchanged / newly_blocked (purge from queues NOW) / newly_allowed
+    (backfill), rolled up per host. The new body adds an
+    `Allow: /private/*.html$` exception (newly allowed via longest-match)
+    and a `Disallow: /pub/*` (newly blocked); q95's path classes hit all
+    four cells."""
+    from gc_spark.operators.robots import parse_robots_rules, robots_diff_impact
+
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 8)
+    old_body = "User-agent: *\nDisallow: /private/*\nDisallow: /tmp/\n"
+    new_body = old_body + "Allow: /private/*.html$\nDisallow: /pub/*\n"
+    mk = lambda body: parse_robots_rules(  # noqa: E731
+        n.select(
+            F.concat(F.lit("h"), F.col("n_nationkey")).alias("host"),
+            F.lit(body).alias("body"),
+        )
+    )
+    p = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey").cast("string")
+    urls = p.select(
+        F.concat(F.lit("h"), (F.col("p_partkey") % 8).cast("string")).alias(
+            "host"
+        ),
+        F.when(
+            F.col("p_partkey") % 5 == 0,
+            F.concat(F.lit("/private/doc"), pk, F.lit(".html")),
+        )
+        .when(
+            F.col("p_partkey") % 5 == 1,
+            F.concat(F.lit("/private/doc"), pk, F.lit(".pdf")),
+        )
+        .when(F.col("p_partkey") % 5 == 2, F.concat(F.lit("/tmp/f"), pk))
+        .when(
+            F.col("p_partkey") % 5 == 3,
+            F.concat(F.lit("/p"), (F.col("p_partkey") % 8).cast("string"),
+                     F.lit("/doc"), pk, F.lit(".pdf")),
+        )
+        .otherwise(F.concat(F.lit("/pub/doc"), pk, F.lit(".html")))
+        .alias("path"),
+    )
+    return robots_diff_impact(urls, mk(old_body), mk(new_body))
+
+
 _MIRRORS_ORACLE = """
     WITH corpus AS (
       SELECT source AS h, text FROM documents
@@ -4518,6 +4575,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q151_bandwidth_windows": q151_bandwidth_windows,
         "q152_blob_integrity": q152_blob_integrity,
         "q153_bounded_shards": q153_bounded_shards,
+        "q154_epoch_shuffle": q154_epoch_shuffle,
+        "q155_robots_diff": q155_robots_diff,
     }
 
 
@@ -5458,6 +5517,92 @@ _BOUNDED_SHARDS_ORACLE = """
 """
 
 
+_EPOCH_SHUFFLE_ORACLE = """
+    WITH d AS (SELECT doc_id FROM documents),
+    s AS (
+      SELECT doc_id,
+             CAST(CAST('0x' || substr(sha256('shard#'
+               || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 16
+               AS INTEGER) AS shard
+      FROM d
+    )
+    SELECT doc_id, shard,
+           CAST('0x' || substr(sha256('ep3#' || CAST(shard AS VARCHAR)), 1, 15)
+             AS BIGINT) AS shard_rank,
+           CAST('0x' || substr(sha256('doc3#' || CAST(doc_id AS VARCHAR)), 1, 15)
+             AS BIGINT) AS doc_rank
+    FROM s
+"""
+
+
+def _robots_diff_oracle() -> str:
+    """Two q95-style REP matchings (old/new rule sets) joined per URL and
+    rolled up into the four change classes per host."""
+    def verdict(tag: str, rules_rows: str) -> str:
+        return f"""
+    rx{tag} AS (
+      SELECT host, rule_type, pattern,
+             '^' || replace(replace(
+                      CASE WHEN pattern LIKE '%$'
+                           THEN substr(pattern, 1, length(pattern) - 1)
+                           ELSE pattern END,
+                      '.', '\\.'), '*', '.*')
+                 || CASE WHEN pattern LIKE '%$' THEN '$' ELSE '' END AS regex,
+             length(pattern) AS plen
+      FROM ({rules_rows})
+    ), m{tag} AS (
+      SELECT u.host, u.path, r.rule_type, r.pattern, r.plen
+      FROM urls u LEFT JOIN rx{tag} r
+        ON u.host = r.host AND regexp_matches(u.path, r.regex)
+    ), w{tag} AS (
+      SELECT host, path,
+             CASE WHEN pattern IS NULL THEN TRUE
+                  ELSE rule_type = 'allow' END AS allowed,
+             ROW_NUMBER() OVER (PARTITION BY host, path
+               ORDER BY (pattern IS NOT NULL) DESC, plen DESC,
+                        rule_type ASC, pattern ASC) AS rn
+      FROM m{tag}
+    ), v{tag} AS (SELECT host, path, allowed FROM w{tag} WHERE rn = 1)"""
+
+    old_rules = (
+        "SELECT host, 'disallow' AS rule_type, '/private/*' AS pattern FROM hosts"
+        " UNION ALL SELECT host, 'disallow', '/tmp/' FROM hosts"
+    )
+    new_rules = (
+        old_rules
+        + " UNION ALL SELECT host, 'allow', '/private/*.html$' FROM hosts"
+        + " UNION ALL SELECT host, 'disallow', '/pub/*' FROM hosts"
+    )
+    return f"""
+    WITH hosts AS (
+      SELECT 'h' || CAST(n_nationkey AS VARCHAR) AS host
+      FROM nation WHERE n_nationkey < 8
+    ), urls AS (
+      SELECT 'h' || CAST(p_partkey % 8 AS VARCHAR) AS host,
+             CASE CAST(p_partkey % 5 AS INT)
+               WHEN 0 THEN '/private/doc' || CAST(p_partkey AS VARCHAR) || '.html'
+               WHEN 1 THEN '/private/doc' || CAST(p_partkey AS VARCHAR) || '.pdf'
+               WHEN 2 THEN '/tmp/f' || CAST(p_partkey AS VARCHAR)
+               WHEN 3 THEN '/p' || CAST(p_partkey % 8 AS VARCHAR)
+                        || '/doc' || CAST(p_partkey AS VARCHAR) || '.pdf'
+               ELSE '/pub/doc' || CAST(p_partkey AS VARCHAR) || '.html'
+             END AS path
+      FROM part
+    ),{verdict("o", old_rules)},{verdict("n", new_rules)}
+    SELECT vo.host, COUNT(*) AS n_urls,
+           SUM(CASE WHEN vo.allowed AND vn.allowed THEN 1 ELSE 0 END)
+             AS unchanged_allowed,
+           SUM(CASE WHEN NOT vo.allowed AND NOT vn.allowed THEN 1 ELSE 0 END)
+             AS unchanged_blocked,
+           SUM(CASE WHEN vo.allowed AND NOT vn.allowed THEN 1 ELSE 0 END)
+             AS newly_blocked,
+           SUM(CASE WHEN NOT vo.allowed AND vn.allowed THEN 1 ELSE 0 END)
+             AS newly_allowed
+    FROM vo JOIN vn ON vo.host = vn.host AND vo.path = vn.path
+    GROUP BY vo.host
+"""
+
+
 _SESSIONS_ORACLE = """
     WITH log AS (
       SELECT 'h' || CAST(event_id % 40 AS VARCHAR) AS host,
@@ -6034,6 +6179,8 @@ def oracle_sql() -> dict[str, str]:
         "q151_bandwidth_windows": _BANDWIDTH_ORACLE,
         "q152_blob_integrity": _BLOB_INTEGRITY_ORACLE,
         "q153_bounded_shards": _BOUNDED_SHARDS_ORACLE,
+        "q154_epoch_shuffle": _EPOCH_SHUFFLE_ORACLE,
+        "q155_robots_diff": _robots_diff_oracle(),
         "q61_budget_allocation": _pagerank_cte(iters=5, damping=0.85) + """
             SELECT node AS host,
                    CAST(least(greatest(

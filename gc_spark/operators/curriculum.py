@@ -77,3 +77,43 @@ def curriculum_order(
             ).alias("stream_key"),
         )
     )
+
+
+def epoch_shuffle_keys(
+    df: DataFrame,
+    epoch: int,
+    id_col: str = "doc_id",
+    num_shards: int = 64,
+) -> DataFrame:
+    """Per-epoch global training shuffle WITHOUT a global sort: the classic
+    two-level scheme — a deterministic per-epoch PERMUTATION of shards
+    (every reader visits whole shards in a pseudo-random order) crossed
+    with a per-epoch salted hash WITHIN each shard. Emits
+
+      (.., shard, shard_rank, doc_rank)
+
+    and (shard_rank, doc_rank) ascending IS the epoch's read order:
+    writers repartition by `shard` + sortWithinPartitions(doc_rank);
+    readers walk shards by shard_rank. No row ever needs a global sort or
+    a driver-side permutation table — both levels are pure map-side
+    hashes salted by the epoch, so epoch k+1 is a fresh resample and
+    epoch k is reproducible forever (the property a training restart
+    needs). The curriculum twin (curriculum_order) biases WHERE a doc
+    lands; this one is the unbiased mixer run between curriculum stages.
+    """
+    from gc_spark.functions.text import _sha60_local
+
+    sid = _sha60_local(F.concat(F.lit("shard#"), F.col(id_col).cast("string")))
+    shard = (sid % num_shards).cast("int")
+    shard_rank = _sha60_local(
+        F.concat(F.lit(f"ep{epoch}#"), shard.cast("string"))
+    )
+    doc_rank = _sha60_local(
+        F.concat(F.lit(f"doc{epoch}#"), F.col(id_col).cast("string"))
+    )
+    return df.select(
+        "*",
+        shard.alias("shard"),
+        shard_rank.alias("shard_rank"),
+        doc_rank.alias("doc_rank"),
+    )

@@ -240,3 +240,42 @@ def budgets_from_crawl_delay(
     ).alias("budget_per_batch")
     cols = ["host", "crawl_delay"] if keep_delay else ["host"]
     return delays.select(*cols, budget)
+
+
+def robots_diff_impact(
+    urls: DataFrame,
+    old_rules: DataFrame,
+    new_rules: DataFrame,
+    host_col: str = "host",
+    path_col: str = "path",
+) -> DataFrame:
+    """What a robots.txt CHANGE does to the frontier: verdicts under the
+    old and new rule sets per URL, classified and rolled up per host —
+
+      newly_blocked   — queued/scheduled work that must be purged NOW
+                        (continuing to fetch it is a compliance violation)
+      newly_allowed   — URL space to backfill into the frontier
+      unchanged_allowed / unchanged_blocked — no action
+
+    A recrawl of robots.txt (revalidation_plan treats it like any URL)
+    that changes content-hash triggers exactly this diff; the per-host
+    counts are the blast radius the scheduler acts on.
+
+    Scale shape: two broadcast rule matchings (match_robots — the URL side
+    never shuffles), one (host, path) self-join of the two verdict
+    columns, one host-keyed conditional-sum rollup."""
+    o = match_robots(urls, old_rules, host_col, path_col).select(
+        host_col, path_col, F.col("allowed").alias("_old")
+    )
+    n = match_robots(urls, new_rules, host_col, path_col).select(
+        host_col, path_col, F.col("allowed").alias("_new")
+    )
+    j = o.join(n, [host_col, path_col])
+    cnt = lambda c: F.sum(c.cast("int"))  # noqa: E731
+    return j.groupBy(host_col).agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        cnt(F.col("_old") & F.col("_new")).alias("unchanged_allowed"),
+        cnt(~F.col("_old") & ~F.col("_new")).alias("unchanged_blocked"),
+        cnt(F.col("_old") & ~F.col("_new")).alias("newly_blocked"),
+        cnt(~F.col("_old") & F.col("_new")).alias("newly_allowed"),
+    )

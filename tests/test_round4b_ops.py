@@ -771,3 +771,52 @@ class TestBoundedLoadShards:
         ).collect()
         # with 2 shards and cap 30, exactly (n - 60) keys spill
         assert sum(r["spilled"] for r in tight) == 100 - 60
+
+
+class TestEpochShuffle:
+    def test_reproducible_within_epoch_resampled_across(self, spark):
+        from gc_spark.operators.curriculum import epoch_shuffle_keys
+
+        d = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+
+        def order(epoch):
+            rows = epoch_shuffle_keys(d, epoch=epoch, num_shards=8).collect()
+            return [r["doc_id"] for r in
+                    sorted(rows, key=lambda r: (r["shard_rank"], r["doc_rank"]))]
+
+        assert order(1) == order(1)          # reproducible forever
+        assert order(1) != order(2)          # fresh resample per epoch
+
+    def test_shard_is_epoch_independent(self, spark):
+        from gc_spark.operators.curriculum import epoch_shuffle_keys
+
+        d = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+        s1 = {r["doc_id"]: r["shard"] for r in
+              epoch_shuffle_keys(d, epoch=1).collect()}
+        s2 = {r["doc_id"]: r["shard"] for r in
+              epoch_shuffle_keys(d, epoch=9).collect()}
+        # data placement never moves across epochs: only the READ order does
+        assert s1 == s2
+
+
+class TestRobotsDiffImpact:
+    def test_four_classes(self, spark):
+        from gc_spark.operators.robots import parse_robots_rules, robots_diff_impact
+
+        def rules(body):
+            return parse_robots_rules(
+                spark.createDataFrame([("h", body)], "host string, body string")
+            )
+
+        old = rules("User-agent: *\nDisallow: /a/\n")
+        new = rules("User-agent: *\nDisallow: /a/\nAllow: /a/ok$\nDisallow: /b/\n")
+        urls = spark.createDataFrame(
+            [("h", "/a/x"), ("h", "/a/ok"), ("h", "/b/y"), ("h", "/c/z")],
+            "host string, path string",
+        )
+        r = robots_diff_impact(urls, old, new).collect()[0]
+        assert r["unchanged_blocked"] == 1   # /a/x
+        assert r["newly_allowed"] == 1       # /a/ok (longest-match exception)
+        assert r["newly_blocked"] == 1       # /b/y
+        assert r["unchanged_allowed"] == 1   # /c/z
+        assert r["n_urls"] == 4
