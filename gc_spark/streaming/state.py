@@ -292,3 +292,69 @@ def streaming_size_histogram(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+MG_STATE = StructType(
+    [
+        StructField("terms", ArrayType(StringType())),
+        StructField("counts", ArrayType(LongType())),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+MG_OUTPUT = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("n_seen", LongType()),
+        StructField("candidates", ArrayType(StringType())),
+    ]
+)
+
+
+def _mg_factory(capacity: int, term_col: str):
+    def _update(key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        counters: dict[str, int] = {}
+        n_seen = 0
+        if state.exists:
+            terms, counts, n_seen = state.get
+            counters = dict(zip(terms, counts))
+        for pdf in pdfs:
+            for t in pdf[term_col]:
+                n_seen += 1
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < capacity:
+                    counters[t] = 1
+                else:
+                    # decrement-all: the classic MG step
+                    for k in list(counters):
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            del counters[k]
+        terms = sorted(counters)
+        state.update((terms, [counters[t] for t in terms], n_seen))
+        yield pd.DataFrame(
+            {"host": [key[0]], "n_seen": [n_seen], "candidates": [terms]}
+        )
+
+    return _update
+
+
+def streaming_heavy_hitters(
+    stream: DataFrame, term_col: str = "term", capacity: int = 64
+) -> DataFrame:
+    """Streaming twin of operators/heavy_hitters: per-host Misra-Gries over
+    an unbounded term stream with AT MOST `capacity` counters in the
+    checkpointed state — the MG guarantee carries across micro-batches and
+    restarts because the counter map IS the sequential algorithm's state:
+    after any prefix, every term with frequency > n_seen/(capacity+1) is
+    in `candidates`. Emits the candidate set per batch; exact counts for
+    the candidates come from a batch-side confirm join, exactly like the
+    batch op's two-phase shape."""
+    return stream.groupBy("host").applyInPandasWithState(
+        _mg_factory(capacity, term_col),
+        outputStructType=MG_OUTPUT,
+        stateStructType=MG_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -820,3 +820,43 @@ class TestRobotsDiffImpact:
         assert r["newly_blocked"] == 1       # /b/y
         assert r["unchanged_allowed"] == 1   # /c/z
         assert r["n_urls"] == 4
+
+
+class TestStreamingHeavyHitters:
+    def test_guarantee_holds_across_restart(self, spark, tmp_path):
+        """Any term with frequency > n_seen/(capacity+1) must be in the
+        candidate set after every batch, including across a checkpoint
+        restart — the MG guarantee is order-independent, so no arrival
+        contract is needed."""
+        from gc_spark.streaming.state import streaming_heavy_hitters
+
+        schema = "host string, term string"
+        wave1 = [("h", "hot")] * 30 + [("h", f"noise{i}") for i in range(60)]
+        wave2 = [("h", "hot")] * 20 + [("h", f"late{i}") for i in range(40)]
+
+        src, out, ckpt = (str(tmp_path / p) for p in ("src", "out", "ckpt"))
+
+        def run_once():
+            stream = spark.readStream.schema(schema).parquet(src)
+            q = (
+                streaming_heavy_hitters(stream, capacity=8)
+                .writeStream.outputMode("update")
+                .foreachBatch(lambda df, _id: df.write.mode("append").parquet(out))
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        spark.createDataFrame(wave1, schema).write.mode("append").parquet(src)
+        run_once()
+        spark.createDataFrame(wave2, schema).write.mode("append").parquet(src)
+        run_once()
+
+        rows = sorted(
+            spark.read.parquet(out).collect(), key=lambda r: r["n_seen"]
+        )
+        # after wave 1: hot has 30 of 90 > 90/9=10; after wave 2: 50 of 150
+        assert rows[0]["n_seen"] == 90 and "hot" in rows[0]["candidates"]
+        assert rows[-1]["n_seen"] == 150 and "hot" in rows[-1]["candidates"]
+        assert all(len(r["candidates"]) <= 8 for r in rows)
