@@ -3283,6 +3283,34 @@ def q155_robots_diff(spark, sf_dir):
     return robots_diff_impact(urls, mk(old_body), mk(new_body))
 
 
+def q156_incremental_cc(spark, sf_dir):
+    """Incremental connected components (text_dedup.incremental_components):
+    a stored min-labeled assignment over yesterday's near-dup graph
+    absorbs today's edge delta by contracting the delta to the LABEL
+    graph, running the star algorithm only there, and broadcasting the
+    delta-sized relabel map back — the corpus table sees one broadcast
+    join, zero iterations. Edges: 10-chains from part; the delta holds
+    the bridging back halves (merging old components) plus brand-new tail
+    nodes. Oracle: full recursive-CTE recompute over the union — the
+    incremental answer must equal it exactly."""
+    from gc_spark.operators.text_dedup import (
+        connected_components,
+        incremental_components,
+    )
+
+    p = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    base = p.select(
+        pk.cast("long").alias("a"),
+        (pk + 1).cast("long").alias("b"),
+        (pk % 10).alias("m"),
+    ).filter(F.col("m") < 9)
+    e1 = base.filter(F.col("m") < 5).select("a", "b")
+    e2 = base.filter(F.col("m") >= 5).select("a", "b")
+    labels = connected_components(e1)
+    return incremental_components(labels, e2)
+
+
 _MIRRORS_ORACLE = """
     WITH corpus AS (
       SELECT source AS h, text FROM documents
@@ -4577,6 +4605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q153_bounded_shards": q153_bounded_shards,
         "q154_epoch_shuffle": q154_epoch_shuffle,
         "q155_robots_diff": q155_robots_diff,
+        "q156_incremental_cc": q156_incremental_cc,
     }
 
 
@@ -5603,6 +5632,23 @@ def _robots_diff_oracle() -> str:
 """
 
 
+_INC_CC_ORACLE = """
+    WITH RECURSIVE pairs AS (
+      SELECT CAST(p_partkey AS BIGINT) AS a, CAST(p_partkey + 1 AS BIGINT) AS b
+      FROM part WHERE p_partkey % 10 < 9
+    ), edges AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION
+      SELECT b, a FROM pairs
+    ), reach(node, label) AS (
+      SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+"""
+
+
 _SESSIONS_ORACLE = """
     WITH log AS (
       SELECT 'h' || CAST(event_id % 40 AS VARCHAR) AS host,
@@ -6181,6 +6227,7 @@ def oracle_sql() -> dict[str, str]:
         "q153_bounded_shards": _BOUNDED_SHARDS_ORACLE,
         "q154_epoch_shuffle": _EPOCH_SHUFFLE_ORACLE,
         "q155_robots_diff": _robots_diff_oracle(),
+        "q156_incremental_cc": _INC_CC_ORACLE,
         "q61_budget_allocation": _pagerank_cte(iters=5, damping=0.85) + """
             SELECT node AS host,
                    CAST(least(greatest(

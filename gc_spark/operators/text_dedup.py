@@ -578,3 +578,77 @@ def winnow_overlap_pairs(
             F.round(F.col("shared") / F.least("_na", "_nb"), 6).alias("overlap"),
         )
     )
+
+
+def incremental_components(
+    labels: DataFrame,
+    new_pairs: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    a_col: str = "a",
+    b_col: str = "b",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Maintain a connected-components labeling under EDGE INSERTIONS
+    without recomputing the graph: the nightly-crawl reality is a stored
+    (doc, cluster) assignment over 10^10 docs plus a delta of new near-dup
+    pairs — rerunning connected_components over everything to absorb a
+    0.1% delta is the anti-pattern this kills.
+
+    Contract: `labels` is a min-labeled assignment (cluster_id = component
+    min, what connected_components emits); returns the updated FULL
+    assignment, exactly equal to connected_components over the union of
+    old and new edges (old labels are component mins, so merging on the
+    contracted label graph preserves the global-min labeling; a new doc
+    with a smaller id than every old label wins, as it must).
+
+    Scale shape: new endpoints look up their label (one delta-sized join —
+    the labels side prunes to matching ids), edges CONTRACT to the label
+    graph (<= 2|delta| nodes, orders of magnitude smaller than the
+    corpus), the iterative star algorithm runs ONLY on that contracted
+    graph, and the resulting old→new label mapping (delta-sized) is
+    broadcast onto the stored assignment for a map-side relabel. The
+    10^10-row table is touched by exactly one broadcast join, zero
+    iterations."""
+    lab = labels.select(
+        F.col(id_col).alias("_n"), F.col(cluster_col).alias("_l")
+    )
+
+    def with_label(col):
+        side = new_pairs.select(F.col(col).cast("long").alias("_n")).distinct()
+        return side.join(lab, "_n", "left").select(
+            F.col("_n").alias(col), F.coalesce("_l", F.col("_n")).alias(f"_l{col}")
+        )
+
+    la, lb = with_label(a_col), with_label(b_col)
+    edges = (
+        new_pairs.join(la, a_col).join(lb, b_col)
+        .select(
+            F.col(f"_l{a_col}").alias("a"), F.col(f"_l{b_col}").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    merged = connected_components(edges, max_rounds=max_rounds)
+    mapping = merged.select(
+        F.col(id_col).alias("_old"), F.col(cluster_col).alias("_new")
+    )
+    updated = labels.join(
+        F.broadcast(mapping), labels[cluster_col] == F.col("_old"), "left"
+    ).select(
+        id_col,
+        F.coalesce("_new", F.col(cluster_col)).alias(cluster_col),
+    )
+    new_nodes = (
+        new_pairs.select(F.col(a_col).cast("long").alias("_n"))
+        .unionByName(new_pairs.select(F.col(b_col).cast("long").alias("_n")))
+        .distinct()
+        .join(lab.select("_n"), "_n", "left_anti")
+    )
+    new_labeled = new_nodes.join(
+        F.broadcast(mapping), new_nodes["_n"] == F.col("_old"), "left"
+    ).select(
+        F.col("_n").alias(id_col),
+        F.coalesce("_new", F.col("_n")).alias(cluster_col),
+    )
+    return updated.unionByName(new_labeled)

@@ -860,3 +860,45 @@ class TestStreamingHeavyHitters:
         assert rows[0]["n_seen"] == 90 and "hot" in rows[0]["candidates"]
         assert rows[-1]["n_seen"] == 150 and "hot" in rows[-1]["candidates"]
         assert all(len(r["candidates"]) <= 8 for r in rows)
+
+
+class TestIncrementalComponents:
+    def _cc(self, spark, pairs):
+        from gc_spark.operators.text_dedup import connected_components
+
+        return connected_components(
+            spark.createDataFrame(pairs, "a long, b long")
+        )
+
+    def test_delta_merge_equals_full_recompute(self, spark):
+        from gc_spark.operators.text_dedup import (
+            connected_components, incremental_components,
+        )
+
+        e1 = [(1, 2), (2, 3), (10, 11), (20, 21)]
+        e2 = [(3, 10), (11, 12), (30, 31)]  # bridge, extension, new island
+        labels = self._cc(spark, e1)
+        inc = {r["doc_id"]: r["cluster_id"] for r in incremental_components(
+            labels, spark.createDataFrame(e2, "a long, b long")).collect()}
+        full = {r["doc_id"]: r["cluster_id"] for r in connected_components(
+            spark.createDataFrame(e1 + e2, "a long, b long")).collect()}
+        assert inc == full
+        assert inc[12] == 1          # bridged through 3-10
+        assert inc[30] == 30 and inc[31] == 30   # new island, min label
+        assert inc[20] == 20         # untouched cluster keeps its label
+
+    def test_new_node_with_smallest_id_wins_the_label(self, spark):
+        from gc_spark.operators.text_dedup import incremental_components
+
+        labels = self._cc(spark, [(5, 6)])
+        inc = {r["doc_id"]: r["cluster_id"] for r in incremental_components(
+            labels, spark.createDataFrame([(1, 5)], "a long, b long")).collect()}
+        assert inc == {1: 1, 5: 1, 6: 1}
+
+    def test_internal_delta_edge_is_noop(self, spark):
+        from gc_spark.operators.text_dedup import incremental_components
+
+        labels = self._cc(spark, [(1, 2), (2, 3)])
+        inc = {r["doc_id"]: r["cluster_id"] for r in incremental_components(
+            labels, spark.createDataFrame([(1, 3)], "a long, b long")).collect()}
+        assert inc == {1: 1, 2: 1, 3: 1}
