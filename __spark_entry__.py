@@ -3311,6 +3311,22 @@ def q156_incremental_cc(spark, sf_dir):
     return incremental_components(labels, e2)
 
 
+def q157_powerlaw_alpha(spark, sf_dir):
+    """Degree-distribution shape alarm (operators/linkspam.powerlaw_alpha):
+    Hill MLE of the in-degree power-law exponent over the q52 host graph
+    (distinct in-neighbors per host, tail d >= 2) — link farms flatten
+    the tail and push alpha up; mirror sprawl pushes it down."""
+    from gc_spark.operators.linkspam import powerlaw_alpha
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        (F.col("user_id") % 50).alias("src"),
+        ((F.col("user_id") * 7 + F.col("event_id")) % 50).alias("dst"),
+    ).distinct()
+    degs = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("deg"))
+    return powerlaw_alpha(degs, d_min=2)
+
+
 _MIRRORS_ORACLE = """
     WITH corpus AS (
       SELECT source AS h, text FROM documents
@@ -4606,6 +4622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q154_epoch_shuffle": q154_epoch_shuffle,
         "q155_robots_diff": q155_robots_diff,
         "q156_incremental_cc": q156_incremental_cc,
+        "q157_powerlaw_alpha": q157_powerlaw_alpha,
     }
 
 
@@ -6228,6 +6245,21 @@ def oracle_sql() -> dict[str, str]:
         "q154_epoch_shuffle": _EPOCH_SHUFFLE_ORACLE,
         "q155_robots_diff": _robots_diff_oracle(),
         "q156_incremental_cc": _INC_CC_ORACLE,
+        "q157_powerlaw_alpha": """
+    WITH e AS (
+      SELECT DISTINCT user_id % 50 AS src,
+             (user_id * 7 + event_id) % 50 AS dst
+      FROM events
+    ), degs AS (
+      SELECT dst, COUNT(*) AS deg FROM e GROUP BY dst
+    ), tail AS (
+      SELECT CAST(deg AS DOUBLE) AS d FROM degs WHERE deg >= 2
+    )
+    SELECT COUNT(*) AS n_tail, CAST(2 AS INTEGER) AS d_min,
+           ROUND(CASE WHEN SUM(ln(d / 2)) > 0
+                 THEN 1.0 + COUNT(*) / SUM(ln(d / 2)) END, 6) AS alpha_hat
+    FROM tail
+""",
         "q61_budget_allocation": _pagerank_cte(iters=5, damping=0.85) + """
             SELECT node AS host,
                    CAST(least(greatest(

@@ -63,3 +63,32 @@ def reciprocity_stats(
             ).alias("is_farm"),
         )
     )
+
+
+def powerlaw_alpha(
+    degrees: DataFrame, degree_col: str = "deg", d_min: int = 2
+) -> DataFrame:
+    """Hill maximum-likelihood estimate of the power-law exponent of a
+    degree distribution: alpha = 1 + n_tail / sum(ln(d_i / d_min)) over
+    degrees >= d_min. A natural web in-link distribution sits near
+    alpha ~ 2.1 (Broder et al.); a link farm's manufactured near-uniform
+    in-degrees push alpha far up (no heavy tail), and scraped-mirror
+    sprawl pushes it down — a one-number corpus-shape alarm that
+    complements the per-pair reciprocity test (reciprocity_stats) and
+    TrustRank's seed-flow view.
+
+    One filter + one aggregate over the host-cardinality degree table:
+    (n_tail, d_min, alpha_hat). Degenerate tails (all degrees
+    == d_min: the sum is 0) yield null alpha rather than infinity.
+    """
+    d = F.col(degree_col).cast("double")
+    logsum = F.sum(F.log(d / d_min))
+    n_tail = F.count(F.lit(1))
+    tail = degrees.filter(F.col(degree_col) >= d_min)
+    return tail.agg(
+        n_tail.cast("long").alias("n_tail"),
+        F.lit(d_min).cast("int").alias("d_min"),
+        F.round(
+            F.when(logsum > 0, 1.0 + n_tail / logsum), 6
+        ).alias("alpha_hat"),
+    )

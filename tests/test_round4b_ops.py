@@ -902,3 +902,33 @@ class TestIncrementalComponents:
         inc = {r["doc_id"]: r["cluster_id"] for r in incremental_components(
             labels, spark.createDataFrame([(1, 3)], "a long, b long")).collect()}
         assert inc == {1: 1, 2: 1, 3: 1}
+
+
+class TestPowerlawAlpha:
+    def _alpha(self, spark, degs, d_min=2):
+        from gc_spark.operators.linkspam import powerlaw_alpha
+
+        df = spark.createDataFrame([(d,) for d in degs], "deg long")
+        return powerlaw_alpha(df, d_min=d_min).collect()[0]
+
+    def test_matches_hill_closed_form(self, spark):
+        import math
+
+        degs = [2, 3, 5, 8, 13, 21, 40]
+        r = self._alpha(spark, degs)
+        s = sum(math.log(d / 2) for d in degs)
+        assert r["n_tail"] == 7
+        assert abs(r["alpha_hat"] - round(1 + 7 / s, 6)) < 1e-9
+
+    def test_heavy_tail_scores_lower_than_uniform(self, spark):
+        heavy = self._alpha(spark, [2, 2, 2, 3, 4, 8, 64, 512])["alpha_hat"]
+        flat = self._alpha(spark, [3, 3, 3, 3, 3, 3, 3, 3])["alpha_hat"]
+        assert heavy < flat  # manufactured uniformity pushes alpha UP
+
+    def test_degenerate_tail_yields_null_not_infinity(self, spark):
+        r = self._alpha(spark, [2, 2, 2])
+        assert r["alpha_hat"] is None
+
+    def test_below_dmin_excluded(self, spark):
+        r = self._alpha(spark, [1, 1, 1, 2, 4])
+        assert r["n_tail"] == 2
