@@ -44,9 +44,15 @@ HEAVY = ["q16_minhash_bands", "q32_ivf_ann", "q33_jaccard_pairs",
          # round-3 continuation ops (documents/embeddings inputs): DSIR is
          # the hashed-ngram double aggregate, PQ the broadcast-codebook
          # assignment, span truncate the pure array fold
-         "q101_dsir_weights", "q103_pq_codes", "q110_span_truncate"]
+         "q101_dsir_weights", "q103_pq_codes", "q110_span_truncate",
+         # round-4 ops (documents/embeddings inputs): CDC delta is the
+         # one-id-join chunk-reuse accounting, CMS the sketch build+probe,
+         # span redact the coalesce+regex fold, embed decontam the
+         # broadcast benchmark crossJoin, BPE encode the learn+apply loop
+         "q137_cdc_delta", "q140_cms_estimates", "q142_span_redact",
+         "q145_embed_decontam", "q149_bpe_encode"]
 ITERATIVE = {"q32_ivf_ann", "q36_dup_clusters", "q39_connected_components",
-             "q60_canonical_docs"}
+             "q60_canonical_docs", "q149_bpe_encode"}
 ID_STRIDE = 10_000_000
 
 
