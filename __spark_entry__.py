@@ -1139,9 +1139,10 @@ def q68_bpe_merges(spark, sf_dir):
     """Tokenizer-vocabulary induction: 3 rounds of word-level BPE merge
     learning (operators/bpe.learn_bpe_merges) — per round, the most
     frequent adjacent pair (deterministic tie-break) is merged corpus-wide
-    via an engine-portable padded-space substring replace; each round's
-    corpus sha256 pins the rewrite byte-for-byte. Top pair enters the
-    rewrite as a 1-row broadcast, never a collect."""
+    via an engine-portable padded-space substring replace over the weighted
+    distinct-text contraction. Top pair enters the rewrite as a 1-row
+    broadcast, never a collect; the byte-exact corpus-sha audit path is
+    opt-in (`audit=True`, unit-tested) and stays out of the scale path."""
     from gc_spark.operators.bpe import learn_bpe_merges
 
     d = _t_wide(spark, sf_dir, "documents")
@@ -4330,9 +4331,10 @@ def _hits_oracle(iters: int = 3) -> str:
     )
 
 
-def _bpe_oracle(rounds: int = 3) -> str:
+def _bpe_oracle(rounds: int = 3, audit: bool = False) -> str:
     """Chained-CTE twin of learn_bpe_merges: pair counts -> top-1 ->
-    padded-space replace per round; corpus sha via ordered string_agg."""
+    padded-space replace per round; with audit=True, corpus sha via
+    ordered string_agg (matches the operator's audit=True schema)."""
     parts = ["t0 AS (SELECT doc_id, text AS t FROM documents)"]
     rows = []
     for k in range(1, rounds + 1):
@@ -4355,11 +4357,13 @@ def _bpe_oracle(rounds: int = 3) -> str:
             f" ' ' || (SELECT w1 FROM top{k}) || '+' || (SELECT w2 FROM top{k}) || ' '))"
             f" AS t FROM {p})"
         )
-        rows.append(
-            f'SELECT {k} AS "round", w1, w2, n,'
-            f" (SELECT sha256(string_agg(t, chr(1) ORDER BY doc_id)) FROM t{k})"
-            f" AS corpus_sha FROM top{k}"
+        sha = (
+            f", (SELECT sha256(string_agg(t, chr(1) ORDER BY doc_id)) FROM t{k})"
+            f" AS corpus_sha"
+            if audit
+            else ""
         )
+        rows.append(f'SELECT {k} AS "round", w1, w2, n{sha} FROM top{k}')
     return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(rows)
 
 

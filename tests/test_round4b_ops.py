@@ -614,7 +614,7 @@ class TestApplyBpeMerges:
         import hashlib
 
         final_sha = (
-            learn_bpe_merges(d, rounds=2)
+            learn_bpe_merges(d, rounds=2, audit=True)
             .filter(F.col("round") == 2)
             .collect()[0]["corpus_sha"]
         )
