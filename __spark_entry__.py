@@ -3211,19 +3211,17 @@ def q153_bounded_shards(spark, sf_dir):
     per-shard cap at ceil(110% of average) — overflow keys spill to their
     second preference deterministically (highest-affinity keys keep their
     home). The assignment-side answer to hot-host skew, next to q78/q79's
-    plain rendezvous stability."""
-    import math
-
+    plain rendezvous stability. The cap derives from cap_ratio=(11, 10)
+    INSIDE the dataflow (exact integer arithmetic over the two-phase
+    cumsum's own bucket totals) — no driver-side count, no extra scan."""
     from gc_spark.operators.sharding import bounded_load_shards
 
     o = _t(spark, sf_dir, "orders")
     keys = o.select(
         F.concat(F.lit("u"), F.col("o_orderkey").cast("string")).alias("url")
     )
-    n = keys.count()
-    cap = (11 * n + 79) // 80  # ceil(1.1 * n / 8), integer-exact
     return bounded_load_shards(
-        keys, key="url", num_shards=8, cap_per_shard=cap, portable=True
+        keys, key="url", num_shards=8, cap_ratio=(11, 10), portable=True
     )
 
 

@@ -130,9 +130,11 @@ def bounded_load_shards(
     df: DataFrame,
     key: str,
     num_shards: int,
-    cap_per_shard: int,
+    cap_per_shard: int | None = None,
     weight_col: str | None = None,
     portable: bool = False,
+    cap_ratio: tuple[int, int] | None = None,
+    cum_shards: int = 32,
 ) -> DataFrame:
     """Rendezvous assignment with a LOAD CAP — consistent hashing with
     bounded loads (Mirrokni/Thorup/Zadimoghaddam), two-choice form: every
@@ -151,11 +153,31 @@ def bounded_load_shards(
     plus whatever the cap forces.
 
     (key, shard, spilled): one map-side preference computation (top-2 of
-    the score array per row), one window per first-preference shard for
-    the capacity cumsum. Spilled keys count against NOBODY's cap in this
-    one-round form (two-choice, not waterfall) — callers needing a hard
-    global bound run it with cap slack or iterate.
+    the score array per row), then the capacity cumsum. Spilled keys count
+    against NOBODY's cap in this one-round form (two-choice, not
+    waterfall) — callers needing a hard global bound run it with cap slack
+    or iterate.
+
+    Scale shape of the cumsum: a plain Window.partitionBy(first_pref)
+    would put EVERY key of a shard on one reducer — with 8 shards and
+    10^10 keys that is the exact hot-window politeness.topk_per_host was
+    salted to avoid. Instead the cumsum is two-phase: scores are uniform
+    hashes, so bucketing each key by its score's top bits gives
+    `cum_shards` balanced, ORDER-ALIGNED salt partitions per shard (the
+    bucket is a monotone function of the score, so (bucket desc, score
+    desc, key) IS the global (score desc, key) order). Phase 1 ranks
+    within (shard, bucket); phase 2 broadcasts the tiny per-bucket totals
+    back as cumulative offsets — num_shards × cum_shards window rows, the
+    same scheme as curriculum.curriculum_order.
+
+    The cap: pass `cap_per_shard` (an absolute count / weight mass), or
+    `cap_ratio=(num, den)` meaning ceil(num/den × n_keys / num_shards),
+    computed INSIDE the dataflow from the per-bucket totals the two-phase
+    cumsum already aggregates — exact integer arithmetic, no driver-side
+    count, no extra pass over the data.
     """
+    if (cap_per_shard is None) == (cap_ratio is None):
+        raise ValueError("pass exactly one of cap_per_shard / cap_ratio")
     scored = F.array(
         *[
             F.named_struct(
@@ -171,23 +193,81 @@ def bounded_load_shards(
         1,
         2,
     )
+    if cum_shards < 1 or (cum_shards & (cum_shards - 1)) != 0:
+        raise ValueError("cum_shards must be a power of two")
+    kb = cum_shards.bit_length() - 1
+
     w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
-    prefs = df.select(
-        "*",
-        F.element_at(top2, 1)["c"].alias("_p1"),
-        F.element_at(top2, 1)["s"].alias("_s1"),
-        F.element_at(top2, 2)["c"].alias("_p2"),
-        w.alias("_w"),
+    # bucket by the score's top bits — monotone in the score, so buckets
+    # are order-aligned salt partitions (portable scores are 60-bit
+    # non-negative; xxhash64 is signed, flip the sign bit first)
+    if portable:
+        bkt = F.shiftrightunsigned(F.col("_s1"), 60 - kb) if kb else F.lit(0)
+    else:
+        bkt = (
+            F.shiftrightunsigned(
+                F.col("_s1").bitwiseXOR(F.lit(-(2**63))), 64 - kb
+            )
+            if kb
+            else F.lit(0)
+        )
+    # narrow to exactly the cumsum's columns and lazily checkpoint: the
+    # score array (num_shards hashes per key) is computed ONCE, then both
+    # the ranking window and the bucket-totals aggregate read the
+    # materialized (key + 5 scalars) frame — not the full input row, and
+    # not a re-hash per plan branch
+    prefs = (
+        df.select(
+            F.col(key),
+            F.element_at(top2, 1)["c"].alias("_p1"),
+            F.element_at(top2, 1)["s"].alias("_s1"),
+            F.element_at(top2, 2)["c"].alias("_p2"),
+            w.alias("_w"),
+        )
+        .withColumn("_bkt", bkt.cast("int"))
+        .localCheckpoint(eager=False)
     )
+
     from pyspark.sql import Window
 
-    cum = (
-        Window.partitionBy("_p1")
+    cum_local = (
+        Window.partitionBy("_p1", "_bkt")
         .orderBy(F.desc("_s1"), F.col(key))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    loaded = prefs.select("*", F.sum("_w").over(cum).alias("_cum"))
-    spilled = F.col("_cum") > cap_per_shard
+    local = prefs.select("*", F.sum("_w").over(cum_local).alias("_lcum"))
+    # tiny frame: num_shards * cum_shards rows -> cumulative bucket offsets
+    totals = prefs.groupBy("_p1", "_bkt").agg(
+        F.sum("_w").alias("_tot"), F.count(F.lit(1)).alias("_cnt")
+    )
+    w_off = (
+        Window.partitionBy("_p1")
+        .orderBy(F.desc("_bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    if cap_per_shard is not None:
+        cap_col = F.lit(cap_per_shard)
+    else:
+        num, den = cap_ratio
+        if weight_col is None:
+            # exact integer ceil(num/den * n / num_shards) — oracle-portable
+            cap_col = F.expr(
+                f"({num} * sum(_cnt) over () + {den * num_shards - 1})"
+                f" div {den * num_shards}"
+            )
+        else:
+            cap_col = (
+                F.sum("_tot").over(Window.partitionBy()) * num
+            ) / (den * num_shards)
+    offsets = totals.select(
+        "_p1",
+        "_bkt",
+        F.coalesce(F.sum("_tot").over(w_off), F.lit(0.0)).alias("_off"),
+        cap_col.alias("_cap"),
+    )
+    loaded = local.join(F.broadcast(offsets), ["_p1", "_bkt"])
+
+    spilled = (F.col("_off") + F.col("_lcum")) > F.col("_cap")
     return loaded.select(
         key,
         F.when(spilled, F.col("_p2")).otherwise(F.col("_p1")).alias("shard"),

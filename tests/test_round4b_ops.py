@@ -772,6 +772,115 @@ class TestBoundedLoadShards:
         # with 2 shards and cap 30, exactly (n - 60) keys spill
         assert sum(r["spilled"] for r in tight) == 100 - 60
 
+    @staticmethod
+    def _brute_force(urls, num_shards, cap):
+        """Single-pass reference implementation: global per-shard cumsum in
+        (score desc, key asc) order — what the two-phase salted cumsum must
+        reproduce exactly."""
+        import hashlib
+        from collections import defaultdict
+
+        def score(k, s):
+            return int(
+                hashlib.sha256(f"{k}#{s}".encode()).hexdigest()[:15], 16
+            )
+
+        prefs = {}
+        for u in urls:
+            ranked = sorted(
+                ((score(u, s), s) for s in range(num_shards)),
+                key=lambda t: (-t[0], t[1]),
+            )
+            prefs[u] = (ranked[0][1], ranked[0][0], ranked[1][1])
+        by_shard = defaultdict(list)
+        for u, (p1, s1, _p2) in prefs.items():
+            by_shard[p1].append((-s1, u))
+        expect = {}
+        for p1, rows in by_shard.items():
+            rows.sort()
+            for i, (_negs, u) in enumerate(rows):
+                spilled = i + 1 > cap
+                expect[u] = (prefs[u][2] if spilled else p1, int(spilled))
+        return expect
+
+    def test_hot_shard_two_phase_cumsum_matches_global_order(self, spark):
+        """90% of keys first-prefer ONE shard (the hot-host shape the salted
+        cumsum exists for): the two-phase result must equal the global
+        single-window semantics key for key — cum_shards buckets are
+        order-aligned, so bucketing must not change WHO spills."""
+        from gc_spark.operators.sharding import bounded_load_shards
+
+        hot, cold, i = [], [], 0
+        while len(hot) < 90 or len(cold) < 10:
+            u = f"h{i}"
+            i += 1
+            ref = self._brute_force([u], 4, 10**9)
+            if ref[u][0] == 0 and len(hot) < 90:
+                hot.append(u)
+            elif ref[u][0] != 0 and len(cold) < 10:
+                cold.append(u)
+        urls = hot + cold
+        cap = 25  # hot shard holds 90 first preferences; 65 must spill
+        expect = self._brute_force(urls, 4, cap)
+        for cum_shards in (1, 8, 32):
+            got = {
+                r["url"]: (r["shard"], r["spilled"])
+                for r in bounded_load_shards(
+                    spark.createDataFrame([(u,) for u in urls], "url string"),
+                    key="url",
+                    num_shards=4,
+                    cap_per_shard=cap,
+                    portable=True,
+                    cum_shards=cum_shards,
+                ).collect()
+            }
+            assert got == expect, f"cum_shards={cum_shards}"
+        spilled_from_hot = sum(
+            1 for u in hot if expect[u][1] == 1
+        )
+        assert spilled_from_hot == 90 - cap  # the hot shard really was hot
+
+    def test_cap_ratio_matches_explicit_cap(self, spark):
+        """cap_ratio=(11,10) over n keys must equal cap_per_shard computed
+        with the same exact integer arithmetic driver-side."""
+        from gc_spark.operators.sharding import bounded_load_shards
+
+        n, shards = 173, 4
+        keys = spark.createDataFrame([(f"u{i}",) for i in range(n)], "url string")
+        cap = (11 * n + 10 * shards - 1) // (10 * shards)
+        a = {
+            r["url"]: (r["shard"], r["spilled"])
+            for r in bounded_load_shards(
+                keys, key="url", num_shards=shards, cap_per_shard=cap,
+                portable=True,
+            ).collect()
+        }
+        b = {
+            r["url"]: (r["shard"], r["spilled"])
+            for r in bounded_load_shards(
+                keys, key="url", num_shards=shards, cap_ratio=(11, 10),
+                portable=True,
+            ).collect()
+        }
+        assert a == b
+
+    def test_cap_args_validated(self, spark):
+        import pytest
+
+        from gc_spark.operators.sharding import bounded_load_shards
+
+        keys = spark.createDataFrame([("u1",)], "url string")
+        with pytest.raises(ValueError):
+            bounded_load_shards(keys, key="url", num_shards=2)
+        with pytest.raises(ValueError):
+            bounded_load_shards(
+                keys, key="url", num_shards=2, cap_per_shard=1, cap_ratio=(1, 1)
+            )
+        with pytest.raises(ValueError):
+            bounded_load_shards(
+                keys, key="url", num_shards=2, cap_per_shard=1, cum_shards=12
+            )
+
 
 class TestEpochShuffle:
     def test_reproducible_within_epoch_resampled_across(self, spark):
