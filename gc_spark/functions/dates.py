@@ -21,11 +21,20 @@ TS_FMT = "%Y-%m-%dT%H:%M:%S"
 
 
 def parse_timestamp(ts) -> datetime.datetime | None:
-    """Scalar twin of utils.py:269-291 (per-value pandas.to_datetime)."""
+    """Scalar twin of utils.py:269-291 (per-value pandas.to_datetime).
+
+    pandas warns on day-first-looking inputs ('31-12-2022') that it still
+    parses with its month-first default — the reference inherits exactly
+    that default, so the behavior is the parity target and the warning is
+    noise: suppressed, not "fixed"."""
+    import warnings
+
     if isinstance(ts, datetime.datetime):
         return ts
     try:
-        out = pd.to_datetime(ts).to_pydatetime()
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", UserWarning)
+            out = pd.to_datetime(ts).to_pydatetime()
         if str(out) == "NaT":
             return None
         return out
@@ -49,7 +58,12 @@ def pub_date_udf(s: pd.Series) -> pd.Series:
     """Vectorized get_pub_date. Fast path: one vectorized to_datetime with
     coerce; per-element fallback only for cells the vectorized pass NaT'd
     but the reference's per-value parse would accept (mixed formats)."""
-    parsed = pd.to_datetime(s, errors="coerce", format="mixed")
+    import warnings
+
+    with warnings.catch_warnings():
+        # same month-first-default parity note as parse_timestamp
+        warnings.simplefilter("ignore", UserWarning)
+        parsed = pd.to_datetime(s, errors="coerce", format="mixed")
     out = parsed.dt.strftime(TS_FMT)
     # reference returns the original value when parsing fails (get_pub_date
     # only overwrites on success)

@@ -78,29 +78,51 @@ def cms_estimate(
     width: int = 256,
 ) -> DataFrame:
     """probes + (cms_est): min over the depth counters each probe term
-    hashes into. The sketch is broadcast — probe rows never shuffle."""
+    hashes into. The sketch is broadcast — probe rows never shuffle.
+
+    The depth fan-out re-collapses on a per-row id, NOT on the probe
+    columns: duplicate probe rows stay distinct in the output (row count
+    in == row count out), and the sketch's (row, bucket, cnt) columns are
+    aliased to internal names so a probe frame carrying columns of those
+    names cannot collide."""
     t = F.col(term_col)
-    probed = probes.select(
-        "*",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(depth - 1)),
-                lambda r: F.struct(
-                    r.cast("int").alias("row"),
-                    (sha60_col(F.concat(t, F.lit("|"), r.cast("string"))) % width)
-                    .cast("int")
-                    .alias("bucket"),
-                ),
-            )
-        ).alias("rb"),
-    ).select("*", F.col("rb.row").alias("_r"), F.col("rb.bucket").alias("_b"))
+    keys = list(probes.columns)
+    probed = (
+        probes.select("*", F.monotonically_increasing_id().alias("_probe_id"))
+        .select(
+            "*",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(depth - 1)),
+                    lambda r: F.struct(
+                        r.cast("int").alias("r"),
+                        (
+                            sha60_col(F.concat(t, F.lit("|"), r.cast("string")))
+                            % width
+                        )
+                        .cast("int")
+                        .alias("b"),
+                    ),
+                )
+            ).alias("_rb"),
+        )
+        .select("*", F.col("_rb.r").alias("_r"), F.col("_rb.b").alias("_b"))
+    )
+    sk = sketch.select(
+        F.col("row").alias("_sk_r"),
+        F.col("bucket").alias("_sk_b"),
+        F.col("cnt").alias("_sk_cnt"),
+    )
     joined = probed.join(
-        F.broadcast(sketch),
-        (F.col("_r") == F.col("row")) & (F.col("_b") == F.col("bucket")),
+        F.broadcast(sk),
+        (F.col("_r") == F.col("_sk_r")) & (F.col("_b") == F.col("_sk_b")),
         "left",
     )
-    keys = [c for c in probes.columns]
     return (
-        joined.groupBy(*keys)
-        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
+        joined.groupBy("_probe_id")
+        .agg(
+            *[F.first(c).alias(c) for c in keys],
+            F.min(F.coalesce(F.col("_sk_cnt"), F.lit(0))).alias("cms_est"),
+        )
+        .select(*keys, "cms_est")
     )

@@ -261,16 +261,17 @@ def robots_diff_impact(
     that changes content-hash triggers exactly this diff; the per-host
     counts are the blast radius the scheduler acts on.
 
-    Scale shape: two broadcast rule matchings (match_robots — the URL side
-    never shuffles), one (host, path) self-join of the two verdict
-    columns, one host-keyed conditional-sum rollup."""
-    o = match_robots(urls, old_rules, host_col, path_col).select(
-        host_col, path_col, F.col("allowed").alias("_old")
+    Scale shape: two broadcast rule matchings CHAINED over the same frame
+    (match_robots — the URL side never shuffles), one host-keyed
+    conditional-sum rollup. No self-join: both verdicts are columns of one
+    pass, so a duplicate (host, path) row in `urls` counts once — not
+    quadratically, which is what a (host, path) self-join would do."""
+    o = match_robots(
+        urls.select(host_col, path_col), old_rules, host_col, path_col
+    ).select(host_col, path_col, F.col("allowed").alias("_old"))
+    j = match_robots(o, new_rules, host_col, path_col).select(
+        host_col, F.col("_old"), F.col("allowed").alias("_new")
     )
-    n = match_robots(urls, new_rules, host_col, path_col).select(
-        host_col, path_col, F.col("allowed").alias("_new")
-    )
-    j = o.join(n, [host_col, path_col])
     cnt = lambda c: F.sum(c.cast("int"))  # noqa: E731
     return j.groupBy(host_col).agg(
         F.count(F.lit(1)).alias("n_urls"),
