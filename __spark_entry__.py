@@ -3225,6 +3225,33 @@ def q153_bounded_shards(spark, sf_dir):
     )
 
 
+def q158_cuckoo_seen(spark, sf_dir):
+    """Deletable approximate seen-set (operators/cuckoo): a partitioned
+    cuckoo filter — the north-star's 'bloom/cuckoo' alternative that can
+    FORGET (robots newly_blocked purges, forced recrawls) where the Bloom
+    twin (q02's prefilter) can only rebuild. Built per shard in one
+    applyInPandas pass over portable 60-bit URL hashes, probed by a
+    shard-equi broadcast join. The query probes the inserted set itself:
+    the no-false-negative invariant makes every row deterministically True
+    — end-to-end oracle-checkable even though the filter is
+    fingerprint-approximate. Deletion and FPR behavior are pinned by
+    tests/test_cuckoo.py (fingerprint-collision-dependent, so not
+    SQL-oracle material)."""
+    from gc_spark.operators.cuckoo import build_cuckoo, cuckoo_maybe_contains
+    from gc_spark.operators.text_dedup import sha60_col
+
+    o = _t(spark, sf_dir, "orders")
+    seen = o.select(
+        sha60_col(
+            F.concat(F.lit("u"), F.col("o_orderkey").cast("string"))
+        ).alias("url_hash64")
+    )
+    filt = build_cuckoo(seen, num_shards=8, expected_per_shard=65536)
+    return cuckoo_maybe_contains(seen, filt, num_shards=8).select(
+        "url_hash64", "cuckoo_maybe"
+    )
+
+
 def q154_epoch_shuffle(spark, sf_dir):
     """Two-level per-epoch training shuffle (operators/curriculum.
     epoch_shuffle_keys): a per-epoch shard permutation crossed with a
@@ -4625,6 +4652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q155_robots_diff": q155_robots_diff,
         "q156_incremental_cc": q156_incremental_cc,
         "q157_powerlaw_alpha": q157_powerlaw_alpha,
+        "q158_cuckoo_seen": q158_cuckoo_seen,
     }
 
 
@@ -5405,7 +5433,9 @@ def _refresh_value_oracle() -> str:
     )
     SELECT s.url_id, s.node, s.p_changed,
            COALESCE(rk.host_rank, 0.0) AS host_rank,
-           ROUND(COALESCE(rk.host_rank, 0.0) * s.p_changed, 6) AS refresh_value
+           CAST(ROUND(CAST(COALESCE(rk.host_rank, 0.0) AS DECIMAL(18,6))
+                * CAST(s.p_changed AS DECIMAL(18,6)), 6)
+                AS DOUBLE) AS refresh_value
     FROM scored s LEFT JOIN rk USING (node)
 """
 
@@ -6247,6 +6277,14 @@ def oracle_sql() -> dict[str, str]:
         "q154_epoch_shuffle": _EPOCH_SHUFFLE_ORACLE,
         "q155_robots_diff": _robots_diff_oracle(),
         "q156_incremental_cc": _INC_CC_ORACLE,
+        # q158: probing the inserted set — no false negatives means every
+        # row is True by the filter's contract, independent of fingerprints
+        "q158_cuckoo_seen": """
+    SELECT CAST('0x' || substr(sha256('u' || CAST(o_orderkey AS VARCHAR)),
+                 1, 15) AS BIGINT) AS url_hash64,
+           TRUE AS cuckoo_maybe
+    FROM orders
+""",
         "q157_powerlaw_alpha": """
     WITH e AS (
       SELECT DISTINCT user_id % 50 AS src,

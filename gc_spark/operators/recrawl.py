@@ -182,18 +182,24 @@ def refresh_value(
 
     `scored` is recrawl_priority's output plus a `node_col` mapping each
     URL onto the rank graph (its host). Ranks are node-cardinality —
-    broadcast join, the URL table never shuffles; both factors are
-    pre-rounded so the product is engine-stable.
+    broadcast join, the URL table never shuffles. The product is computed
+    in EXACT DECIMAL arithmetic over the two rounded factors: a
+    double-precision product of rounded factors can land exactly on a
+    rounding half-boundary (e.g. 0.036125 × 0.02 = 0.0007225), where the
+    last float ulp decides the rounded digit differently per engine/sum
+    order — decimals make the boundary case deterministic everywhere.
     """
+    dec = f"decimal(18,{round_digits})"
     r = ranks.select(
         F.col(node_col),
         F.round(F.col(rank_col), round_digits).alias("_rank"),
     )
+    rank_d = F.coalesce(F.col("_rank"), F.lit(0.0)).cast(dec)
     return scored.join(F.broadcast(r), node_col, "left").select(
         *[c for c in scored.columns],
         F.coalesce(F.col("_rank"), F.lit(0.0)).alias("host_rank"),
-        F.round(
-            F.coalesce(F.col("_rank"), F.lit(0.0)) * F.col(p_col),
-            round_digits,
-        ).alias("refresh_value"),
+        (rank_d * F.col(p_col).cast(dec))
+        .cast(dec)
+        .cast("double")
+        .alias("refresh_value"),
     )
