@@ -65,17 +65,6 @@ def _pair_counts(
     )
 
 
-def _corpus_sha(df: DataFrame, text_col: str, id_col: str):
-    ordered = F.array_sort(
-        F.collect_list(F.struct(F.col(id_col).alias("i"), F.col(text_col).alias("t")))
-    )
-    return df.agg(
-        F.sha2(F.array_join(F.transform(ordered, lambda x: x["t"]), "\x01"), 256).alias(
-            "corpus_sha"
-        )
-    )
-
-
 def _rewrite_expr() -> str:
     return (
         "trim(replace(concat(' ', _t, ' '),"

@@ -16,7 +16,13 @@ batches), stored as ONE binary row per shard. Both candidate buckets of a
 key live inside its shard — the partial-key displacement `b2 = b1 XOR
 H(fp)` stays shard-local, so builds, probes, and deletes never cross
 shards, and the aggregate filter can exceed single-node memory exactly like
-the Bloom.
+the Bloom. Size `num_shards` so one shard's keys fit one executor's Arrow
+group during the build (10^10 keys → ~10^4 shards of ~10^6 keys ≈ 8 MB of
+hashes + a 2 MB table each). The probe joins on the shard id: broadcast
+while the whole filter fits a broadcast (≤ a few GB); past that, drop the
+hint and the same equi-join shuffles only (hash, shard) pairs to meet a
+filter side already partitioned by shard — candidates never carry more
+than those two columns into the exchange.
 
 Semantics (the invariants the tests pin):
   - no false negatives: every inserted-and-not-deleted key probes True;
@@ -186,12 +192,15 @@ def cuckoo_maybe_contains(
     cuckoo: DataFrame,
     hash_col: str = "url_hash64",
     num_shards: int = 32,
+    broadcast: bool = True,
 ) -> DataFrame:
     """Adds boolean `cuckoo_maybe`: False ⇒ definitely NOT in the seen set.
 
-    Shard-equi-join (broadcast — the filter is num_shards rows) then a
-    vectorized two-bucket probe per Arrow batch; a saturated shard
-    (overflow > 0) answers True for everything it cannot disprove."""
+    Shard-equi-join then a vectorized two-bucket probe per Arrow batch; a
+    saturated shard (overflow > 0) answers True for everything it cannot
+    disprove. `broadcast=False` for filters too large to broadcast — the
+    same join then shuffles only (hash, shard) pairs to the
+    shard-partitioned filter side (module docstring, scale note)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(BooleanType())
@@ -214,7 +223,8 @@ def cuckoo_maybe_contains(
         return pd.Series(out)
 
     withs = candidates.withColumn("shard", shard_of(F.col(hash_col), num_shards))
-    joined = withs.join(F.broadcast(cuckoo), "shard", "left")
+    filt = F.broadcast(cuckoo) if broadcast else cuckoo
+    joined = withs.join(filt, "shard", "left")
     return (
         joined.withColumn(
             "cuckoo_maybe",

@@ -39,7 +39,15 @@ def tfidf_top_terms(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
     )
-    tf = terms.groupBy(id_col, "term").agg(F.count("*").cast("long").alias("tf"))
+    # the (doc, term, tf) contraction feeds BOTH the score join and the
+    # docfreq aggregate: lazily checkpointed so the corpus is exploded
+    # ONCE, not re-scanned per consumer (the contraction is distinct
+    # (doc, term) pairs — far smaller than the token stream)
+    tf = (
+        terms.groupBy(id_col, "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     docfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("_df"))
     n_docs = df.agg(F.count_distinct(F.col(id_col)).cast("double").alias("_n"))
 
