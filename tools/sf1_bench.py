@@ -14,9 +14,12 @@ heavy queries read) at SCALE x sf0.1 under .bench_sf1/ (gitignored):
     by i positions (norm-preserving, deterministic) so copies decorrelate.
 
 Prints one JSON line with per-query seconds at sf0.1 and sf1 plus engine
-drain at 200k and 2M URLs. Timing protocol matches bench.py: one warm-up
-pass absorbs codegen JIT; iterative operators (q32/q36/q39) are timed
-inclusive of their driver-loop construction.
+drain at 200k and 2M URLs. Timing protocol matches bench.py: per query,
+one warm-up pass at EACH scale point absorbs codegen JIT, then timed runs
+ALTERNATE sf0.1/sf1 (best-of-3 each) so host drift and cold-start effects
+hit both columns equally and the two-scale table is like-for-like.
+Iterative operators (q32/q36/q39/...) are timed inclusive of their
+driver-loop construction.
 
 Run: python tools/sf1_bench.py   (env: SPARK_GRAFT_CPUS, SPARK_GRAFT_SF1_SCALE)
 """
@@ -103,23 +106,40 @@ def build_scaled(spark) -> None:
     open(os.path.join(OUT_DIR, "_SCALED_OK"), "w").write("ok\n")
 
 
-def time_queries(spark, sf_dir: str) -> dict:
+def time_queries(spark, sf_dirs: list[str]) -> list[dict]:
+    """Per query: warm once at each scale point, then interleave timed runs
+    across the scale points (best-of-REPEATS per point). Interleaving is
+    what makes the sf0.1 and sf1 columns like-for-like: any host drift or
+    JIT/cache cold-start lands on both, not just the first column."""
     import __spark_entry__ as entry
 
+    repeats = int(os.environ.get("SPARK_GRAFT_SF1_REPEATS", "3"))
     qs = entry.queries()
-    out = {}
-    for name in HEAVY:
-        fn = qs[name]
+    out = [{} for _ in sf_dirs]
+
+    def one_run(name, fn, sf_dir):
+        # iterative ops rebuild their driver loop inside the timed section
+        # (construction runs jobs via eager checkpoints); pure-plan ops
+        # time only the execution
         if name in ITERATIVE:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         else:
             df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
             t0 = time.time()
             df.write.format("noop").mode("overwrite").save()
-        out[name] = round(time.time() - t0, 3)
+        return time.time() - t0
+
+    for name in HEAVY:
+        fn = qs[name]
+        times = [[] for _ in sf_dirs]
+        for i, d in enumerate(sf_dirs):  # warm-up, untimed, per scale point
+            fn(spark, d).write.format("noop").mode("overwrite").save()
+        for _ in range(max(repeats, 1)):
+            for i, d in enumerate(sf_dirs):
+                times[i].append(one_run(name, fn, d))
+        for i in range(len(sf_dirs)):
+            out[i][name] = round(min(times[i]), 3)
     return out
 
 
@@ -130,8 +150,7 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     build_scaled(spark)
 
-    q_small = time_queries(spark, BASE_SF)
-    q_big = time_queries(spark, OUT_DIR)
+    q_small, q_big = time_queries(spark, [BASE_SF, OUT_DIR])
 
     os.environ["SPARK_GRAFT_BENCH_ENGINE_URLS"] = "200000"
     eng_small = bench.bench_engine_drain(spark)
@@ -141,6 +160,10 @@ def main():
     result = {
         "metric": "sf1_heavy_queries_and_engine",
         "scale": SCALE,
+        "protocol": "per query: warm at each scale point, then interleaved"
+        " best-of-%s timed runs per point" % os.environ.get(
+            "SPARK_GRAFT_SF1_REPEATS", "3"
+        ),
         "queries_sf0.1": q_small,
         "queries_sf1": q_big,
         "engine_drain_200k": eng_small,
