@@ -3252,6 +3252,90 @@ def q158_cuckoo_seen(spark, sf_dir):
     )
 
 
+def q159_hll_distinct(spark, sf_dir):
+    """Per-host distinct-URL HyperLogLog (operators/hll): the frontier-health
+    metric ("how many distinct URLs has each host contributed") as a
+    256-register mergeable sketch instead of an exact count(distinct url)
+    full shuffle. rho is computed EXACTLY via length(bin(w)) — no floating
+    log2 — so the register table and the rounded estimate are
+    oracle-checkable bit-for-bit; the exact distinct count rides along to
+    show the sketch error (~6% at p=8)."""
+    from gc_spark.operators.hll import hll_estimate, hll_registers
+
+    o = _t(spark, sf_dir, "orders")
+    items = o.select(
+        F.concat(F.lit("h"), (F.col("o_custkey") % 8).cast("string")).alias(
+            "host"
+        ),
+        F.concat(F.lit("u"), (F.col("o_orderkey") % 4096).cast("string")).alias(
+            "item"
+        ),
+    )
+    regs = hll_registers(items, "item", ["host"], p=8)
+    est = hll_estimate(regs, ["host"], p=8)
+    exact = items.groupBy("host").agg(
+        F.countDistinct("item").alias("exact_distinct")
+    )
+    return est.join(exact, "host").select(
+        "host", "n_registers", "est_distinct", "exact_distinct"
+    )
+
+
+def q160_kmeans_clusters(spark, sf_dir):
+    """Semantic corpus clustering (operators/kmeans): 2 Lloyd iterations,
+    k=4, seeded from the 4 lowest vec_ids. The corpus never shuffles —
+    assignment is a broadcast-centroid native expression; the update is a
+    (k*dim)-row aggregate; centroids are round(.,6)-quantized at every
+    boundary so the DuckDB twin replays the identical trajectory."""
+    from gc_spark.operators.kmeans import cluster_profile, kmeans_lloyd
+
+    e = _t_wide(spark, sf_dir, "embeddings")
+    assigned = kmeans_lloyd(e, "embedding", "vec_id", k=4, iters=2)
+    return cluster_profile(assigned).select("cluster", "n_points", "avg_dist2")
+
+
+def q161_round_robin(spark, sf_dir):
+    """Host-diversity frontier selection (politeness.round_robin_take):
+    take 500 URLs round-robin across hosts — every host's best URL before
+    any host's second — so one hot site can't monopolize a micro-batch.
+    Per-host window + rank<=k prune + TakeOrdered; no global sort."""
+    from gc_spark.operators.politeness import round_robin_take
+
+    p = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    urls = p.select(
+        F.concat(F.lit("h"), (pk % 50).cast("string")).alias("host"),
+        F.concat(F.lit("/d/"), pk.cast("string")).alias("url"),
+        ((pk * 7) % 100).cast("int").alias("priority"),
+    )
+    return round_robin_take(urls, 500).select(
+        "host", "url", "priority", "rr_rank"
+    )
+
+
+def q162_incremental_index(spark, sf_dir):
+    """Incremental inverted-index update (inverted.incremental_postings):
+    the last 10% of doc_ids arrive as a crawl delta; only the delta is
+    tokenized and the stored index is touched by one broadcast-semi-join
+    prune — the index twin of q156's incremental connected components.
+    Oracle: full recompute over the union, restricted to the delta's
+    terms; the merged rows must equal it byte-for-byte. The 90% threshold
+    is derived inside the dataflow (1-row broadcast), not driver-side."""
+    from gc_spark.operators.inverted import incremental_postings, inverted_index
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    thr = docs.agg(F.expr("max(doc_id) * 9 div 10").alias("_thr"))
+    tagged = docs.crossJoin(F.broadcast(thr))
+    old = tagged.filter(F.col("doc_id") < F.col("_thr")).select("doc_id", "text")
+    delta = tagged.filter(F.col("doc_id") >= F.col("_thr")).select(
+        "doc_id", "text"
+    )
+    stored = inverted_index(old)
+    return incremental_postings(stored, delta).select(
+        "term", "doc_freq", "postings"
+    )
+
+
 def q154_epoch_shuffle(spark, sf_dir):
     """Two-level per-epoch training shuffle (operators/curriculum.
     epoch_shuffle_keys): a per-epoch shard permutation crossed with a
@@ -4653,7 +4737,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q156_incremental_cc": q156_incremental_cc,
         "q157_powerlaw_alpha": q157_powerlaw_alpha,
         "q158_cuckoo_seen": q158_cuckoo_seen,
+        "q159_hll_distinct": q159_hll_distinct,
+        "q160_kmeans_clusters": q160_kmeans_clusters,
+        "q161_round_robin": q161_round_robin,
+        "q162_incremental_index": q162_incremental_index,
     }
+
+
+def _kmeans_oracle(k: int = 4, dim: int = 64, iters: int = 2) -> str:
+    """DuckDB twin of operators/kmeans.kmeans_lloyd: replays the identical
+    centroid trajectory (seed = k lowest ids; round(.,6)-quantized update;
+    argmin ties to the lower cid) as chained CTEs, one assign/update pair
+    per iteration."""
+    d2 = (
+        "list_sum(list_transform(generate_series(1, {dim}), "
+        "i -> (p.v[i] - c.cent[i]) * (p.v[i] - c.cent[i])))"
+    ).format(dim=dim)
+    parts = [
+        f"""
+        WITH pts AS (
+          SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), gs AS (
+          SELECT UNNEST(generate_series(1, {dim})) AS i
+        ), c0 AS (
+          SELECT row_number() OVER (ORDER BY id) - 1 AS cid, v AS cent
+          FROM (SELECT id, v FROM pts ORDER BY id LIMIT {k})
+        )"""
+    ]
+    for it in range(iters):
+        parts.append(
+            f""", a{it} AS (
+          SELECT id, v, cid, d2,
+                 row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+          FROM (SELECT p.id, p.v, c.cid, {d2} AS d2
+                FROM pts p CROSS JOIN c{it} c)
+        ), w{it} AS (
+          SELECT id, v, cid FROM a{it} WHERE rn = 1
+        ), u{it} AS (
+          SELECT cid, list(cv ORDER BY i) AS cent
+          FROM (SELECT w.cid, g.i, ROUND(AVG(w.v[g.i]), 6) AS cv
+                FROM w{it} w CROSS JOIN gs g GROUP BY w.cid, g.i)
+          GROUP BY cid
+        ), c{it + 1} AS (
+          SELECT s.cid, COALESCE(u.cent, s.cent) AS cent
+          FROM c{it} s LEFT JOIN u{it} u USING (cid)
+        )"""
+        )
+    parts.append(
+        f""", afin AS (
+          SELECT id, cid, d2,
+                 row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+          FROM (SELECT p.id, c.cid, {d2} AS d2
+                FROM pts p CROSS JOIN c{iters} c)
+        )
+        SELECT CAST(cid AS INTEGER) AS cluster, COUNT(*) AS n_points,
+               ROUND(AVG(d2), 4) AS avg_dist2
+        FROM afin WHERE rn = 1 GROUP BY cid"""
+    )
+    return "".join(parts)
 
 
 def _fusion_oracle() -> str:
@@ -6299,6 +6440,82 @@ def oracle_sql() -> dict[str, str]:
            ROUND(CASE WHEN SUM(ln(d / 2)) > 0
                  THEN 1.0 + COUNT(*) / SUM(ln(d / 2)) END, 6) AS alpha_hat
     FROM tail
+""",
+        # q159: rho via length(bin(w)) is exact integer arithmetic in both
+        # engines; the estimate formula is evaluated with the same literals
+        "q159_hll_distinct": """
+    WITH items AS (
+      SELECT 'h' || CAST(o_custkey % 8 AS VARCHAR) AS host,
+             'u' || CAST(o_orderkey % 4096 AS VARCHAR) AS item
+      FROM orders
+    ), h AS (
+      SELECT host, item,
+             CAST('0x' || substr(sha256(item), 1, 15) AS BIGINT) AS hash
+      FROM items
+    ), regs AS (
+      SELECT host, hash % 256 AS register,
+             MAX(CASE WHEN (hash >> 8) = 0 THEN 53
+                 ELSE 53 - length(bin(hash >> 8)) END) AS rho_max
+      FROM h GROUP BY host, hash % 256
+    ), agg AS (
+      SELECT host, COUNT(*) AS n_registers,
+             SUM(power(2.0, -rho_max)) AS z
+      FROM regs GROUP BY host
+    ), est AS (
+      SELECT host, n_registers,
+             (256.0 - n_registers) AS zeros,
+             (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+               / (z + (256.0 - n_registers)) AS raw
+      FROM agg
+    ), ex AS (
+      SELECT host, COUNT(DISTINCT item) AS exact_distinct
+      FROM items GROUP BY host
+    )
+    SELECT e.host, e.n_registers,
+           CAST(ROUND(CASE WHEN e.raw <= 640.0 AND e.zeros > 0
+                THEN 256.0 * ln(256.0 / e.zeros) ELSE e.raw END, 0)
+                AS BIGINT) AS est_distinct,
+           x.exact_distinct
+    FROM est e JOIN ex x USING (host)
+""",
+        "q160_kmeans_clusters": _kmeans_oracle(k=4, dim=64, iters=2),
+        "q161_round_robin": """
+    WITH urls AS (
+      SELECT 'h' || CAST(p_partkey % 50 AS VARCHAR) AS host,
+             '/d/' || CAST(p_partkey AS VARCHAR) AS url,
+             CAST((p_partkey * 7) % 100 AS INTEGER) AS priority
+      FROM part
+    ), r AS (
+      SELECT host, url, priority,
+             row_number() OVER (PARTITION BY host
+                                ORDER BY priority DESC, url) AS rr
+      FROM urls
+    )
+    SELECT host, url, priority, CAST(rr AS INTEGER) AS rr_rank
+    FROM r ORDER BY rr, host, url LIMIT 500
+""",
+        # q162: full recompute over old+delta, restricted to the delta's
+        # terms — must equal the incremental merge byte-for-byte
+        "q162_incremental_index": """
+    WITH thr AS (SELECT (MAX(doc_id) * 9) // 10 AS t FROM documents),
+    toks AS (
+      SELECT doc_id,
+             UNNEST(string_split_regex(trim(text), '\\s+')) AS term,
+             generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) - 1 AS pos
+      FROM documents
+    ), perdoc AS (
+      SELECT term, doc_id, list_sort(list(pos)) AS plist
+      FROM toks GROUP BY term, doc_id
+    ), full_idx AS (
+      SELECT term, COUNT(*) AS doc_freq,
+             string_agg(CAST(doc_id AS VARCHAR) || ':' || array_to_string(plist, '|'),
+                        ',' ORDER BY doc_id) AS postings
+      FROM perdoc GROUP BY term
+    ), delta_terms AS (
+      SELECT DISTINCT term FROM toks WHERE doc_id >= (SELECT t FROM thr)
+    )
+    SELECT f.term, f.doc_freq, f.postings
+    FROM full_idx f JOIN delta_terms USING (term)
 """,
         "q61_budget_allocation": _pagerank_cte(iters=5, damping=0.85) + """
             SELECT node AS host,

@@ -65,3 +65,45 @@ def inverted_index(
             ",",
         ).alias("postings"),
     )
+
+
+def incremental_postings(
+    index_df: DataFrame,
+    delta_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Absorb a batch of NEW documents into a stored inverted index without
+    rescanning the corpus — the index twin of text_dedup.incremental_components.
+
+    Contract (the crawl's natural shape): delta doc ids are strictly greater
+    than every indexed id — manifest ids are append-monotonic, so new
+    postings concatenate AFTER the stored, already doc-sorted postings
+    string and the merged row stays sorted without re-parsing it.
+
+    Scale shape: the delta alone is tokenized (delta-sized posexplode +
+    groupBy); the stored index — term-keyed, corpus-sized — is touched by
+    ONE join on the delta's term set. Brand-new terms survive via the
+    full-outer side. Output: the replacement rows for touched terms only;
+    a MERGE of these into the stored table is the production write.
+    """
+    d = inverted_index(delta_docs, text_col=text_col, id_col=id_col)
+    # Broadcast the delta's term set to PRUNE the stored index with a scan +
+    # semi join (no shuffle of the corpus-sized index); the outer merge then
+    # runs between two delta-sized frames.
+    touched = index_df.join(
+        F.broadcast(d.select("term").distinct()), "term", "left_semi"
+    )
+    merged = touched.alias("o").join(d.alias("n"), "term", "full_outer")
+    return merged.select(
+        "term",
+        (
+            F.coalesce(F.col("o.doc_freq"), F.lit(0))
+            + F.coalesce(F.col("n.doc_freq"), F.lit(0))
+        )
+        .cast("long")
+        .alias("doc_freq"),
+        F.concat_ws(
+            ",", F.col("o.postings"), F.col("n.postings")
+        ).alias("postings"),
+    )

@@ -141,3 +141,37 @@ def delay_compliance(
             "compliant"
         ),
     )
+
+
+def round_robin_take(
+    pending: DataFrame,
+    k: int,
+    host_col: str = "host",
+    priority_col: str = "priority",
+    url_col: str = "url",
+) -> DataFrame:
+    """Host-diversity frontier selection: take `k` URLs round-robin across
+    hosts — every host's best URL before any host's second.
+
+    The reference achieves per-site diversity structurally (one Scrapy
+    process per spider, runCrawler.sh fans them out); a single distributed
+    frontier needs it as an operator or a hot site monopolizes each
+    micro-batch. Ordering: (within-host rank, host, url) — a total order,
+    so the batch is deterministic.
+
+    Scale shape: one per-host window (host-partitioned, the same grain the
+    frontier is already stored on), a cheap `rank <= k` prune, then a
+    global top-k via orderBy+limit — Spark plans TakeOrderedAndProject
+    (per-partition heaps + driver merge of k rows), NOT a full sort. The
+    window partitions by a numeric xxhash64 host key (string partition
+    keys sort ~10x slower; see topk_per_host).
+    """
+    w = Window.partitionBy(F.xxhash64(host_col)).orderBy(
+        F.col(priority_col).desc(), F.col(url_col).asc()
+    )
+    return (
+        pending.withColumn("rr_rank", F.row_number().over(w))
+        .filter(F.col("rr_rank") <= k)  # prune before the global top-k
+        .orderBy("rr_rank", host_col, url_col)
+        .limit(k)
+    )

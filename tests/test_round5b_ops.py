@@ -1,0 +1,198 @@
+"""Round-5 operators: HLL sketch, Lloyd k-means, round-robin frontier
+selection, incremental inverted-index merge.
+
+Pins the invariants the DuckDB oracles can't see: HLL mergeability and
+error bound, k-means convergence geometry and empty-cluster handling,
+round-robin fairness, and incremental == full-rebuild equality on
+adversarial (interleaved-term) deltas.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestHLL:
+    def _items(self, spark, n, hosts=2, dups=3):
+        return spark.range(n * dups).select(
+            F.concat(F.lit("h"), (F.col("id") % hosts).cast("string")).alias("host"),
+            F.concat(F.lit("u"), (F.col("id") % n).cast("string")).alias("item"),
+        )
+
+    def test_estimate_within_hll_error(self, spark):
+        from gc_spark.operators.hll import hll_estimate, hll_registers
+
+        # one host, 2000 distinct items repeated 3x; p=8 → ~6.5% std error
+        df = self._items(spark, 2000, hosts=1)
+        regs = hll_registers(df, "item", ["host"], p=8)
+        [row] = hll_estimate(regs, ["host"], p=8).collect()
+        assert abs(row["est_distinct"] - 2000) / 2000 < 0.20
+        assert row["n_registers"] <= 256
+
+    def test_duplicates_do_not_move_registers(self, spark):
+        from gc_spark.operators.hll import hll_registers
+
+        once = self._items(spark, 500, dups=1)
+        thrice = self._items(spark, 500, dups=3)
+        a = sorted(map(tuple, hll_registers(once, "item", ["host"]).collect()))
+        b = sorted(map(tuple, hll_registers(thrice, "item", ["host"]).collect()))
+        assert a == b
+
+    def test_merge_equals_union(self, spark):
+        from gc_spark.operators.hll import hll_merge, hll_registers
+
+        d1 = self._items(spark, 300, dups=1)
+        d2 = spark.range(200, 700).select(
+            F.lit("h0").alias("host"),
+            F.concat(F.lit("u"), F.col("id").cast("string")).alias("item"),
+        )
+        merged = hll_merge(
+            hll_registers(d1, "item", ["host"]),
+            hll_registers(d2, "item", ["host"]),
+            ["host"],
+        )
+        direct = hll_registers(d1.unionByName(d2), "item", ["host"])
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+
+    def test_small_range_linear_counting(self, spark):
+        from gc_spark.operators.hll import hll_estimate, hll_registers
+
+        # 10 distinct items: raw << 2.5m with zeros > 0 → linear counting,
+        # which is near-exact at this range
+        df = self._items(spark, 10, hosts=1)
+        regs = hll_registers(df, "item", ["host"], p=8)
+        [row] = hll_estimate(regs, ["host"], p=8).collect()
+        assert row["est_distinct"] == pytest.approx(10, abs=2)
+
+
+class TestKMeans:
+    def _separated(self, spark):
+        # two tight blobs on a 4-dim axis; ids 0,1 land in different blobs
+        # so the two seed centroids start one per blob
+        rows = []
+        for i in range(10):
+            base = 0.0 if i % 2 == 0 else 10.0
+            rows.append((i, [base + 0.01 * i, base, base, base]))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_separated_blobs_recovered(self, spark):
+        from gc_spark.operators.kmeans import kmeans_lloyd
+
+        out = kmeans_lloyd(self._separated(spark), k=2, iters=2).collect()
+        by_cluster = {}
+        for r in out:
+            by_cluster.setdefault(r["cluster"], set()).add(r["_id"])
+        assert by_cluster[0] == {0, 2, 4, 6, 8}
+        assert by_cluster[1] == {1, 3, 5, 7, 9}
+
+    def test_second_iteration_tightens(self, spark):
+        from gc_spark.operators.kmeans import cluster_profile, kmeans_lloyd
+
+        df = self._separated(spark)
+        d1 = (
+            cluster_profile(kmeans_lloyd(df, k=2, iters=1))
+            .agg(F.sum("avg_dist2"))
+            .first()[0]
+        )
+        d2 = (
+            cluster_profile(kmeans_lloyd(df, k=2, iters=2))
+            .agg(F.sum("avg_dist2"))
+            .first()[0]
+        )
+        assert d2 <= d1 + 1e-9  # Lloyd never increases the objective
+
+    def test_empty_cluster_keeps_seed(self, spark):
+        from gc_spark.operators.kmeans import kmeans_lloyd
+
+        # seed 1 is a far outlier that captures nothing after the first
+        # update would... actually it captures itself; instead: k=3 with
+        # only 2 distinct locations — cluster 2's seed coincides with
+        # cluster 0's blob, so one of them empties; must not crash and
+        # every point stays assigned
+        rows = [(0, [0.0, 0.0]), (1, [10.0, 10.0]), (2, [0.0, 0.0]),
+                (3, [10.0, 10.0]), (4, [0.1, 0.0])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = kmeans_lloyd(df, k=3, iters=2).collect()
+        assert len(out) == 5
+        assert all(r["dist2"] >= 0.0 for r in out)
+
+    def test_assignment_is_deterministic(self, spark):
+        from gc_spark.operators.kmeans import kmeans_lloyd
+
+        df = self._separated(spark)
+        a = sorted((r["_id"], r["cluster"]) for r in kmeans_lloyd(df, k=2, iters=2).collect())
+        b = sorted((r["_id"], r["cluster"]) for r in kmeans_lloyd(df, k=2, iters=2).collect())
+        assert a == b
+
+
+class TestRoundRobin:
+    def _frontier(self, spark):
+        rows = []
+        for h in range(3):
+            for i in range(4):
+                rows.append((f"h{h}", f"/u{h}{i}", 10 - i))
+        return spark.createDataFrame(rows, "host string, url string, priority int")
+
+    def test_every_host_first_before_any_second(self, spark):
+        from gc_spark.operators.politeness import round_robin_take
+
+        out = round_robin_take(self._frontier(spark), 5).collect()
+        ranks = [r["rr_rank"] for r in out]
+        # 3 hosts → ranks are 1,1,1,2,2 — all rank-1 rows precede rank-2
+        assert sorted(ranks) == [1, 1, 1, 2, 2]
+        hosts_at_1 = {r["host"] for r in out if r["rr_rank"] == 1}
+        assert hosts_at_1 == {"h0", "h1", "h2"}
+
+    def test_within_host_best_priority_first(self, spark):
+        from gc_spark.operators.politeness import round_robin_take
+
+        out = round_robin_take(self._frontier(spark), 3).collect()
+        assert {(r["host"], r["url"]) for r in out} == {
+            ("h0", "/u00"), ("h1", "/u10"), ("h2", "/u20")
+        }
+
+    def test_k_larger_than_frontier(self, spark):
+        from gc_spark.operators.politeness import round_robin_take
+
+        assert round_robin_take(self._frontier(spark), 100).count() == 12
+
+
+class TestIncrementalPostings:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_matches_full_rebuild(self, spark):
+        from gc_spark.operators.inverted import (
+            incremental_postings,
+            inverted_index,
+        )
+
+        old = self._docs(spark, [(0, "a b a"), (1, "b c"), (2, "d")])
+        delta = self._docs(spark, [(3, "a d e"), (4, "e")])
+        inc = incremental_postings(inverted_index(old), delta)
+        full = inverted_index(old.unionByName(delta))
+        touched = {"a", "d", "e"}
+        got = {r["term"]: (r["doc_freq"], r["postings"]) for r in inc.collect()}
+        want = {
+            r["term"]: (r["doc_freq"], r["postings"])
+            for r in full.collect()
+            if r["term"] in touched
+        }
+        assert got == want
+        assert set(got) == touched  # untouched terms b, c not rewritten
+
+    def test_brand_new_terms_survive(self, spark):
+        from gc_spark.operators.inverted import (
+            incremental_postings,
+            inverted_index,
+        )
+
+        old = self._docs(spark, [(0, "x")])
+        delta = self._docs(spark, [(1, "zz zz")])
+        got = incremental_postings(inverted_index(old), delta).collect()
+        assert [(r["term"], r["doc_freq"], r["postings"]) for r in got] == [
+            ("zz", 1, "1:0|1")
+        ]
