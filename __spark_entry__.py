@@ -3336,6 +3336,23 @@ def q162_incremental_index(spark, sf_dir):
     )
 
 
+def q163_lpa_communities(spark, sf_dir):
+    """Host-graph communities via synchronous label propagation
+    (operators/community): 2 deterministic rounds, ties to the smallest
+    label — the mirror-farm / crawl-sharding neighborhood finder. Graph:
+    5-node stars over part keys (hub = key rounded down to a multiple of
+    5), so the 2-round trajectory exercises both the adopt-the-hub and the
+    hub-adopts-minority-leaf cases."""
+    from gc_spark.operators.community import label_propagation
+
+    p = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey").cast("long")
+    edges = p.filter(F.col("p_partkey") % 5 != 0).select(
+        pk.alias("a"), (pk - pk % 5).alias("b")
+    )
+    return label_propagation(edges, iters=2)
+
+
 def q154_epoch_shuffle(spark, sf_dir):
     """Two-level per-epoch training shuffle (operators/curriculum.
     epoch_shuffle_keys): a per-epoch shard permutation crossed with a
@@ -4741,6 +4758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q160_kmeans_clusters": q160_kmeans_clusters,
         "q161_round_robin": q161_round_robin,
         "q162_incremental_index": q162_incremental_index,
+        "q163_lpa_communities": q163_lpa_communities,
     }
 
 
@@ -6516,6 +6534,38 @@ def oracle_sql() -> dict[str, str]:
     )
     SELECT f.term, f.doc_freq, f.postings
     FROM full_idx f JOIN delta_terms USING (term)
+""",
+        # q163: synchronous LPA is reproducible — each round reads only the
+        # previous labeling; ties break to the smallest label in both engines
+        "q163_lpa_communities": """
+    WITH raw AS (
+      SELECT CAST(p_partkey AS BIGINT) AS a,
+             CAST(p_partkey - (p_partkey % 5) AS BIGINT) AS b
+      FROM part WHERE p_partkey % 5 <> 0
+    ), sym AS (
+      SELECT a, b FROM raw WHERE a <> b
+      UNION
+      SELECT b AS a, a AS b FROM raw WHERE a <> b
+    ), lab0 AS (
+      SELECT DISTINCT a AS node, a AS label FROM sym
+    ), c1 AS (
+      SELECT s.a AS node, l.label, COUNT(*) AS c
+      FROM sym s JOIN lab0 l ON s.b = l.node GROUP BY s.a, l.label
+    ), lab1 AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+        FROM c1) WHERE rn = 1
+    ), c2 AS (
+      SELECT s.a AS node, l.label, COUNT(*) AS c
+      FROM sym s JOIN lab1 l ON s.b = l.node GROUP BY s.a, l.label
+    ), lab2 AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+        FROM c2) WHERE rn = 1
+    )
+    SELECT node, label AS community FROM lab2
 """,
         "q61_budget_allocation": _pagerank_cte(iters=5, damping=0.85) + """
             SELECT node AS host,

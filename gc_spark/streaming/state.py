@@ -358,3 +358,86 @@ def streaming_heavy_hitters(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HLL_STATE = StructType(
+    [
+        StructField("registers", ArrayType(IntegerType())),
+        StructField("rhos", ArrayType(IntegerType())),
+        StructField("n_items", LongType()),
+    ]
+)
+
+HLL_OUTPUT = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("n_items", LongType()),
+        StructField("n_registers", IntegerType()),
+        StructField("est_distinct", LongType()),
+    ]
+)
+
+
+def _hll_factory(item_col: str, p: int):
+    import hashlib
+    import math
+
+    m = 1 << p
+    wbits = 60 - p
+
+    def _update(key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        regs: dict[int, int] = {}
+        n_items = 0
+        if state.exists:
+            r, rho, n_items = state.get
+            regs = dict(zip(r, rho))
+        for pdf in pdfs:
+            for item in pdf[item_col]:
+                n_items += 1
+                # portable 60-bit hash — identical to operators/hll (and
+                # therefore to the DuckDB twin): first 15 hex chars of sha256
+                h = int(hashlib.sha256(str(item).encode()).hexdigest()[:15], 16)
+                reg = h % m
+                w = h >> p
+                rho = (wbits + 1) if w == 0 else (wbits + 1 - w.bit_length())
+                if rho > regs.get(reg, 0):
+                    regs[reg] = rho
+        keys = sorted(regs)
+        state.update((keys, [regs[k] for k in keys], n_items))
+        zeros = float(m - len(regs))
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        raw = alpha * m * m / (sum(2.0 ** -r for r in regs.values()) + zeros)
+        if raw <= 2.5 * m and zeros > 0:
+            est = m * math.log(m / zeros)
+        else:
+            est = raw
+        yield pd.DataFrame(
+            {
+                "host": [key[0]],
+                "n_items": [n_items],
+                "n_registers": [len(regs)],
+                "est_distinct": [int(round(est))],
+            }
+        )
+
+    return _update
+
+
+def streaming_hll(
+    stream: DataFrame, item_col: str = "url", p: int = 8
+) -> DataFrame:
+    """Streaming twin of operators/hll: per-host distinct-URL HyperLogLog
+    whose 2^p registers ARE the checkpointed state — bounded (≤ 256 ints at
+    p=8) no matter how many URLs stream past, restart-durable, and
+    register-identical to the batch sketch over the same rows because both
+    use the same portable 60-bit sha256-prefix hash. Emits the running
+    (n_items, n_registers, est_distinct) per host per batch; merging a day
+    of streamed registers into the batch rollup is operators/hll.hll_merge.
+    """
+    return stream.groupBy("host").applyInPandasWithState(
+        _hll_factory(item_col, p),
+        outputStructType=HLL_OUTPUT,
+        stateStructType=HLL_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

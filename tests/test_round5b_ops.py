@@ -196,3 +196,86 @@ class TestIncrementalPostings:
         assert [(r["term"], r["doc_freq"], r["postings"]) for r in got] == [
             ("zz", 1, "1:0|1")
         ]
+
+
+class TestStreamingHLL:
+    def test_matches_batch_sketch_across_restart(self, spark, tmp_path):
+        """After two AvailableNow runs with a checkpoint restart between
+        them, the streamed registers must equal the batch sketch over the
+        union — same portable hash, same registers, same estimate."""
+        from gc_spark.operators.hll import hll_estimate, hll_registers
+        from gc_spark.streaming.state import streaming_hll
+
+        schema = "host string, url string"
+        wave1 = [("h", f"u{i}") for i in range(400)]
+        wave2 = [("h", f"u{i}") for i in range(200, 600)]  # 200 overlap
+
+        src, out, ckpt = (str(tmp_path / p) for p in ("src", "out", "ckpt"))
+
+        def run_once():
+            stream = spark.readStream.schema(schema).parquet(src)
+            q = (
+                streaming_hll(stream, item_col="url")
+                .writeStream.outputMode("update")
+                .foreachBatch(lambda df, _id: df.write.mode("append").parquet(out))
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        spark.createDataFrame(wave1, schema).write.mode("append").parquet(src)
+        run_once()
+        spark.createDataFrame(wave2, schema).write.mode("append").parquet(src)
+        run_once()
+
+        final = sorted(
+            spark.read.parquet(out).collect(), key=lambda r: r["n_items"]
+        )[-1]
+        both = spark.createDataFrame(wave1 + wave2, schema).withColumnRenamed(
+            "url", "item"
+        )
+        [batch] = hll_estimate(
+            hll_registers(both, "item", ["host"]), ["host"]
+        ).collect()
+        assert final["n_items"] == 800
+        assert final["n_registers"] == batch["n_registers"]
+        assert final["est_distinct"] == batch["est_distinct"]
+        assert abs(final["est_distinct"] - 600) / 600 < 0.20
+
+
+class TestLabelPropagation:
+    def test_two_round_star_trajectory(self, spark):
+        """5-node star, hub 0: round 1 — leaves adopt 0, hub ties across
+        leaf labels 1..4 and takes 1; round 2 — hub sees all-0 leaves and
+        returns to 0, leaves adopt the hub's round-1 label 1."""
+        from gc_spark.operators.community import label_propagation
+
+        edges = spark.createDataFrame(
+            [(i, 0) for i in range(1, 5)], "a long, b long"
+        )
+        got = {r["node"]: r["community"] for r in label_propagation(edges, 2).collect()}
+        assert got[0] == 0
+        assert all(got[i] == 1 for i in range(1, 5))
+
+    def test_symmetrization_and_self_loop_robustness(self, spark):
+        from gc_spark.operators.community import label_propagation
+
+        # duplicate directed edges + a self loop must not change the result
+        clean = spark.createDataFrame([(1, 2)], "a long, b long")
+        noisy = spark.createDataFrame(
+            [(1, 2), (2, 1), (1, 2), (1, 1)], "a long, b long"
+        )
+        a = sorted(map(tuple, label_propagation(clean, 2).collect()))
+        b = sorted(map(tuple, label_propagation(noisy, 2).collect()))
+        assert a == b
+
+    def test_two_cliques_converge_to_min_labels(self, spark):
+        from gc_spark.operators.community import label_propagation
+
+        tri = lambda base: [(base, base + 1), (base + 1, base + 2), (base, base + 2)]
+        edges = spark.createDataFrame(tri(0) + tri(10), "a long, b long")
+        got = {r["node"]: r["community"] for r in label_propagation(edges, 3).collect()}
+        assert {got[0], got[1], got[2]} == {0} or len({got[0], got[1], got[2]}) == 1
+        assert len({got[10], got[11], got[12]}) == 1
+        assert got[0] != got[10]
