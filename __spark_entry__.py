@@ -3353,6 +3353,24 @@ def q163_lpa_communities(spark, sf_dir):
     return label_propagation(edges, iters=2)
 
 
+def q164_adc_rerank(spark, sf_dir):
+    """PQ asymmetric-distance search + exact rerank (operators/pq.adc_topk):
+    the serving-path query of an IVF-PQ index. Candidates are scored from
+    their 2-byte PQ codes via a broadcast 4x16 lookup table (the corpus
+    vectors are NOT read), the best 50 by ADC go to an exact rerank, and
+    the 10 true nearest of those come back — completing the ANN family
+    (q15 brute, q19 LSH, q32 IVF, q103 PQ codes) with the
+    compressed-domain query step. Query vector: q121's deterministic
+    64-dim probe."""
+    from gc_spark.operators.pq import adc_topk
+
+    e = _t_wide(spark, sf_dir, "embeddings")
+    query = [((i * 37) % 13 - 6) / 10.0 for i in range(64)]
+    return adc_topk(e, query, dim=64, m=4, k=16, n_adc=50, n_out=10).select(
+        "vec_id", "adc_d2", "exact_d2"
+    )
+
+
 def q154_epoch_shuffle(spark, sf_dir):
     """Two-level per-epoch training shuffle (operators/curriculum.
     epoch_shuffle_keys): a per-epoch shard permutation crossed with a
@@ -4759,6 +4777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q161_round_robin": q161_round_robin,
         "q162_incremental_index": q162_incremental_index,
         "q163_lpa_communities": q163_lpa_communities,
+        "q164_adc_rerank": q164_adc_rerank,
     }
 
 
@@ -4813,6 +4832,53 @@ def _kmeans_oracle(k: int = 4, dim: int = 64, iters: int = 2) -> str:
         FROM afin WHERE rn = 1 GROUP BY cid"""
     )
     return "".join(parts)
+
+
+def _adc_oracle(n_adc: int = 50, n_out: int = 10) -> str:
+    """DuckDB twin of operators/pq.adc_topk over the q103 codebook: LUT
+    from the q121 probe vector, ADC top-n_adc, exact rerank to n_out."""
+    q = [((i * 37) % 13 - 6) / 10.0 for i in range(64)]
+    qlit = "[" + ", ".join(f"CAST({x} AS DOUBLE)" for x in q) + "]"
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cb0 AS (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code FROM e
+      QUALIFY code < 16
+    ), subs AS (SELECT UNNEST(range(0, 4)) AS s),
+    cb AS (
+      SELECT s, code, list_slice(v, s * 16 + 1, s * 16 + 16) AS cvec
+      FROM cb0, subs
+    ), vs AS (
+      SELECT vec_id, s, list_slice(v, s * 16 + 1, s * 16 + 16) AS svec
+      FROM e, subs
+    ), d AS (
+      SELECT vec_id, vs.s, code,
+             ROUND(list_sum(list_transform(range(1, 17),
+               i -> (svec[i] - cvec[i]) * (svec[i] - cvec[i]))), 9) AS d2
+      FROM vs JOIN cb ON vs.s = cb.s
+    ), best AS (
+      SELECT vec_id, s, code FROM d
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, code) = 1
+    ), qv AS (
+      SELECT s, list_slice({qlit}, s * 16 + 1, s * 16 + 16) AS qsub FROM subs
+    ), lut AS (
+      SELECT cb.s, cb.code,
+             ROUND(list_sum(list_transform(range(1, 17),
+               i -> (qv.qsub[i] - cb.cvec[i]) * (qv.qsub[i] - cb.cvec[i]))), 9) AS lut_d2
+      FROM cb JOIN qv ON cb.s = qv.s
+    ), cand AS (
+      SELECT vec_id, ROUND(SUM(lut_d2), 9) AS adc_d2
+      FROM best JOIN lut ON best.s = lut.s AND best.code = lut.code
+      GROUP BY vec_id
+      ORDER BY adc_d2, vec_id LIMIT {n_adc}
+    )
+    SELECT c.vec_id, c.adc_d2,
+           ROUND(list_sum(list_transform(range(1, 65),
+             i -> (e.v[i] - ({qlit})[i]) * (e.v[i] - ({qlit})[i]))), 9) AS exact_d2
+    FROM cand c JOIN e ON c.vec_id = e.vec_id
+    ORDER BY exact_d2, c.vec_id LIMIT {n_out}
+"""
 
 
 def _fusion_oracle() -> str:
@@ -6567,6 +6633,7 @@ def oracle_sql() -> dict[str, str]:
     )
     SELECT node, label AS community FROM lab2
 """,
+        "q164_adc_rerank": _adc_oracle(n_adc=50, n_out=10),
         "q61_budget_allocation": _pagerank_cte(iters=5, damping=0.85) + """
             SELECT node AS host,
                    CAST(least(greatest(

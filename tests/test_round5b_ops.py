@@ -279,3 +279,45 @@ class TestLabelPropagation:
         assert {got[0], got[1], got[2]} == {0} or len({got[0], got[1], got[2]}) == 1
         assert len({got[10], got[11], got[12]}) == 1
         assert got[0] != got[10]
+
+
+class TestADCTopK:
+    def _grid(self, spark):
+        # 20 vectors in 4-dim space; the 16 lowest ids ARE the codebook, so
+        # PQ reconstruction of them is exact and ADC == exact distance
+        rows = [(i, [float(i), float(i % 3), float(i % 5), 1.0]) for i in range(20)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_codebook_vectors_rank_exactly(self, spark):
+        from gc_spark.operators.pq import adc_topk
+
+        df = self._grid(spark)
+        query = [4.0, 1.0, 4.0, 1.0]  # equals vector 4
+        out = adc_topk(df, query, dim=4, m=2, k=16, n_adc=16, n_out=3).collect()
+        assert out[0]["vec_id"] == 4 and out[0]["exact_d2"] == 0.0
+        # exact rerank output is ascending in exact_d2
+        ds = [r["exact_d2"] for r in out]
+        assert ds == sorted(ds)
+        # codebook members reconstruct exactly → ADC equals exact
+        for r in out:
+            if r["vec_id"] < 16:
+                assert r["adc_d2"] == r["exact_d2"]
+
+    def test_rerank_subset_of_adc_candidates(self, spark):
+        from gc_spark.operators.pq import adc_topk, pq_code_rows
+
+        df = self._grid(spark)
+        query = [19.0, 1.0, 4.0, 1.0]
+        out = adc_topk(df, query, dim=4, m=2, k=16, n_adc=5, n_out=5).collect()
+        assert len(out) == 5
+        assert len({r["vec_id"] for r in out}) == 5
+
+    def test_pq_assign_unchanged_by_refactor(self, spark):
+        from gc_spark.operators.pq import pq_assign
+
+        df = self._grid(spark)
+        rows = {r["vec_id"]: (r["mse"], r["codes"]) for r in
+                pq_assign(df, dim=4, m=2, k=16).collect()}
+        # codebook members reconstruct themselves: mse 0, own code
+        assert rows[3][0] == 0.0
+        assert rows[3][1] == "0:3-1:3"
