@@ -3371,6 +3371,39 @@ def q164_adc_rerank(spark, sf_dir):
     )
 
 
+def q165_ir_metrics(spark, sf_dir):
+    """Retrieval-quality evaluation (operators/ir_eval.ir_metrics): MRR@10,
+    NDCG@10, recall@10 for three single-term queries whose run is the
+    tf-ranked top-15 and whose relevance labels are tf >= 2 — the
+    regression gate a tokenizer or index change would be held to. The
+    ideal DCG is a native sequence fold; everything after the ranker is
+    run-sized (k rows per query)."""
+    from gc_spark.operators.ir_eval import ir_metrics
+
+    d = _t_wide(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("qid"),
+        )
+        .filter(F.col("qid").isin("spark", "query", "merge"))
+        .groupBy("qid", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("tf"), F.asc("doc_id"))
+    run = (
+        tf.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 15)
+        .select("qid", "doc_id", "rank")
+    )
+    qrels = tf.select(
+        "qid", "doc_id", (F.col("tf") >= 2).cast("int").alias("rel")
+    )
+    return ir_metrics(run, qrels, k=10).select(
+        "qid", "n_rel", "mrr", "ndcg", "recall"
+    )
+
+
 def q154_epoch_shuffle(spark, sf_dir):
     """Two-level per-epoch training shuffle (operators/curriculum.
     epoch_shuffle_keys): a per-epoch shard permutation crossed with a
@@ -4778,6 +4811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q162_incremental_index": q162_incremental_index,
         "q163_lpa_communities": q163_lpa_communities,
         "q164_adc_rerank": q164_adc_rerank,
+        "q165_ir_metrics": q165_ir_metrics,
     }
 
 
@@ -6634,6 +6668,52 @@ def oracle_sql() -> dict[str, str]:
     SELECT node, label AS community FROM lab2
 """,
         "q164_adc_rerank": _adc_oracle(n_adc=50, n_out=10),
+        "q165_ir_metrics": r"""
+    WITH tf AS (
+      SELECT t.qid, d.doc_id, COUNT(*) AS tf
+      FROM documents d,
+           LATERAL (SELECT unnest(regexp_split_to_array(trim(d.text), '\s+')) AS qid) t
+      WHERE t.qid IN ('spark', 'query', 'merge')
+      GROUP BY t.qid, d.doc_id
+    ), run AS (
+      SELECT qid, doc_id, rank FROM (
+        SELECT qid, doc_id,
+               row_number() OVER (PARTITION BY qid ORDER BY tf DESC, doc_id ASC) AS rank
+        FROM tf) WHERE rank <= 15
+    ), rels AS (
+      SELECT qid, doc_id FROM tf WHERE tf >= 2
+    ), nrel AS (
+      SELECT qid, COUNT(*) AS n_rel FROM rels GROUP BY qid
+    ), j AS (
+      SELECT r.qid,
+             SUM(CASE WHEN x.doc_id IS NOT NULL
+                      THEN 1.0 / log2(r.rank + 1) ELSE 0 END) AS dcg,
+             MIN(CASE WHEN x.doc_id IS NOT NULL THEN r.rank END) AS first_hit,
+             SUM(CASE WHEN x.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS hits
+      FROM run r
+      LEFT JOIN rels x ON r.qid = x.qid AND r.doc_id = x.doc_id
+      WHERE r.rank <= 10
+      GROUP BY r.qid
+    ), disc AS (
+      SELECT g.i AS m, SUM(1.0 / log2(h.i + 1)) AS idcg
+      FROM generate_series(1, 10) AS g(i)
+      JOIN generate_series(1, 10) AS h(i) ON h.i <= g.i
+      GROUP BY g.i
+    ), idcg AS (
+      SELECT n.qid, d.idcg
+      FROM nrel n JOIN disc d ON d.m = LEAST(n.n_rel, 10)
+    )
+    SELECT j.qid,
+           COALESCE(n.n_rel, 0) AS n_rel,
+           ROUND(COALESCE(1.0 / j.first_hit, 0), 6) AS mrr,
+           ROUND(CASE WHEN COALESCE(n.n_rel, 0) > 0
+                      THEN j.dcg / i.idcg ELSE 0 END, 6) AS ndcg,
+           ROUND(CASE WHEN COALESCE(n.n_rel, 0) > 0
+                      THEN CAST(j.hits AS DOUBLE) / n.n_rel ELSE 0 END, 6) AS recall
+    FROM j
+    LEFT JOIN nrel n ON j.qid = n.qid
+    LEFT JOIN idcg i ON j.qid = i.qid
+""",
         "q61_budget_allocation": _pagerank_cte(iters=5, damping=0.85) + """
             SELECT node AS host,
                    CAST(least(greatest(
