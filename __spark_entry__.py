@@ -3404,6 +3404,112 @@ def q165_ir_metrics(spark, sf_dir):
     )
 
 
+def q166_phrase_match(spark, sf_dir):
+    """Exact phrase query (operators/query_eval.phrase_match): docs
+    containing the consecutive token sequence "order fast", with
+    occurrence count and first 0-based start offset. One shuffle (the
+    term-filtered token stream), adjacency as a native array_intersect
+    fold — the serving twin of the positional index q64 builds."""
+    from gc_spark.operators.query_eval import phrase_match
+
+    d = _t_wide(spark, sf_dir, "documents")
+    return phrase_match(d, ["order", "fast"]).select(
+        "doc_id",
+        "n_occurrences",
+        F.col("first_pos").cast("long").alias("first_pos"),
+    )
+
+
+def q167_boolean_match(spark, sf_dir):
+    """Minimum-should-match boolean query (operators/query_eval.
+    boolean_match): docs containing BOTH "spark" and "merge" plus at
+    least 2 of {"vector","window","group"} — Lucene's msm semantics as
+    one term-filtered groupBy + set intersections."""
+    from gc_spark.operators.query_eval import boolean_match
+
+    d = _t_wide(spark, sf_dir, "documents")
+    return boolean_match(
+        d,
+        must=["spark", "merge"],
+        should=["vector", "window", "group"],
+        min_should=2,
+    )
+
+
+def q168_zorder_skipping(spark, sf_dir):
+    """Z-order layout vs single-column layout (operators/zorder): scale
+    (o_totalprice, order-date day) onto an 8-bit grid, interleave to a
+    Morton code, bucket into 16 fixed-width z-range files vs 16
+    totalprice-range files, and measure Iceberg-style manifest pruning
+    (files whose per-file min/max box overlaps the query box) for the
+    box gx∈[64,127] × gy∈[32,95]. The z layout should hit strictly
+    fewer rows for the 2-D predicate — that difference IS the
+    data-skipping payoff the layout buys at 10^10 rows."""
+    from gc_spark.operators.zorder import (
+        grid_col,
+        layout_stats,
+        skip_effectiveness,
+        zvalue_col,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    dims = o.select(
+        F.col("o_totalprice").alias("x"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast("double")
+        .alias("y"),
+    )
+    mm = dims.agg(
+        F.min("x").alias("xmn"),
+        F.max("x").alias("xmx"),
+        F.min("y").alias("ymn"),
+        F.max("y").alias("ymx"),
+    )
+    g = dims.crossJoin(F.broadcast(mm)).select(
+        grid_col(F.col("x"), F.col("xmn"), F.col("xmx"), 8).alias("gx"),
+        grid_col(F.col("y"), F.col("ymn"), F.col("ymx"), 8).alias("gy"),
+    )
+    g = g.withColumn("z", zvalue_col([F.col("gx"), F.col("gy")], 8))
+    box = {"gx": (64, 127), "gy": (32, 95)}
+    out = []
+    for layout, fcol in (
+        ("linear_x", F.shiftright(F.col("gx"), 4)),
+        ("zorder", F.shiftright(F.col("z"), 12)),
+    ):
+        stats = layout_stats(
+            g, fcol, [F.col("gx"), F.col("gy")], ["gx", "gy"]
+        )
+        out.append(
+            skip_effectiveness(stats, box).select(
+                F.lit(layout).alias("layout"),
+                "n_files",
+                "files_hit",
+                "rows_in_hit_files",
+            )
+        )
+    return out[0].unionByName(out[1])
+
+
+def q169_aimd_delay(spark, sf_dir):
+    """AIMD adaptive per-host crawl delay (operators/aimd.aimd_delays):
+    20 synthetic hosts from events user_id, outcome = error event type,
+    delay doubles (clamped 8000 ms) on failure and decays 250 ms
+    (floored 100 ms) on success. The recurrence is vectorized ACROSS
+    hosts per Arrow batch — the Python loop is sequence length, not row
+    count."""
+    from gc_spark.operators.aimd import aimd_delays
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 4000)
+    f = e.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string")).alias(
+            "host"
+        ),
+        F.col("event_id").alias("seq"),
+        (F.col("event_type") == "error").alias("fail"),
+    )
+    return aimd_delays(f).select("host", "rn", "delay_ms")
+
+
 def q154_epoch_shuffle(spark, sf_dir):
     """Two-level per-epoch training shuffle (operators/curriculum.
     epoch_shuffle_keys): a per-epoch shard permutation crossed with a
@@ -4812,6 +4918,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q163_lpa_communities": q163_lpa_communities,
         "q164_adc_rerank": q164_adc_rerank,
         "q165_ir_metrics": q165_ir_metrics,
+        "q166_phrase_match": q166_phrase_match,
+        "q167_boolean_match": q167_boolean_match,
+        "q168_zorder_skipping": q168_zorder_skipping,
+        "q169_aimd_delay": q169_aimd_delay,
     }
 
 
@@ -4866,6 +4976,49 @@ def _kmeans_oracle(k: int = 4, dim: int = 64, iters: int = 2) -> str:
         FROM afin WHERE rn = 1 GROUP BY cid"""
     )
     return "".join(parts)
+
+
+def _zorder_oracle(bits: int = 8) -> str:
+    """DuckDB twin of q168: same grid scaling, Morton interleave (gx gets
+    the high bit of each pair, matching zvalue_col), fixed-width file
+    buckets, and Iceberg-style min/max overlap pruning."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"(((gx >> {b}) & 1) << {b * 2 + 1})")
+        terms.append(f"(((gy >> {b}) & 1) << {b * 2})")
+    interleave = " + ".join(terms)
+    top = (1 << bits) - 1
+    hit = "gx_max >= 64 AND gx_min <= 127 AND gy_max >= 32 AND gy_min <= 95"
+    return f"""
+    WITH dims AS (
+      SELECT o_totalprice AS x,
+             CAST(date_diff('day', TIMESTAMP '1992-01-01', o_orderdate) AS DOUBLE) AS y
+      FROM orders
+    ), mm AS (
+      SELECT min(x) AS xmn, max(x) AS xmx, min(y) AS ymn, max(y) AS ymx FROM dims
+    ), g AS (
+      SELECT CAST(least(greatest(floor((x - xmn) * {float(top)} / (xmx - xmn)), 0), {top}) AS BIGINT) AS gx,
+             CAST(least(greatest(floor((y - ymn) * {float(top)} / (ymx - ymn)), 0), {top}) AS BIGINT) AS gy
+      FROM dims, mm
+    ), z AS (
+      SELECT gx, gy, {interleave} AS z FROM g
+    ), files AS (
+      SELECT 'linear_x' AS layout, gx >> {bits - 4} AS file_id, gx, gy FROM z
+      UNION ALL
+      SELECT 'zorder' AS layout, z >> {2 * bits - 4} AS file_id, gx, gy FROM z
+    ), stats AS (
+      SELECT layout, file_id,
+             min(gx) AS gx_min, max(gx) AS gx_max,
+             min(gy) AS gy_min, max(gy) AS gy_max,
+             count(*) AS n_rows
+      FROM files GROUP BY layout, file_id
+    )
+    SELECT layout,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(SUM(CASE WHEN {hit} THEN 1 ELSE 0 END) AS BIGINT) AS files_hit,
+           CAST(SUM(CASE WHEN {hit} THEN n_rows ELSE 0 END) AS BIGINT) AS rows_in_hit_files
+    FROM stats GROUP BY layout
+"""
 
 
 def _adc_oracle(n_adc: int = 50, n_out: int = 10) -> str:
@@ -6713,6 +6866,61 @@ def oracle_sql() -> dict[str, str]:
     FROM j
     LEFT JOIN nrel n ON j.qid = n.qid
     LEFT JOIN idcg i ON j.qid = i.qid
+""",
+        "q166_phrase_match": r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr FROM documents
+    ), toks AS (
+      SELECT doc_id, u.i AS pos, arr[u.i + 1] AS term
+      FROM t, LATERAL (SELECT unnest(range(len(arr))) AS i) u
+    ), p0 AS (
+      SELECT doc_id, list_sort(list(pos)) AS pl FROM toks WHERE term = 'order' GROUP BY doc_id
+    ), p1 AS (
+      SELECT doc_id, list_sort(list(pos)) AS pl FROM toks WHERE term = 'fast' GROUP BY doc_id
+    ), m AS (
+      SELECT p0.doc_id,
+             list_intersect(list_transform(p0.pl, x -> x + 1), p1.pl) AS mm
+      FROM p0 JOIN p1 USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(len(mm) AS BIGINT) AS n_occurrences,
+           CAST(list_min(mm) - 1 AS BIGINT) AS first_pos
+    FROM m WHERE len(mm) > 0
+""",
+        "q167_boolean_match": r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr FROM documents
+    ), toks AS (
+      SELECT DISTINCT doc_id, u.term
+      FROM t, LATERAL (SELECT unnest(arr) AS term) u
+      WHERE u.term IN ('spark', 'merge', 'vector', 'window', 'group')
+    ), agg AS (
+      SELECT doc_id,
+             SUM(CASE WHEN term IN ('merge', 'spark') THEN 1 ELSE 0 END) AS nm,
+             SUM(CASE WHEN term IN ('group', 'vector', 'window') THEN 1 ELSE 0 END) AS ns
+      FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(ns AS BIGINT) AS n_should
+    FROM agg WHERE nm = 2 AND ns >= 2
+""",
+        "q168_zorder_skipping": _zorder_oracle(bits=8),
+        "q169_aimd_delay": """
+    WITH RECURSIVE seq AS (
+      SELECT 'h' || CAST(user_id % 20 AS VARCHAR) AS host,
+             CAST(row_number() OVER (
+               PARTITION BY user_id % 20 ORDER BY event_id) AS INTEGER) AS rn,
+             (event_type = 'error') AS fail
+      FROM events WHERE event_id < 4000
+    ), steps AS (
+      SELECT host, 0 AS rn, CAST(1000.0 AS DOUBLE) AS delay
+      FROM (SELECT DISTINCT host FROM seq)
+      UNION ALL
+      SELECT q.host, q.rn,
+             CASE WHEN q.fail THEN LEAST(2 * s.delay, 8000.0)
+                  ELSE GREATEST(s.delay - 250.0, 100.0) END
+      FROM steps s JOIN seq q ON q.host = s.host AND q.rn = s.rn + 1
+    )
+    SELECT host, rn, ROUND(delay, 6) AS delay_ms FROM steps WHERE rn > 0
 """,
         "q61_budget_allocation": _pagerank_cte(iters=5, damping=0.85) + """
             SELECT node AS host,

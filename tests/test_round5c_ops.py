@@ -90,3 +90,178 @@ class TestIrMetrics:
         run, qrels = _frames(spark, [("q1", "a", 1)], [("q1", "a", 1)])
         plan = ir_metrics(run, qrels)._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestPhraseMatch:
+    def _corpus(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_exact_phrase_and_first_pos(self, spark):
+        from gc_spark.operators.query_eval import phrase_match
+
+        df = self._corpus(
+            spark,
+            [
+                (1, "the quick brown fox"),
+                (2, "quick the quick brown again quick brown"),
+                (3, "brown quick"),  # reversed — no match
+            ],
+        )
+        out = {
+            r["doc_id"]: r
+            for r in phrase_match(df, ["quick", "brown"]).collect()
+        }
+        assert set(out) == {1, 2}
+        assert out[1]["n_occurrences"] == 1 and out[1]["first_pos"] == 1
+        assert out[2]["n_occurrences"] == 2 and out[2]["first_pos"] == 2
+
+    def test_overlapping_repeated_terms(self, spark):
+        from gc_spark.operators.query_eval import phrase_match
+
+        df = self._corpus(spark, [(1, "a a a b")])
+        [row] = phrase_match(df, ["a", "a"]).collect()
+        assert row["n_occurrences"] == 2 and row["first_pos"] == 0
+
+    def test_three_term_phrase(self, spark):
+        from gc_spark.operators.query_eval import phrase_match
+
+        df = self._corpus(
+            spark, [(1, "x one two three y"), (2, "one two x three")]
+        )
+        rows = phrase_match(df, ["one", "two", "three"]).collect()
+        assert [(r["doc_id"], r["first_pos"]) for r in rows] == [(1, 1)]
+
+    def test_plan_stays_native(self, spark):
+        from gc_spark.operators.query_eval import phrase_match
+
+        df = self._corpus(spark, [(1, "a b")])
+        plan = (
+            phrase_match(df, ["a", "b"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestBooleanMatch:
+    def test_minimum_should_match(self, spark):
+        from gc_spark.operators.query_eval import boolean_match
+
+        df = spark.createDataFrame(
+            [
+                (1, "m1 m2 s1 s2"),  # both musts, 2 shoulds -> in
+                (2, "m1 m2 s1"),  # both musts, 1 should -> out
+                (3, "m1 s1 s2 s3"),  # missing a must -> out
+            ],
+            "doc_id long, text string",
+        )
+        rows = boolean_match(
+            df, must=["m1", "m2"], should=["s1", "s2", "s3"], min_should=2
+        ).collect()
+        assert [(r["doc_id"], r["n_should"]) for r in rows] == [(1, 2)]
+
+    def test_must_only_vacuous_should(self, spark):
+        from gc_spark.operators.query_eval import boolean_match
+
+        df = spark.createDataFrame(
+            [(1, "m1 x"), (2, "y")], "doc_id long, text string"
+        )
+        rows = boolean_match(df, must=["m1"]).collect()
+        assert [(r["doc_id"], r["n_should"]) for r in rows] == [(1, 0)]
+
+
+class TestZorder:
+    def test_interleave_known_bits(self, spark):
+        from gc_spark.operators.zorder import zvalue_col
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([(3, 1)], "gx long, gy long")
+        [row] = df.select(
+            zvalue_col([F.col("gx"), F.col("gy")], bits=2).alias("z")
+        ).collect()
+        # gx=0b11 -> bits at positions 1 and 3; gy=0b01 -> bit at 0.
+        assert row["z"] == 0b1011
+
+    def test_grid_clamps_to_range(self, spark):
+        from gc_spark.operators.zorder import grid_col
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(0.0,), (50.0,), (100.0,)], "x double"
+        ).crossJoin(
+            spark.createDataFrame([(0.0, 100.0)], "mn double, mx double")
+        )
+        vals = sorted(
+            r["g"]
+            for r in df.select(
+                grid_col(F.col("x"), F.col("mn"), F.col("mx"), 8).alias("g")
+            ).collect()
+        )
+        assert vals[0] == 0 and vals[-1] == 255 and 0 < vals[1] < 255
+
+    def test_skip_effectiveness_overlap_rule(self, spark):
+        from gc_spark.operators.zorder import skip_effectiveness
+
+        stats = spark.createDataFrame(
+            [
+                (0, 0, 10, 0, 10, 100),   # overlaps box
+                (1, 90, 99, 90, 99, 100), # disjoint on both dims
+                (2, 0, 99, 50, 60, 100),  # x spans, y inside -> hit
+            ],
+            "file_id long, gx_min long, gx_max long, gy_min long, gy_max long, n_rows long",
+        )
+        [row] = skip_effectiveness(
+            stats, {"gx": (5, 20), "gy": (5, 55)}
+        ).collect()
+        assert row["n_files"] == 3
+        assert row["files_hit"] == 2
+        assert row["rows_in_hit_files"] == 200
+
+
+class TestAimd:
+    def _run(self, spark, rows, **kw):
+        from gc_spark.operators.aimd import aimd_delays
+
+        df = spark.createDataFrame(rows, "host string, seq long, fail boolean")
+        return {
+            (r["host"], r["rn"]): r["delay_ms"]
+            for r in aimd_delays(df, **kw).collect()
+        }
+
+    def test_hand_computed_recurrence(self, spark):
+        out = self._run(
+            spark,
+            [("h", 1, False), ("h", 2, True), ("h", 3, False), ("h", 4, False)],
+        )
+        # 1000 -S-> 750 -F-> 1500 -S-> 1250 -S-> 1000
+        assert out == {
+            ("h", 1): 750.0,
+            ("h", 2): 1500.0,
+            ("h", 3): 1250.0,
+            ("h", 4): 1000.0,
+        }
+
+    def test_clamps_at_dmin_and_dmax(self, spark):
+        out = self._run(
+            spark,
+            [("h", i, True) for i in range(1, 6)]
+            + [("h", i, False) for i in range(6, 12)],
+        )
+        assert out[("h", 4)] == 8000.0 and out[("h", 5)] == 8000.0  # capped
+        assert out[("h", 11)] == 6500.0
+        out2 = self._run(spark, [("g", i, False) for i in range(1, 8)])
+        assert out2[("g", 5)] == 100.0 and out2[("g", 7)] == 100.0  # floored
+
+    def test_ragged_hosts_independent(self, spark):
+        rows = [("a", 1, True), ("b", 1, False), ("b", 2, False), ("b", 3, True)]
+        out = self._run(spark, rows)
+        assert out[("a", 1)] == 2000.0
+        assert out[("b", 3)] == 1000.0  # 1000->750->500->1000
+        assert len(out) == 4
+
+    def test_bucketing_does_not_change_result(self, spark):
+        rows = [(f"h{i}", j, (i + j) % 3 == 0) for i in range(7) for j in range(1, 6)]
+        assert self._run(spark, rows, n_buckets=1) == self._run(
+            spark, rows, n_buckets=16
+        )
