@@ -3510,6 +3510,57 @@ def q169_aimd_delay(spark, sf_dir):
     return aimd_delays(f).select("host", "rn", "delay_ms")
 
 
+def q170_percolate(spark, sf_dir):
+    """Stored-query percolation (operators/percolate.percolate): five
+    registered term queries evaluated against every document in one
+    pass — the query side is exploded to a broadcast term index and the
+    corpus token stream is semi-joined against it straight off the scan,
+    so only query-relevant tokens shuffle. AND semantics: a query fires
+    iff every must-term appears."""
+    from gc_spark.operators.percolate import percolate
+
+    d = _t_wide(spark, sf_dir, "documents")
+    stored = spark.createDataFrame(
+        [
+            ("alert1", ["merge", "spark"]),
+            ("alert2", ["group", "vector", "window"]),
+            ("alert3", ["the"]),
+            ("alert4", ["nosuchterm", "spark"]),
+            ("alert5", ["fast", "filter", "join", "slow"]),
+        ],
+        "query_id string, must_terms array<string>",
+    )
+    return percolate(d, stored)
+
+
+def q171_front_coding(spark, sf_dir):
+    """Front-coded URL-manifest sizing (operators/frontcode.
+    front_coding_stats): synthesize a per-host sorted URL set from part
+    (20 hosts, catalog-style paths), and compute the exact storage win
+    of delta-prefix coding — the Lucene/WebGraph layout decision for a
+    10^10-row seen manifest. LCP is a native character fold, one window
+    per host on the partitioning the frontier already has."""
+    from gc_spark.operators.frontcode import front_coding_stats
+
+    p = _t(spark, sf_dir, "part")
+    urls = p.select(
+        F.concat(F.lit("h"), (F.col("p_partkey") % 20).cast("string")).alias(
+            "host"
+        ),
+        F.concat(
+            F.lit("https://h"),
+            (F.col("p_partkey") % 20).cast("string"),
+            F.lit(".example/catalog/"),
+            F.replace(F.col("p_name"), F.lit(" "), F.lit("-")),
+            F.lit("/"),
+            F.col("p_partkey").cast("string"),
+        ).alias("url"),
+    )
+    return front_coding_stats(urls).select(
+        "host", "n_urls", "raw_bytes", "coded_bytes", "saved_frac"
+    )
+
+
 def q154_epoch_shuffle(spark, sf_dir):
     """Two-level per-epoch training shuffle (operators/curriculum.
     epoch_shuffle_keys): a per-epoch shard permutation crossed with a
@@ -4922,6 +4973,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q167_boolean_match": q167_boolean_match,
         "q168_zorder_skipping": q168_zorder_skipping,
         "q169_aimd_delay": q169_aimd_delay,
+        "q170_percolate": q170_percolate,
+        "q171_front_coding": q171_front_coding,
     }
 
 
@@ -6921,6 +6974,56 @@ def oracle_sql() -> dict[str, str]:
       FROM steps s JOIN seq q ON q.host = s.host AND q.rn = s.rn + 1
     )
     SELECT host, rn, ROUND(delay, 6) AS delay_ms FROM steps WHERE rn > 0
+""",
+        "q170_percolate": r"""
+    WITH q(query_id, must_terms) AS (VALUES
+      ('alert1', ['merge', 'spark']),
+      ('alert2', ['group', 'vector', 'window']),
+      ('alert3', ['the']),
+      ('alert4', ['nosuchterm', 'spark']),
+      ('alert5', ['fast', 'filter', 'join', 'slow'])
+    ), qt AS (
+      SELECT query_id, unnest(must_terms) AS term FROM q
+    ), qs AS (
+      SELECT query_id, len(must_terms) AS need FROM q
+    ), toks AS (
+      SELECT DISTINCT d.doc_id, u.term
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+            FROM documents) d,
+           LATERAL (SELECT unnest(arr) AS term) u
+    ), hits AS (
+      SELECT t.doc_id, qt.query_id, count(*) AS got
+      FROM toks t JOIN qt USING (term)
+      GROUP BY t.doc_id, qt.query_id
+    )
+    SELECT h.query_id, h.doc_id
+    FROM hits h JOIN qs USING (query_id) WHERE h.got = qs.need
+""",
+        "q171_front_coding": r"""
+    WITH urls AS (
+      SELECT DISTINCT
+        'h' || CAST(p_partkey % 20 AS VARCHAR) AS host,
+        'https://h' || CAST(p_partkey % 20 AS VARCHAR) || '.example/catalog/'
+          || replace(p_name, ' ', '-') || '/' || CAST(p_partkey AS VARCHAR) AS url
+      FROM part
+    ), lagged AS (
+      SELECT host, url,
+             lag(url) OVER (PARTITION BY host ORDER BY url) AS prev
+      FROM urls
+    ), coded AS (
+      SELECT host, len(url) AS raw,
+             len(url) + 2 - COALESCE(
+               (SELECT max(g.i)
+                FROM (SELECT unnest(range(1, least(len(url), len(prev)) + 1)) AS i) g
+                WHERE substr(url, 1, g.i) = substr(prev, 1, g.i)), 0) AS coded
+      FROM lagged
+    )
+    SELECT host,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(SUM(raw) AS BIGINT) AS raw_bytes,
+           CAST(SUM(coded) AS BIGINT) AS coded_bytes,
+           ROUND(1.0 - CAST(SUM(coded) AS DOUBLE) / SUM(raw), 6) AS saved_frac
+    FROM coded GROUP BY host
 """,
         "q61_budget_allocation": _pagerank_cte(iters=5, damping=0.85) + """
             SELECT node AS host,

@@ -265,3 +265,86 @@ class TestAimd:
         assert self._run(spark, rows, n_buckets=1) == self._run(
             spark, rows, n_buckets=16
         )
+
+
+class TestPercolate:
+    def _run(self, spark, docs, queries):
+        from gc_spark.operators.percolate import percolate
+
+        d = spark.createDataFrame(docs, "doc_id long, text string")
+        q = spark.createDataFrame(
+            queries, "query_id string, must_terms array<string>"
+        )
+        return sorted(
+            (r["query_id"], r["doc_id"]) for r in percolate(d, q).collect()
+        )
+
+    def test_and_semantics(self, spark):
+        out = self._run(
+            spark,
+            [(1, "a b c"), (2, "a c"), (3, "b")],
+            [("q1", ["a", "b"]), ("q2", ["c"])],
+        )
+        assert out == [("q1", 1), ("q2", 1), ("q2", 2)]
+
+    def test_duplicate_terms_count_once(self, spark):
+        # query ["a","a"] needs only one occurrence of "a"; doc with one
+        # "a" fires, and repeated doc tokens don't double-count either.
+        out = self._run(spark, [(1, "a"), (2, "a a")], [("q", ["a", "a"])])
+        assert out == [("q", 1), ("q", 2)]
+
+    def test_unmatchable_query_never_fires(self, spark):
+        out = self._run(spark, [(1, "a b")], [("q", ["a", "zzz"])])
+        assert out == []
+
+
+class TestFrontCoding:
+    def test_exact_sizes(self, spark):
+        from gc_spark.operators.frontcode import front_coding_stats
+
+        # sorted: "ab", "abc", "b" -> lcp 0, 2, 0
+        df = spark.createDataFrame(
+            [("h", "abc"), ("h", "ab"), ("h", "b")], "host string, url string"
+        )
+        [row] = front_coding_stats(df, overhead_bytes=2).collect()
+        assert row["n_urls"] == 3
+        assert row["raw_bytes"] == 2 + 3 + 1
+        # coded: (2-0+2) + (3-2+2) + (1-0+2) = 4 + 3 + 3
+        assert row["coded_bytes"] == 10
+
+    def test_lcp_fold_freezes_at_first_mismatch(self, spark):
+        from gc_spark.operators.frontcode import lcp_col
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [("abXab", "abYab"), ("same", "same"), ("", "x"), ("pre", "prefix")],
+            "a string, b string",
+        )
+        vals = [
+            r["l"]
+            for r in df.select(
+                lcp_col(F.col("a"), F.col("b")).alias("l")
+            ).collect()
+        ]
+        assert vals == [2, 4, 0, 3]
+
+    def test_duplicates_collapse_before_coding(self, spark):
+        from gc_spark.operators.frontcode import front_coding_stats
+
+        df = spark.createDataFrame(
+            [("h", "u1"), ("h", "u1"), ("h", "u2")], "host string, url string"
+        )
+        [row] = front_coding_stats(df).collect()
+        assert row["n_urls"] == 2
+
+    def test_plan_stays_native(self, spark):
+        from gc_spark.operators.frontcode import front_coding_stats
+
+        df = spark.createDataFrame([("h", "u")], "host string, url string")
+        plan = (
+            front_coding_stats(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
