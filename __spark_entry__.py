@@ -3561,6 +3561,45 @@ def q171_front_coding(spark, sf_dir):
     )
 
 
+def q172_allpairs_jaccard(spark, sf_dir):
+    """EXACT set-similarity self-join with prefix filtering
+    (operators/setjoin.allpairs_jaccard, Bayardo WWW'07): every doc pair
+    with 4-gram-shingle Jaccard >= 0.6, guaranteed — the exact
+    complement of q33's MinHash+LSH sketch path. Near-dups are planted
+    (every 25th doc re-appears with one appended token) exactly like
+    q33; candidates come only from the rare-first prefix index plus the
+    length bound, then exact verification."""
+    from gc_spark.operators.setjoin import allpairs_jaccard
+
+    d = _t_wide(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" extraword")).alias("text"),
+    )
+    return allpairs_jaccard(d.unionByName(planted), threshold=0.6)
+
+
+def q173_bootstrap_ci(spark, sf_dir):
+    """Poisson-bootstrap 95% CI (operators/bootstrap.bootstrap_ci,
+    Chamandy et al. 2012) for the per-event-type mean value: B=100
+    deterministic Poisson(1) replica weights per row (sha256 uniforms ->
+    inverse-CDF when-chain), replica means collapse via partial
+    aggregation so shuffle volume is groups x B, and the CI bounds are
+    the 3rd/98th order statistics of the replica means."""
+    from gc_spark.operators.bootstrap import bootstrap_ci
+
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 20000)
+    return bootstrap_ci(
+        e,
+        value_col="value",
+        group_cols=["event_type"],
+        id_col="event_id",
+        B=100,
+        lo_rank=3,
+        hi_rank=98,
+    )
+
+
 def q154_epoch_shuffle(spark, sf_dir):
     """Two-level per-epoch training shuffle (operators/curriculum.
     epoch_shuffle_keys): a per-epoch shard permutation crossed with a
@@ -4975,6 +5014,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q169_aimd_delay": q169_aimd_delay,
         "q170_percolate": q170_percolate,
         "q171_front_coding": q171_front_coding,
+        "q172_allpairs_jaccard": q172_allpairs_jaccard,
+        "q173_bootstrap_ci": q173_bootstrap_ci,
     }
 
 
@@ -7024,6 +7065,76 @@ def oracle_sql() -> dict[str, str]:
            CAST(SUM(coded) AS BIGINT) AS coded_bytes,
            ROUND(1.0 - CAST(SUM(coded) AS DOUBLE) / SUM(raw), 6) AS saved_frac
     FROM coded GROUP BY host
+""",
+        "q172_allpairs_jaccard": r"""
+    WITH un AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000 AS doc_id, text || ' extraword' AS text
+      FROM documents WHERE doc_id % 25 = 0
+    ), t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr FROM un
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(arr[u.i + 1 : u.i + 4], ' ') AS term
+      FROM t, LATERAL (SELECT unnest(range(len(arr) - 3)) AS i) u
+      WHERE len(arr) >= 4
+    ), sz AS (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), j AS (
+      SELECT doc_a, doc_b,
+             CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jac
+      FROM pairs
+      JOIN sz sa ON sa.doc_id = pairs.doc_a
+      JOIN sz sb ON sb.doc_id = pairs.doc_b
+    )
+    SELECT doc_a, doc_b, ROUND(jac, 6) AS jaccard FROM j WHERE jac >= 0.6
+""",
+        "q173_bootstrap_ci": """
+    WITH e AS (
+      SELECT event_type, event_id, value FROM events WHERE event_id < 20000
+    ), rep AS (
+      SELECT event_type, event_id, value, u.b
+      FROM e, LATERAL (SELECT unnest(range(100)) AS b) u
+    ), uni AS (
+      SELECT event_type, b, value,
+             ((CAST('0x' || substr(sha256('bs|' || CAST(b AS VARCHAR) || '|'
+                 || CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT)
+               % 1000000) + 0.5) / 1000000.0 AS u
+      FROM rep
+    ), wt AS (
+      SELECT event_type, b, value,
+             CASE WHEN u < 0.36787944117144233 THEN 0
+                  WHEN u < 0.7357588823428847 THEN 1
+                  WHEN u < 0.9196986029286058 THEN 2
+                  WHEN u < 0.9810118431238462 THEN 3
+                  WHEN u < 0.9963401531726563 THEN 4
+                  WHEN u < 0.9994058151824183 THEN 5
+                  WHEN u < 0.9999167588507119 THEN 6
+                  WHEN u < 0.9999897508033253 THEN 7
+                  WHEN u < 0.9999988747974021 THEN 8
+                  ELSE 9 END AS w
+      FROM uni
+    ), means AS (
+      SELECT event_type, b, SUM(w * value) / SUM(w) AS m
+      FROM wt GROUP BY event_type, b
+    ), ranked AS (
+      SELECT event_type, m, b,
+             row_number() OVER (PARTITION BY event_type ORDER BY m, b) AS rn
+      FROM means
+    ), bounds AS (
+      SELECT event_type, ROUND(MIN(m), 6) AS ci_lo, ROUND(MAX(m), 6) AS ci_hi
+      FROM ranked WHERE rn IN (3, 98) GROUP BY event_type
+    ), pt AS (
+      SELECT event_type, ROUND(AVG(value), 6) AS mean,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM e GROUP BY event_type
+    )
+    SELECT p.event_type, p.mean, bo.ci_lo, bo.ci_hi, p.n
+    FROM pt p JOIN bounds bo USING (event_type)
 """,
         "q61_budget_allocation": _pagerank_cte(iters=5, damping=0.85) + """
             SELECT node AS host,

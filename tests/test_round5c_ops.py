@@ -348,3 +348,125 @@ class TestFrontCoding:
             .toString()
         )
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestAllpairsJaccard:
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+
+    def _brute(self, texts, t, n=4):
+        def sh(s):
+            w = s.split()
+            return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+        out = []
+        for a in range(len(texts)):
+            for b in range(a + 1, len(texts)):
+                sa, sb = sh(texts[a]), sh(texts[b])
+                if not sa or not sb:
+                    continue
+                j = len(sa & sb) / len(sa | sb)
+                if j >= t:
+                    out.append((a, b, round(j, 6)))
+        return sorted(out)
+
+    def test_matches_brute_force(self, spark):
+        from gc_spark.operators.setjoin import allpairs_jaccard
+
+        # deterministic corpus with planted near-dups and decoys
+        base = ["w%d" % ((i * 7 + j * 3) % 11) for i in range(40) for j in range(1)]
+        texts = []
+        for i in range(12):
+            words = ["w%d" % ((i * 5 + k) % 9) for k in range(10)]
+            texts.append(" ".join(words))
+        texts.append(texts[0] + " extra")       # near-dup of doc 0
+        texts.append(texts[3])                  # exact dup of doc 3
+        texts.append("a b c")                   # too short for 4-shingles
+        got = sorted(
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in allpairs_jaccard(
+                self._docs(spark, texts), threshold=0.5
+            ).collect()
+        )
+        assert got == self._brute(texts, 0.5)
+        assert len(got) >= 2  # the planted pairs are actually found
+
+    def test_threshold_is_inclusive(self, spark):
+        from gc_spark.operators.setjoin import allpairs_jaccard
+
+        # two docs sharing exactly half their shingles: J = 1/3
+        a = "t1 t2 t3 t4 x1 x2 x3 x4"  # shingles: 5
+        texts = [a, a]  # identical -> J = 1.0
+        rows = allpairs_jaccard(
+            self._docs(spark, texts), threshold=1.0
+        ).collect()
+        assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in rows] == [
+            (0, 1, 1.0)
+        ]
+
+    def test_short_docs_ignored(self, spark):
+        from gc_spark.operators.setjoin import allpairs_jaccard
+
+        rows = allpairs_jaccard(
+            self._docs(spark, ["a b c", "a b c"]), threshold=0.5
+        ).collect()
+        assert rows == []
+
+    def test_shingle_col(self, spark):
+        from gc_spark.operators.setjoin import shingle_col
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([("a b c d e",)], "t string")
+        [row] = df.select(shingle_col(F.col("t"), 4).alias("s")).collect()
+        assert row["s"] == ["a b c d", "b c d e"]
+
+
+class TestBootstrapCI:
+    def _events(self, spark, n=400):
+        return spark.createDataFrame(
+            [(i, "g%d" % (i % 2), float(10 + (i * 37 % 100) / 10)) for i in range(n)],
+            "id long, grp string, v double",
+        )
+
+    def test_ci_brackets_mean_and_is_deterministic(self, spark):
+        from gc_spark.operators.bootstrap import bootstrap_ci
+
+        df = self._events(spark)
+        kw = dict(
+            value_col="v", group_cols=["grp"], id_col="id",
+            B=50, lo_rank=2, hi_rank=49,
+        )
+        a = {r["grp"]: r for r in bootstrap_ci(df, **kw).collect()}
+        b = {r["grp"]: r for r in bootstrap_ci(df, **kw).collect()}
+        assert a.keys() == b.keys() == {"g0", "g1"}
+        for g, r in a.items():
+            assert r["ci_lo"] < r["mean"] < r["ci_hi"]
+            assert r["n"] == 200
+            # CI width for n=200 of a bounded variable is modest
+            assert r["ci_hi"] - r["ci_lo"] < 2.0
+            assert (r["ci_lo"], r["ci_hi"]) == (b[g]["ci_lo"], b[g]["ci_hi"])
+
+    def test_poisson_weights_mean_near_one(self, spark):
+        from gc_spark.operators.bootstrap import poisson1_col, uniform01_col
+        from pyspark.sql import functions as F
+
+        df = spark.range(5000).select(
+            poisson1_col(uniform01_col(F.col("id"), "t")).alias("w")
+        )
+        [row] = df.agg(
+            F.avg("w").alias("m"), F.max("w").alias("mx"), F.min("w").alias("mn")
+        ).collect()
+        assert abs(row["m"] - 1.0) < 0.05  # E[Poisson(1)] = 1
+        assert row["mn"] == 0 and row["mx"] <= 9
+
+    def test_inverse_cdf_boundaries(self, spark):
+        from gc_spark.operators.bootstrap import poisson1_col
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(0.1,), (0.5,), (0.9,), (0.99,), (0.999998,)], "u double"
+        )
+        vals = [r["k"] for r in df.select(poisson1_col(F.col("u")).alias("k")).collect()]
+        assert vals == [0, 1, 2, 4, 8]
