@@ -441,3 +441,67 @@ def streaming_hll(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+AIMD_OUTPUT = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("rn", LongType()),
+        StructField("delay_ms", DoubleType()),
+    ]
+)
+AIMD_STATE = StructType(
+    [StructField("delay", DoubleType()), StructField("seen", LongType())]
+)
+
+
+def _aimd_factory(
+    seq_col: str, fail_col: str, base: float, dmin: float, dmax: float, dec: float
+):
+    def _update(key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        (delay, seen) = state.get if state.exists else (float(base), 0)
+        rows = pd.concat(list(pdfs))
+        rows = rows.sort_values(seq_col)
+        rns, delays = [], []
+        for fail in rows[fail_col].to_numpy():
+            delay = (
+                min(2.0 * delay, float(dmax))
+                if bool(fail)
+                else max(delay - float(dec), float(dmin))
+            )
+            seen += 1
+            rns.append(seen)
+            delays.append(round(delay, 6))
+        state.update((float(delay), int(seen)))
+        yield pd.DataFrame(
+            {"host": key[0], "rn": rns, "delay_ms": delays}
+        )
+
+    return _update
+
+
+def streaming_aimd(
+    stream: DataFrame,
+    seq_col: str = "seq",
+    fail_col: str = "fail",
+    base: float = 1000.0,
+    dmin: float = 100.0,
+    dmax: float = 8000.0,
+    dec: float = 250.0,
+) -> DataFrame:
+    """Streaming twin of operators/aimd: the per-host AIMD delay
+    recurrence carried ACROSS micro-batches in checkpointed state (the
+    current delay + outcome count — two scalars per host, bounded
+    forever). A restart resumes mid-recurrence, so the emitted
+    (host, rn, delay_ms) sequence over any series of AvailableNow runs is
+    identical to the batch operator over the union of their rows. The
+    per-batch loop is a host's outcomes within ONE micro-batch — bounded
+    by the politeness budget per scheduling window, never history length.
+    """
+    return stream.groupBy("host").applyInPandasWithState(
+        _aimd_factory(seq_col, fail_col, base, dmin, dmax, dec),
+        outputStructType=AIMD_OUTPUT,
+        stateStructType=AIMD_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

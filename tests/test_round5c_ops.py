@@ -470,3 +470,47 @@ class TestBootstrapCI:
         )
         vals = [r["k"] for r in df.select(poisson1_col(F.col("u")).alias("k")).collect()]
         assert vals == [0, 1, 2, 4, 8]
+
+
+class TestStreamingAimd:
+    def test_matches_batch_across_restart(self, spark, tmp_path):
+        """Two AvailableNow runs with a checkpoint restart between them
+        must replay the SAME delay trajectory as the batch operator over
+        the union of both waves — the recurrence state survives."""
+        from gc_spark.operators.aimd import aimd_delays
+        from gc_spark.streaming.state import streaming_aimd
+
+        schema = "host string, seq long, fail boolean"
+        wave1 = [("h", i, i % 3 == 0) for i in range(1, 21)]
+        wave2 = [("h", i, i % 4 == 0) for i in range(21, 41)]
+
+        src, out, ckpt = (str(tmp_path / p) for p in ("src", "out", "ckpt"))
+
+        def run_once():
+            stream = spark.readStream.schema(schema).parquet(src)
+            q = (
+                streaming_aimd(stream)
+                .writeStream.outputMode("update")
+                .foreachBatch(lambda df, _id: df.write.mode("append").parquet(out))
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        spark.createDataFrame(wave1, schema).write.mode("append").parquet(src)
+        run_once()
+        spark.createDataFrame(wave2, schema).write.mode("append").parquet(src)
+        run_once()
+
+        streamed = {
+            (r["host"], r["rn"]): r["delay_ms"]
+            for r in spark.read.parquet(out).collect()
+        }
+        both = spark.createDataFrame(wave1 + wave2, schema)
+        batch = {
+            (r["host"], r["rn"]): r["delay_ms"]
+            for r in aimd_delays(both).collect()
+        }
+        assert streamed == batch
+        assert len(streamed) == 40
