@@ -3600,6 +3600,50 @@ def q173_bootstrap_ci(spark, sf_dir):
     )
 
 
+def q174_skyline(spark, sf_dir):
+    """Skyline / Pareto frontier (operators/skyline.skyline, Borzsonyi
+    ICDE'01): documents not dominated on (n_chars, vocabulary richness,
+    conciseness = -total tokens) — the multi-criteria curation pick
+    where no scalar score is agreed. Two-phase: vectorized local prune
+    per partition (the data-reducing step), then one small global
+    re-prune of the local shells."""
+    from gc_spark.operators.skyline import skyline
+
+    d = _t_wide(spark, sf_dir, "documents")
+    arr = F.split(F.trim(F.col("text")), r"\s+")
+    feat = d.select(
+        "doc_id",
+        "n_chars",
+        F.size(F.array_distinct(arr)).cast("long").alias("distinct_tokens"),
+        F.size(arr).cast("long").alias("total_tokens"),
+        (-F.size(arr)).cast("long").alias("_neg_total"),
+    )
+    return skyline(
+        feat, ["n_chars", "distinct_tokens", "_neg_total"]
+    ).select("doc_id", "n_chars", "distinct_tokens", "total_tokens")
+
+
+def q175_edit1_join(spark, sf_dir):
+    """Edit-distance-1 string self-join via SymSpell deletion variants
+    (operators/symspell.edit1_pairs): catalog-style keys from part plus
+    planted first-char-dropped typos; candidates come from a native
+    deletion-variant EQUI-join (never a quadratic fuzzy join), then the
+    exact levenshtein verifies — the DUST-style near-URL detector."""
+    from gc_spark.operators.symspell import edit1_pairs
+
+    p = _t(spark, sf_dir, "part")
+    key = F.concat(
+        F.lower(F.element_at(F.split(F.col("p_name"), " "), 1)),
+        F.lit("-"),
+        (F.col("p_partkey") % 97).cast("string"),
+    )
+    base = p.select(key.alias("s"))
+    typos = p.filter(F.col("p_partkey") % 37 == 0).select(
+        key.substr(F.lit(2), F.length(key)).alias("s")
+    )
+    return edit1_pairs(base.unionByName(typos), "s")
+
+
 def q154_epoch_shuffle(spark, sf_dir):
     """Two-level per-epoch training shuffle (operators/curriculum.
     epoch_shuffle_keys): a per-epoch shard permutation crossed with a
@@ -5016,6 +5060,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q171_front_coding": q171_front_coding,
         "q172_allpairs_jaccard": q172_allpairs_jaccard,
         "q173_bootstrap_ci": q173_bootstrap_ci,
+        "q174_skyline": q174_skyline,
+        "q175_edit1_join": q175_edit1_join,
     }
 
 
@@ -7135,6 +7181,43 @@ def oracle_sql() -> dict[str, str]:
     )
     SELECT p.event_type, p.mean, bo.ci_lo, bo.ci_hi, p.n
     FROM pt p JOIN bounds bo USING (event_type)
+""",
+        "q174_skyline": r"""
+    WITH f AS (
+      SELECT doc_id, n_chars,
+             CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+               AS distinct_tokens,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS total_tokens
+      FROM documents
+    )
+    SELECT doc_id, n_chars, distinct_tokens, total_tokens FROM f a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM f b
+      WHERE b.n_chars >= a.n_chars
+        AND b.distinct_tokens >= a.distinct_tokens
+        AND b.total_tokens <= a.total_tokens
+        AND (b.n_chars > a.n_chars
+             OR b.distinct_tokens > a.distinct_tokens
+             OR b.total_tokens < a.total_tokens))
+""",
+        "q175_edit1_join": """
+    WITH base AS (
+      SELECT lower(split_part(p_name, ' ', 1)) || '-'
+               || CAST(p_partkey % 97 AS VARCHAR) AS s
+      FROM part
+    ), typos AS (
+      SELECT substr(lower(split_part(p_name, ' ', 1)) || '-'
+               || CAST(p_partkey % 97 AS VARCHAR), 2) AS s
+      FROM part WHERE p_partkey % 37 = 0
+    ), un AS (
+      SELECT DISTINCT s FROM (SELECT s FROM base UNION ALL SELECT s FROM typos)
+    )
+    SELECT a.s AS s_a, b.s AS s_b,
+           CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+    FROM un a JOIN un b
+      ON a.s < b.s AND abs(len(a.s) - len(b.s)) <= 1
+    WHERE levenshtein(a.s, b.s) = 1
 """,
         "q61_budget_allocation": _pagerank_cte(iters=5, damping=0.85) + """
             SELECT node AS host,

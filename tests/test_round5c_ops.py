@@ -514,3 +514,104 @@ class TestStreamingAimd:
         }
         assert streamed == batch
         assert len(streamed) == 40
+
+
+class TestSkyline:
+    def _brute(self, pts):
+        out = []
+        for i, a in enumerate(pts):
+            dominated = any(
+                all(b[k] >= a[k] for k in range(len(a)))
+                and any(b[k] > a[k] for k in range(len(a)))
+                for j, b in enumerate(pts)
+                if j != i
+            )
+            if not dominated:
+                out.append(a)
+        return sorted(out)
+
+    def test_matches_brute_force_3d(self, spark):
+        from gc_spark.operators.skyline import skyline
+
+        pts = [
+            ((i * 13) % 17, (i * 7) % 11, (i * 5) % 13) for i in range(60)
+        ]
+        df = spark.createDataFrame(
+            [(float(a), float(b), float(c)) for a, b, c in pts],
+            "x double, y double, z double",
+        )
+        got = sorted(
+            (r["x"], r["y"], r["z"])
+            for r in skyline(df, ["x", "y", "z"]).collect()
+        )
+        assert got == self._brute([(float(a), float(b), float(c)) for a, b, c in pts])
+
+    def test_ties_and_duplicates_survive(self, spark):
+        from gc_spark.operators.skyline import skyline
+
+        df = spark.createDataFrame(
+            [(5.0, 1.0), (5.0, 1.0), (1.0, 5.0), (0.0, 0.0)], "x double, y double"
+        )
+        got = sorted((r["x"], r["y"]) for r in skyline(df, ["x", "y"]).collect())
+        # duplicates don't dominate each other; (0,0) is dominated.
+        assert got == [(1.0, 5.0), (5.0, 1.0), (5.0, 1.0)]
+
+    def test_transitive_kill_chain(self, spark):
+        from gc_spark.operators.skyline import _prune
+        import numpy as np
+
+        # c dominated by b, b dominated by a: only a survives even though
+        # b is dead by the time c's direct dominator is processed.
+        arr = np.array([[3.0, 3.0], [2.0, 2.0], [1.0, 1.0]])
+        assert _prune(arr).tolist() == [True, False, False]
+
+    def test_partitioning_invariant(self, spark):
+        from gc_spark.operators.skyline import skyline
+
+        rows = [(float((i * 13) % 29), float((i * 11) % 23)) for i in range(200)]
+        df = spark.createDataFrame(rows, "x double, y double")
+        one = sorted(map(tuple, skyline(df.coalesce(1), ["x", "y"]).collect()))
+        many = sorted(map(tuple, skyline(df.repartition(16), ["x", "y"]).collect()))
+        assert one == many and len(one) > 0
+
+
+class TestEdit1Join:
+    def _pairs(self, spark, strings):
+        from gc_spark.operators.symspell import edit1_pairs
+
+        df = spark.createDataFrame([(s,) for s in strings], "s string")
+        return sorted(
+            (r["s_a"], r["s_b"], r["dist"]) for r in edit1_pairs(df).collect()
+        )
+
+    def test_all_three_edit_kinds(self, spark):
+        got = self._pairs(spark, ["cat", "cats", "bat", "at", "dog"])
+        # cat/cats insert, cat/bat substitute, cat/at delete, at/bat insert,
+        # at/cats dist 3 no, bat/cats 2 no, bats? not present.
+        assert got == [
+            ("at", "bat", 1),
+            ("at", "cat", 1),
+            ("bat", "cat", 1),
+            ("cat", "cats", 1),
+        ]
+
+    def test_transposition_is_distance_2(self, spark):
+        # "ab"/"ba" share deletion variants but levenshtein = 2 -> excluded.
+        assert self._pairs(spark, ["ab", "ba"]) == []
+
+    def test_duplicates_collapse(self, spark):
+        assert self._pairs(spark, ["xx", "xx", "xy"]) == [("xx", "xy", 1)]
+
+    def test_deletion_variants(self, spark):
+        from gc_spark.operators.symspell import deletion_variants
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([("abc",), ("aa",)], "s string")
+        got = {
+            r["s"]: sorted(r["v"])
+            for r in df.select(
+                "s", deletion_variants(F.col("s")).alias("v")
+            ).collect()
+        }
+        assert got["abc"] == ["ab", "abc", "ac", "bc"]
+        assert got["aa"] == ["a", "aa"]  # dedup of the two deletions
