@@ -3644,6 +3644,32 @@ def q175_edit1_join(spark, sf_dir):
     return edit1_pairs(base.unionByName(typos), "s")
 
 
+def q176_mmr_diversify(spark, sf_dir):
+    """MMR diversified top-k (operators/mmr.mmr_diversify, Carbonell &
+    Goldstein SIGIR'98): three probe queries, candidate pool = cosine
+    top-8 from the distributed ranker, then 3 greedy MMR picks per query
+    at lambda=0.7 inside one per-query Arrow group (the loop is k picks
+    over a run-sized pool, never corpus-sized). Fixed-point rounding
+    before every argmax keeps the pick sequence engine-stable."""
+    from gc_spark.operators.fusion import cosine_topk_ranked
+    from gc_spark.operators.mmr import mmr_diversify
+
+    em = _t_wide(spark, sf_dir, "embeddings")
+    pools = []
+    for qid, m in (("p0", 37), ("p1", 41), ("p2", 43)):
+        probe = [((i * m) % 13 - 6) / 10.0 for i in range(64)]
+        pools.append(
+            cosine_topk_ranked(em, probe, k=8)
+            .select(F.lit(qid).alias("qid"), "vec_id", F.col("sim").alias("rel"))
+        )
+    cands = pools[0].unionByName(pools[1]).unionByName(pools[2]).join(
+        em.select("vec_id", F.col("embedding").alias("vec")), "vec_id"
+    )
+    return mmr_diversify(cands, k=3, lam=0.7).select(
+        "qid", "rank", "vec_id", "mmr_score"
+    )
+
+
 def q154_epoch_shuffle(spark, sf_dir):
     """Two-level per-epoch training shuffle (operators/curriculum.
     epoch_shuffle_keys): a per-epoch shard permutation crossed with a
@@ -5062,6 +5088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q173_bootstrap_ci": q173_bootstrap_ci,
         "q174_skyline": q174_skyline,
         "q175_edit1_join": q175_edit1_join,
+        "q176_mmr_diversify": q176_mmr_diversify,
     }
 
 
@@ -5116,6 +5143,73 @@ def _kmeans_oracle(k: int = 4, dim: int = 64, iters: int = 2) -> str:
         FROM afin WHERE rn = 1 GROUP BY cid"""
     )
     return "".join(parts)
+
+
+def _mmr_oracle(lam: float = 0.7, pool: int = 8) -> str:
+    """DuckDB twin of q176: same rounded-cosine candidate pools, same
+    pairwise-sim matrix, and the 3-pick greedy unrolled as three
+    argmax CTE stages (legal because round-6 fixed-point decision values
+    are engine-identical)."""
+
+    def qlit(m: int) -> str:
+        q = [((i * m) % 13 - 6) / 10.0 for i in range(64)]
+        return "[" + ", ".join(f"CAST({x} AS DOUBLE)" for x in q) + "]"
+
+    def cos(v: str, q: str) -> str:
+        return (
+            f"list_dot_product({v}, {q}) / (sqrt(list_dot_product({v}, {v}))"
+            f" * sqrt(list_dot_product({q}, {q})))"
+        )
+
+    pools = []
+    for qid, m in (("p0", 37), ("p1", 41), ("p2", 43)):
+        pools.append(f"""
+      SELECT * FROM (
+        SELECT '{qid}' AS qid, vec_id, ROUND({cos("v", qlit(m))}, 6) AS rel, v
+        FROM e ORDER BY rel DESC, vec_id LIMIT {pool})""")
+    cands = " UNION ALL ".join(pools)
+    lo = 1.0 - lam
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cands AS ({cands}
+    ), sims AS (
+      SELECT a.qid, a.vec_id AS i, b.vec_id AS j,
+             ROUND(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))), 6) AS s
+      FROM cands a JOIN cands b ON a.qid = b.qid
+    ), p1 AS (
+      SELECT qid, vec_id, {lam} * rel AS sc FROM cands
+      QUALIFY row_number() OVER (
+        PARTITION BY qid ORDER BY {lam} * rel DESC, vec_id) = 1
+    ), s2 AS (
+      SELECT c.qid, c.vec_id, {lam} * c.rel - {lo} * s.s AS sc
+      FROM cands c
+      JOIN p1 ON p1.qid = c.qid AND c.vec_id <> p1.vec_id
+      JOIN sims s ON s.qid = c.qid AND s.i = c.vec_id AND s.j = p1.vec_id
+    ), p2 AS (
+      SELECT qid, vec_id, sc FROM s2
+      QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sc DESC, vec_id) = 1
+    ), s3 AS (
+      SELECT c.qid, c.vec_id,
+             {lam} * c.rel - {lo} * GREATEST(sa.s, sb.s) AS sc
+      FROM cands c
+      JOIN p1 ON p1.qid = c.qid
+      JOIN p2 ON p2.qid = c.qid
+      JOIN sims sa ON sa.qid = c.qid AND sa.i = c.vec_id AND sa.j = p1.vec_id
+      JOIN sims sb ON sb.qid = c.qid AND sb.i = c.vec_id AND sb.j = p2.vec_id
+      WHERE c.vec_id <> p1.vec_id AND c.vec_id <> p2.vec_id
+    ), p3 AS (
+      SELECT qid, vec_id, sc FROM s3
+      QUALIFY row_number() OVER (PARTITION BY qid ORDER BY sc DESC, vec_id) = 1
+    )
+    SELECT qid, CAST(1 AS INTEGER) AS rank, vec_id, ROUND(sc, 6) AS mmr_score FROM p1
+    UNION ALL
+    SELECT qid, CAST(2 AS INTEGER), vec_id, ROUND(sc, 6) FROM p2
+    UNION ALL
+    SELECT qid, CAST(3 AS INTEGER), vec_id, ROUND(sc, 6) FROM p3
+"""
 
 
 def _zorder_oracle(bits: int = 8) -> str:
@@ -7219,6 +7313,7 @@ def oracle_sql() -> dict[str, str]:
       ON a.s < b.s AND abs(len(a.s) - len(b.s)) <= 1
     WHERE levenshtein(a.s, b.s) = 1
 """,
+        "q176_mmr_diversify": _mmr_oracle(lam=0.7, pool=8),
         "q61_budget_allocation": _pagerank_cte(iters=5, damping=0.85) + """
             SELECT node AS host,
                    CAST(least(greatest(

@@ -615,3 +615,57 @@ class TestEdit1Join:
         }
         assert got["abc"] == ["ab", "abc", "ac", "bc"]
         assert got["aa"] == ["a", "aa"]  # dedup of the two deletions
+
+
+class TestMMR:
+    def _run(self, spark, rows, k=3, lam=0.7):
+        from gc_spark.operators.mmr import mmr_diversify
+
+        df = spark.createDataFrame(
+            rows, "qid string, vec_id long, rel double, vec array<double>"
+        )
+        return [
+            (r["rank"], r["vec_id"], r["mmr_score"])
+            for r in mmr_diversify(df, k=k, lam=lam)
+            .orderBy("qid", "rank")
+            .collect()
+        ]
+
+    def test_redundant_twin_demoted(self, spark):
+        # v2 is a near-copy of v1 with slightly lower rel; v3 is orthogonal
+        # with much lower rel. Plain top-2 = (v1, v2); MMR = (v1, v3).
+        rows = [
+            ("q", 1, 0.90, [1.0, 0.0]),
+            ("q", 2, 0.89, [0.999, 0.04]),
+            ("q", 3, 0.50, [0.0, 1.0]),
+        ]
+        got = self._run(spark, rows, k=2, lam=0.5)
+        assert [v for _, v, _ in got] == [1, 3]
+
+    def test_negative_similarity_boosts(self, spark):
+        # v3 points AWAY from pick1 (sim = -1): its MMR score exceeds
+        # lam*rel, so it must beat the orthogonal v2 with equal rel.
+        rows = [
+            ("q", 1, 0.9, [1.0, 0.0]),
+            ("q", 2, 0.5, [0.0, 1.0]),
+            ("q", 3, 0.5, [-1.0, 0.0]),
+        ]
+        got = self._run(spark, rows, k=2, lam=0.7)
+        assert [v for _, v, _ in got] == [1, 3]
+        # score = 0.7*0.5 - 0.3*(-1.0) = 0.65
+        assert got[1][2] == 0.65
+
+    def test_hand_computed_scores(self, spark):
+        rows = [
+            ("q", 1, 1.0, [1.0, 0.0]),
+            ("q", 2, 0.8, [1.0, 0.0]),   # identical direction to 1
+            ("q", 3, 0.6, [0.0, 1.0]),
+        ]
+        got = self._run(spark, rows, k=3, lam=0.7)
+        # pick1: 0.7*1.0 = 0.7; pick2: v3 0.7*0.6-0.3*0 = 0.42 beats
+        # v2 0.7*0.8-0.3*1 = 0.26; pick3: v2 with maxsim still 1 = 0.26.
+        assert got == [(1, 1, 0.7), (2, 3, 0.42), (3, 2, 0.26)]
+
+    def test_k_exceeds_pool(self, spark):
+        rows = [("q", 1, 0.5, [1.0, 0.0]), ("q", 2, 0.4, [0.0, 1.0])]
+        assert len(self._run(spark, rows, k=10)) == 2
