@@ -4911,6 +4911,55 @@ def q35_validate_split(spark, sf_dir):
     return invalid.select("o_orderkey", F.col("_invalid_reason").alias("reason"))
 
 
+def q177_kmv_setops(spark, sf_dir):
+    """Theta/KMV sketch set algebra (operators/kmv): the manifest-diff
+    question HLL can't answer — per priority class, how many distinct
+    customers appear in BOTH the finished-order stream and the open-order
+    stream, estimated from two 64-value sketches instead of a corpus-sized
+    join. The sketch build pre-filters the corpus to h <= safety*k/D_est
+    (D_est free via approx_count_distinct) so the exact k-min shuffle is
+    O(k) rows per group, with an exact fallback for starved groups — the
+    output is the true k-min, which is why a plain row_number()<=k window
+    oracles it. Exact union/intersection ride along to show the error."""
+    from gc_spark.operators.kmv import kmv_set_ops, kmv_sketch
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("g"),
+        F.col("o_orderstatus").alias("st"),
+        F.concat(F.lit("u"), (F.col("o_custkey") % 4000).cast("string")).alias(
+            "item"
+        ),
+    )
+    a = base.where(F.col("st") != "O").select("g", "item")
+    b = base.where(F.col("st") == "O").select("g", "item")
+    ops = kmv_set_ops(
+        kmv_sketch(a, "item", ["g"], k=64),
+        kmv_sketch(b, "item", ["g"], k=64),
+        ["g"],
+        k=64,
+    )
+    da, db = a.distinct(), b.distinct()
+    exact_u = (
+        da.unionByName(db)
+        .distinct()
+        .groupBy("g")
+        .agg(F.count("*").alias("exact_union"))
+    )
+    exact_i = (
+        da.join(db, ["g", "item"]).groupBy("g").agg(F.count("*").alias("exact_intersect"))
+    )
+    return ops.join(exact_u, "g").join(exact_i, "g").select(
+        "g",
+        "n_eff",
+        "est_union",
+        "est_intersect",
+        "est_a_only",
+        "exact_union",
+        "exact_intersect",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_rollup": q01_rollup,
@@ -5089,6 +5138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q174_skyline": q174_skyline,
         "q175_edit1_join": q175_edit1_join,
         "q176_mmr_diversify": q176_mmr_diversify,
+        "q177_kmv_setops": q177_kmv_setops,
     }
 
 
@@ -7314,6 +7364,62 @@ def oracle_sql() -> dict[str, str]:
     WHERE levenshtein(a.s, b.s) = 1
 """,
         "q176_mmr_diversify": _mmr_oracle(lam=0.7, pool=8),
+        # q177: the sketch build is exact-k-min by contract (threshold
+        # prefilter + fallback), so the oracle is the definitional
+        # row_number()<=k window over the portable 60-bit hashes.
+        "q177_kmv_setops": """
+    WITH base AS (
+      SELECT o_orderpriority AS g, o_orderstatus AS st,
+             'u' || CAST(o_custkey % 4000 AS VARCHAR) AS item
+      FROM orders
+    ), da AS (SELECT DISTINCT g, item FROM base WHERE st <> 'O'),
+    db AS (SELECT DISTINCT g, item FROM base WHERE st = 'O'),
+    ha AS (SELECT DISTINCT g,
+             CAST('0x' || substr(sha256(item), 1, 15) AS BIGINT) AS h FROM da),
+    hb AS (SELECT DISTINCT g,
+             CAST('0x' || substr(sha256(item), 1, 15) AS BIGINT) AS h FROM db),
+    ka AS (SELECT g, h FROM (
+      SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM ha)
+      WHERE rn <= 64),
+    kb AS (SELECT g, h FROM (
+      SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM hb)
+      WHERE rn <= 64),
+    uk AS (SELECT g, h FROM (
+      SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+      FROM (SELECT g, h FROM ka UNION SELECT g, h FROM kb))
+      WHERE rn <= 64),
+    st AS (SELECT g, COUNT(*) AS n_eff, MAX(h) AS kth FROM uk GROUP BY g),
+    mi AS (SELECT uk.g, COUNT(*) AS m FROM uk
+           JOIN ka ON uk.g = ka.g AND uk.h = ka.h
+           JOIN kb ON uk.g = kb.g AND uk.h = kb.h
+           GROUP BY uk.g),
+    ma AS (SELECT uk.g, COUNT(*) AS m FROM uk
+           JOIN ka ON uk.g = ka.g AND uk.h = ka.h
+           WHERE NOT EXISTS (SELECT 1 FROM kb
+                             WHERE kb.g = uk.g AND kb.h = uk.h)
+           GROUP BY uk.g),
+    eu AS (SELECT g, n_eff,
+             CASE WHEN n_eff < 64 THEN CAST(n_eff AS DOUBLE)
+                  ELSE 63.0 / (CAST(kth AS DOUBLE) / 1152921504606846976.0)
+             END AS est_u
+           FROM st),
+    xu AS (SELECT g, COUNT(*) AS exact_union FROM
+             (SELECT g, item FROM da UNION SELECT g, item FROM db)
+           GROUP BY g),
+    xi AS (SELECT da.g, COUNT(*) AS exact_intersect
+           FROM da JOIN db USING (g, item) GROUP BY da.g)
+    SELECT eu.g, CAST(eu.n_eff AS INTEGER) AS n_eff,
+           CAST(ROUND(eu.est_u, 0) AS BIGINT) AS est_union,
+           CAST(ROUND(CAST(COALESCE(mi.m, 0) AS DOUBLE)
+                      / eu.n_eff * eu.est_u, 0) AS BIGINT) AS est_intersect,
+           CAST(ROUND(CAST(COALESCE(ma.m, 0) AS DOUBLE)
+                      / eu.n_eff * eu.est_u, 0) AS BIGINT) AS est_a_only,
+           xu.exact_union, xi.exact_intersect
+    FROM eu LEFT JOIN mi ON eu.g = mi.g
+            LEFT JOIN ma ON eu.g = ma.g
+            JOIN xu ON eu.g = xu.g
+            JOIN xi ON eu.g = xi.g
+""",
         "q61_budget_allocation": _pagerank_cte(iters=5, damping=0.85) + """
             SELECT node AS host,
                    CAST(least(greatest(

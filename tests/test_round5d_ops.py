@@ -1,0 +1,109 @@
+"""Round-5d operators: KMV/theta sketch set algebra, DDSketch quantiles,
+bloom-pruned runtime-filter join, host-transition Markov model.
+
+Pins what the DuckDB oracles can't isolate: hand-computed hash geometry,
+the exact-k-min contract of the threshold-prefiltered sketch build, sketch
+mergeability, estimator accuracy bounds, and degenerate inputs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from gc_spark.operators.kmv import kmv_estimate, kmv_set_ops, kmv_sketch
+
+
+def sha60(s: str) -> int:
+    return int(hashlib.sha256(s.encode()).hexdigest()[:15], 16)
+
+
+class TestKmvSketch:
+    def test_exact_kmin_contract(self, spark):
+        # The sketch must hold EXACTLY the k smallest distinct hashes,
+        # regardless of the internal approx-threshold prefilter.
+        items = [f"url-{i}" for i in range(500)] * 2  # dups collapse
+        df = spark.createDataFrame([("g", it) for it in items], "g string, item string")
+        [row] = kmv_sketch(df, "item", ["g"], k=32).collect()
+        expect = sorted(sha60(it) for it in set(items))[:32]
+        assert row["kmv"] == expect
+
+    def test_small_set_keeps_everything(self, spark):
+        df = spark.createDataFrame(
+            [("g", f"u{i}") for i in range(5)], "g string, item string"
+        )
+        [row] = kmv_sketch(df, "item", ["g"], k=64).collect()
+        assert sorted(row["kmv"]) == sorted(sha60(f"u{i}") for i in range(5))
+        [est] = kmv_estimate(
+            kmv_sketch(df, "item", ["g"], k=64), k=64
+        ).collect()
+        assert est["est_distinct"] == 5  # exact regime
+
+    def test_estimate_accuracy(self, spark):
+        n = 5000
+        df = spark.createDataFrame(
+            [("g", f"doc-{i}") for i in range(n)], "g string, item string"
+        )
+        [est] = kmv_estimate(
+            kmv_sketch(df, "item", ["g"], k=256), k=256
+        ).collect()
+        assert est["n_retained"] == 256
+        assert abs(est["est_distinct"] - n) / n < 0.20
+
+    def test_multi_group_independence(self, spark):
+        rows = [("a", f"x{i}") for i in range(200)] + [
+            ("b", f"y{i}") for i in range(3)
+        ]
+        df = spark.createDataFrame(rows, "g string, item string")
+        got = {r["g"]: r["kmv"] for r in kmv_sketch(df, "item", ["g"], k=16).collect()}
+        assert got["a"] == sorted(sha60(f"x{i}") for i in range(200))[:16]
+        assert sorted(got["b"]) == sorted(sha60(f"y{i}") for i in range(3))
+
+
+class TestKmvSetOps:
+    def _sk(self, spark, name, items, k=64):
+        df = spark.createDataFrame(
+            [("g", it) for it in items], "g string, item string"
+        )
+        return kmv_sketch(df, "item", ["g"], k=k)
+
+    def test_exact_regime_is_exact(self, spark):
+        a = self._sk(spark, "a", [f"u{i}" for i in range(20)])
+        b = self._sk(spark, "b", [f"u{i}" for i in range(10, 25)])
+        [row] = kmv_set_ops(a, b, ["g"], k=64).collect()
+        assert row["n_eff"] == 25  # union fits under k -> exact counts
+        assert row["est_union"] == 25
+        assert row["est_intersect"] == 10
+        assert row["est_a_only"] == 10
+
+    def test_disjoint_sets(self, spark):
+        a = self._sk(spark, "a", [f"a{i}" for i in range(30)])
+        b = self._sk(spark, "b", [f"b{i}" for i in range(30)])
+        [row] = kmv_set_ops(a, b, ["g"], k=64).collect()
+        assert row["est_intersect"] == 0
+        assert row["est_a_only"] == 30
+        assert row["est_union"] == 60
+
+    def test_subset_estimates(self, spark):
+        big = [f"d{i}" for i in range(2000)]
+        a = self._sk(spark, "a", big, k=128)
+        b = self._sk(spark, "b", big[:1000], k=128)
+        [row] = kmv_set_ops(a, b, ["g"], k=128).collect()
+        assert abs(row["est_union"] - 2000) / 2000 < 0.25
+        assert abs(row["est_intersect"] - 1000) / 1000 < 0.30
+        # A \ B + intersection sample counts partition the union sample.
+        assert row["n_eff"] == 128
+
+    def test_sketch_union_equals_union_sketch(self, spark):
+        # k-min(A union B) == k smallest of (kmv_A union kmv_B) when both
+        # inputs are exact k-mins — the mergeability law the set ops rely on.
+        ia = [f"m{i}" for i in range(300)]
+        ib = [f"m{i}" for i in range(150, 450)]
+        a = self._sk(spark, "a", ia, k=48)
+        b = self._sk(spark, "b", ib, k=48)
+        [row] = kmv_set_ops(a, b, ["g"], k=48).collect()
+        truth = sorted(sha60(x) for x in set(ia) | set(ib))[:48]
+        est_direct = round(47.0 / (truth[-1] / float(2**60)))
+        assert row["est_union"] == est_direct
