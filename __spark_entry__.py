@@ -4960,6 +4960,101 @@ def q177_kmv_setops(spark, sf_dir):
     )
 
 
+def q178_ddsketch_quantiles(spark, sf_dir):
+    """Mergeable relative-error quantiles (operators/ddsketch): p50/p90/p99
+    of order-line value per return flag from a DDSketch built as TWO shard
+    sketches merged by bucket-count sum — the 90-day-p99-without-rescan
+    layout. The build shuffles (group, bucket) partial counts, never rows;
+    the exact rank-th value rides along to show the <= alpha relative
+    error. Bucketing is ceil(round(ln(x)/ln_gamma, 9)) with the divisor
+    embedded as one double literal in both engines, so Spark and DuckDB
+    bin identically."""
+    from gc_spark.operators.ddsketch import (
+        ddsketch_build,
+        ddsketch_merge,
+        ddsketch_quantiles,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_extendedprice").cast("double").alias("x"),
+        (F.col("l_linenumber") % 2).alias("shard"),
+    ).where(F.col("x") > 0)
+    sk = ddsketch_merge(
+        ddsketch_build(v.where(F.col("shard") == 0), "x", ["g"], alpha=0.01),
+        ddsketch_build(v.where(F.col("shard") == 1), "x", ["g"], alpha=0.01),
+        ["g"],
+    )
+    est = ddsketch_quantiles(sk, ["g"], [0.5, 0.9, 0.99], alpha=0.01)
+    est = est.withColumn(
+        "rnk",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.col("q") * F.col("n")).cast("long"),
+        ),
+    )
+    ranked = v.select(
+        "g",
+        "x",
+        F.row_number().over(Window.partitionBy("g").orderBy("x")).alias("rn"),
+    )
+    return (
+        est.alias("e")
+        .join(
+            ranked.alias("r"),
+            (F.col("e.g") == F.col("r.g")) & (F.col("e.rnk") == F.col("r.rn")),
+        )
+        .select(
+            F.col("e.g").alias("g"),
+            "q",
+            "n",
+            "est_q",
+            F.round(F.col("r.x"), 2).alias("exact_q"),
+        )
+    )
+
+
+def _ddsketch_oracle(alpha: float = 0.01, qs=(0.5, 0.9, 0.99)) -> str:
+    """DuckDB twin of operators/ddsketch over lineitem: same bucket rule
+    (shared ln-gamma double literal), same rank rule, same midpoint
+    formula. Shard-split-then-merge on the Spark side is invisible here —
+    bucket-count sums are associative, which is the mergeability law."""
+    import math as _m
+
+    g = (1.0 + alpha) / (1.0 - alpha)
+    lng = _m.log(g)
+    qvals = ", ".join(f"(CAST({q!r} AS DOUBLE))" for q in qs)
+    return f"""
+    WITH v AS (
+      SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS x
+      FROM lineitem WHERE l_extendedprice > 0
+    ), b AS (
+      SELECT g, CAST(ceil(round(ln(x) / {lng!r}, 9)) AS INTEGER) AS bucket,
+             COUNT(*) AS cnt
+      FROM v GROUP BY 1, 2
+    ), tot AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n FROM b GROUP BY g),
+    probes AS (
+      SELECT g, n, q, GREATEST(CAST(1 AS BIGINT),
+                               CAST(ceil(q * n) AS BIGINT)) AS rnk
+      FROM tot CROSS JOIN (VALUES {qvals}) AS t(q)
+    ), cum AS (
+      SELECT g, bucket, SUM(cnt) OVER (PARTITION BY g ORDER BY bucket) AS cum
+      FROM b
+    ), pick AS (
+      SELECT p.g, p.q, p.n, p.rnk, MIN(c.bucket) AS bk
+      FROM probes p JOIN cum c ON c.g = p.g AND c.cum >= p.rnk
+      GROUP BY p.g, p.q, p.n, p.rnk
+    ), ranked AS (
+      SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x) AS rn FROM v
+    )
+    SELECT pick.g, pick.q, pick.n,
+           ROUND(2.0 * power({g!r}, bk) / {g + 1.0!r}, 6) AS est_q,
+           ROUND(r.x, 2) AS exact_q
+    FROM pick JOIN ranked r ON r.g = pick.g AND r.rn = pick.rnk
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_rollup": q01_rollup,
@@ -5139,6 +5234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q175_edit1_join": q175_edit1_join,
         "q176_mmr_diversify": q176_mmr_diversify,
         "q177_kmv_setops": q177_kmv_setops,
+        "q178_ddsketch_quantiles": q178_ddsketch_quantiles,
     }
 
 
@@ -7364,6 +7460,7 @@ def oracle_sql() -> dict[str, str]:
     WHERE levenshtein(a.s, b.s) = 1
 """,
         "q176_mmr_diversify": _mmr_oracle(lam=0.7, pool=8),
+        "q178_ddsketch_quantiles": _ddsketch_oracle(alpha=0.01, qs=(0.5, 0.9, 0.99)),
         # q177: the sketch build is exact-k-min by contract (threshold
         # prefilter + fallback), so the oracle is the definitional
         # row_number()<=k window over the portable 60-bit hashes.

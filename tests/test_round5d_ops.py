@@ -107,3 +107,60 @@ class TestKmvSetOps:
         truth = sorted(sha60(x) for x in set(ia) | set(ib))[:48]
         est_direct = round(47.0 / (truth[-1] / float(2**60)))
         assert row["est_union"] == est_direct
+
+
+from gc_spark.operators.ddsketch import (  # noqa: E402
+    ddsketch_build,
+    ddsketch_merge,
+    ddsketch_quantiles,
+)
+
+
+class TestDdsketch:
+    ALPHA = 0.02
+
+    def _vals(self, n=4000):
+        # Deterministic long-tailed positives (log-uniform-ish).
+        return [((i * 2654435761) % 999983) / 100.0 + 0.01 for i in range(n)]
+
+    def test_relative_error_guarantee(self, spark):
+        vals = self._vals()
+        df = spark.createDataFrame([("g", v) for v in vals], "g string, x double")
+        sk = ddsketch_build(df, "x", ["g"], alpha=self.ALPHA)
+        got = ddsketch_quantiles(sk, ["g"], [0.5, 0.9, 0.99], alpha=self.ALPHA).collect()
+        assert len(got) == 3
+        srt = sorted(vals)
+        import math
+
+        for row in got:
+            rnk = max(1, math.ceil(row["q"] * len(vals)))
+            exact = srt[rnk - 1]
+            assert abs(row["est_q"] - exact) / exact <= self.ALPHA + 1e-9
+
+    def test_merge_equals_direct_build(self, spark):
+        vals = self._vals(1000)
+        rows = [("g", v, i % 3) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "g string, x double, shard int")
+        direct = ddsketch_build(df, "x", ["g"], alpha=self.ALPHA)
+        shards = [
+            ddsketch_build(df.where(F.col("shard") == s), "x", ["g"], alpha=self.ALPHA)
+            for s in range(3)
+        ]
+        merged = ddsketch_merge(ddsketch_merge(shards[0], shards[1], ["g"]), shards[2], ["g"])
+        d = {(r["g"], r["bucket"]): r["cnt"] for r in direct.collect()}
+        m = {(r["g"], r["bucket"]): r["cnt"] for r in merged.collect()}
+        assert d == m
+
+    def test_single_value_midpoint(self, spark):
+        df = spark.createDataFrame([("g", 123.45)] * 7, "g string, x double")
+        sk = ddsketch_build(df, "x", ["g"], alpha=self.ALPHA)
+        [row] = ddsketch_quantiles(sk, ["g"], [0.5], alpha=self.ALPHA).collect()
+        assert row["n"] == 7
+        assert abs(row["est_q"] - 123.45) / 123.45 <= self.ALPHA
+
+    def test_nonpositive_excluded(self, spark):
+        df = spark.createDataFrame(
+            [("g", -1.0), ("g", 0.0), ("g", 10.0)], "g string, x double"
+        )
+        sk = ddsketch_build(df, "x", ["g"], alpha=self.ALPHA)
+        assert sk.agg(F.sum("cnt")).collect()[0][0] == 1
