@@ -5055,6 +5055,34 @@ def _ddsketch_oracle(alpha: float = 0.01, qs=(0.5, 0.9, 0.99)) -> str:
 """
 
 
+def q179_bloom_prune_join(spark, sf_dir):
+    """Runtime bloom-filter join pruning (operators/bloomjoin): the
+    frontier-vs-seen-manifest join with the big side pre-filtered by a
+    broadcast bit-set built from the small side — Spark's runtime-filter
+    strategy made explicit and measured. Per priority class: probe rows,
+    bloom survivors, true matches, and the false-positive tail
+    (n_match <= n_pass_bloom is the checked no-false-negative contract;
+    the survivor count is what the exact join would shuffle at 10^10
+    rows). m=16384 bits, k=2 salted 60-bit sha positions — replayed
+    bit-for-bit by the oracle."""
+    from gc_spark.operators.bloomjoin import bloom_prune_join_stats
+
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part")
+    probe = o.select(
+        F.col("o_orderpriority").alias("g"),
+        F.concat(F.lit("k"), (F.col("o_orderkey") % 6000).cast("string")).alias(
+            "key"
+        ),
+    )
+    build = p.select(
+        F.concat(
+            F.lit("k"), ((F.col("p_partkey") * 3) % 6000).cast("string")
+        ).alias("key")
+    )
+    return bloom_prune_join_stats(probe, build, "key", ["g"], m=16384, k=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_rollup": q01_rollup,
@@ -5235,6 +5263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q176_mmr_diversify": q176_mmr_diversify,
         "q177_kmv_setops": q177_kmv_setops,
         "q178_ddsketch_quantiles": q178_ddsketch_quantiles,
+        "q179_bloom_prune_join": q179_bloom_prune_join,
     }
 
 
@@ -7461,6 +7490,38 @@ def oracle_sql() -> dict[str, str]:
 """,
         "q176_mmr_diversify": _mmr_oracle(lam=0.7, pool=8),
         "q178_ddsketch_quantiles": _ddsketch_oracle(alpha=0.01, qs=(0.5, 0.9, 0.99)),
+        "q179_bloom_prune_join": """
+    WITH probe AS (
+      SELECT o_orderpriority AS g,
+             'k' || CAST(o_orderkey % 6000 AS VARCHAR) AS key
+      FROM orders
+    ), build AS (
+      SELECT DISTINCT 'k' || CAST((p_partkey * 3) % 6000 AS VARCHAR) AS key
+      FROM part
+    ), bits AS (
+      SELECT DISTINCT pos FROM (
+        SELECT CAST('0x' || substr(sha256('rf0|' || key), 1, 15) AS BIGINT)
+               % 16384 AS pos FROM build
+        UNION
+        SELECT CAST('0x' || substr(sha256('rf1|' || key), 1, 15) AS BIGINT)
+               % 16384 FROM build)
+    ), flagged AS (
+      SELECT g, key,
+             (EXISTS (SELECT 1 FROM bits WHERE pos =
+                CAST('0x' || substr(sha256('rf0|' || probe.key), 1, 15) AS BIGINT) % 16384)
+              AND EXISTS (SELECT 1 FROM bits WHERE pos =
+                CAST('0x' || substr(sha256('rf1|' || probe.key), 1, 15) AS BIGINT) % 16384))
+               AS pass,
+             EXISTS (SELECT 1 FROM build b WHERE b.key = probe.key) AS matched
+      FROM probe
+    )
+    SELECT g, COUNT(*) AS n_probe,
+           CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_bloom,
+           CAST(SUM(CASE WHEN matched THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+           CAST(SUM(CASE WHEN pass AND NOT matched THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_pos
+    FROM flagged GROUP BY g
+""",
         # q177: the sketch build is exact-k-min by contract (threshold
         # prefilter + fallback), so the oracle is the definitional
         # row_number()<=k window over the portable 60-bit hashes.

@@ -164,3 +164,59 @@ class TestDdsketch:
         )
         sk = ddsketch_build(df, "x", ["g"], alpha=self.ALPHA)
         assert sk.agg(F.sum("cnt")).collect()[0][0] == 1
+
+
+from gc_spark.operators.bloomjoin import (  # noqa: E402
+    bloom_bits,
+    bloom_prune,
+    bloom_prune_join_stats,
+)
+
+
+class TestBloomJoin:
+    def test_no_false_negatives(self, spark):
+        # Every build-side member MUST pass the bloom.
+        members = [f"m{i}" for i in range(300)]
+        build = spark.createDataFrame([(x,) for x in members], "key string")
+        bits = bloom_bits(build, "key", m=2048, k=2)
+        got = bloom_prune(build, bits, "key", m=2048, k=2).collect()
+        assert all(r["bloom_pass"] for r in got)
+
+    def test_positions_match_reference_kernel(self, spark):
+        build = spark.createDataFrame([("abc",)], "key string")
+        [row] = bloom_bits(build, "key", m=97, k=2).agg(
+            F.sort_array(F.collect_list("pos")).alias("p")
+        ).collect()
+        expect = sorted(
+            sha60(f"rf{i}|abc") % 97 for i in range(2)
+        )
+        assert row["p"] == expect
+
+    def test_nonmembers_mostly_pruned(self, spark):
+        members = [f"m{i}" for i in range(200)]
+        outsiders = [f"x{i}" for i in range(2000)]
+        build = spark.createDataFrame([(x,) for x in members], "key string")
+        probe = spark.createDataFrame(
+            [("g", x) for x in outsiders], "g string, key string"
+        )
+        bits = bloom_bits(build, "key", m=16384, k=2)
+        passed = (
+            bloom_prune(probe, bits, "key", m=16384, k=2)
+            .where("bloom_pass")
+            .count()
+        )
+        # load ~ 400/16384 -> FPR ~ (1-e^-0.0244)^2 ~ 0.06%; allow slack.
+        assert passed < 40
+
+    def test_stats_contract(self, spark):
+        probe = spark.createDataFrame(
+            [("g", f"k{i % 50}") for i in range(500)], "g string, key string"
+        )
+        build = spark.createDataFrame(
+            [(f"k{i}",) for i in range(0, 50, 2)], "key string"
+        )
+        [row] = bloom_prune_join_stats(probe, build, "key", ["g"], m=64, k=2).collect()
+        assert row["n_probe"] == 500
+        assert row["n_match"] == 250  # even residues: half the probe rows
+        assert row["n_pass_bloom"] >= row["n_match"]  # no false negatives
+        assert row["n_false_pos"] == row["n_pass_bloom"] - row["n_match"]
