@@ -5083,6 +5083,28 @@ def q179_bloom_prune_join(spark, sf_dir):
     return bloom_prune_join_stats(probe, build, "key", ["g"], m=16384, k=2)
 
 
+def q180_host_transitions(spark, sf_dir):
+    """First-order Markov host-transition model (operators/markov): which
+    host a session hits next, learned from the fetch log — the navigation
+    prior that pre-warms politeness budgets. One lead() window on the
+    log's own session partitioning, then a (src, dst) count; the top-3
+    normalized rows per source with deterministic (count desc, dst)
+    tie-break."""
+    from gc_spark.operators.markov import transition_counts, transition_model
+
+    e = _t(spark, sf_dir, "events")
+    log = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.concat(F.lit("h"), (F.col("event_id") % 12).cast("string")).alias(
+            "host"
+        ),
+    )
+    counts = transition_counts(log, "user_id", ["ts", "event_id"], "host")
+    return transition_model(counts, top_n=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_rollup": q01_rollup,
@@ -5264,6 +5286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q177_kmv_setops": q177_kmv_setops,
         "q178_ddsketch_quantiles": q178_ddsketch_quantiles,
         "q179_bloom_prune_join": q179_bloom_prune_join,
+        "q180_host_transitions": q180_host_transitions,
     }
 
 
@@ -7490,6 +7513,30 @@ def oracle_sql() -> dict[str, str]:
 """,
         "q176_mmr_diversify": _mmr_oracle(lam=0.7, pool=8),
         "q178_ddsketch_quantiles": _ddsketch_oracle(alpha=0.01, qs=(0.5, 0.9, 0.99)),
+        "q180_host_transitions": """
+    WITH log AS (
+      SELECT user_id, ts, event_id,
+             'h' || CAST(event_id % 12 AS VARCHAR) AS host
+      FROM events
+    ), pairs AS (
+      SELECT host AS src,
+             lead(host) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS dst
+      FROM log
+    ), counts AS (
+      SELECT src, dst, COUNT(*) AS n_trans
+      FROM pairs WHERE dst IS NOT NULL GROUP BY src, dst
+    ), ranked AS (
+      SELECT src, dst, n_trans,
+             ROUND(CAST(n_trans AS DOUBLE)
+                   / SUM(n_trans) OVER (PARTITION BY src), 6) AS p,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY n_trans DESC, dst) AS rnk
+      FROM counts
+    )
+    SELECT src, dst, n_trans, p, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= 3
+""",
         "q179_bloom_prune_join": """
     WITH probe AS (
       SELECT o_orderpriority AS g,

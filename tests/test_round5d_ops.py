@@ -220,3 +220,63 @@ class TestBloomJoin:
         assert row["n_match"] == 250  # even residues: half the probe rows
         assert row["n_pass_bloom"] >= row["n_match"]  # no false negatives
         assert row["n_false_pos"] == row["n_pass_bloom"] - row["n_match"]
+
+
+from gc_spark.operators.markov import (  # noqa: E402
+    transition_counts,
+    transition_model,
+)
+
+
+class TestMarkovTransitions:
+    def _log(self, spark, seqs):
+        # seqs: {session: [host, host, ...]} visited in order.
+        rows = [
+            (s, i, h) for s, hosts in seqs.items() for i, h in enumerate(hosts)
+        ]
+        return spark.createDataFrame(rows, "sess string, t int, host string")
+
+    def test_hand_counted_transitions(self, spark):
+        log = self._log(spark, {"s1": ["a", "b", "a", "b"], "s2": ["a", "b", "c"]})
+        got = {
+            (r["src"], r["dst"]): r["n_trans"]
+            for r in transition_counts(log, "sess", ["t"], "host").collect()
+        }
+        assert got == {("a", "b"): 3, ("b", "a"): 1, ("b", "c"): 1}
+
+    def test_no_cross_session_bleed(self, spark):
+        # Last host of s1 must not chain into first host of s2.
+        log = self._log(spark, {"s1": ["a", "x"], "s2": ["y", "b"]})
+        got = {
+            (r["src"], r["dst"])
+            for r in transition_counts(log, "sess", ["t"], "host").collect()
+        }
+        assert ("x", "y") not in got
+        assert got == {("a", "x"), ("y", "b")}
+
+    def test_probabilities_normalize_and_rank(self, spark):
+        log = self._log(spark, {"s": ["a", "b", "a", "b", "a", "c", "a", "c", "a", "a"]})
+        counts = transition_counts(log, "sess", ["t"], "host")
+        rows = transition_model(counts, top_n=3).collect()
+        a_rows = sorted(
+            [r for r in rows if r["src"] == "a"], key=lambda r: r["rnk"]
+        )
+        # From 'a': b x2, c x2, a x1 -> ties (b,c) break lexically.
+        assert [(r["dst"], r["n_trans"]) for r in a_rows] == [
+            ("b", 2),
+            ("c", 2),
+            ("a", 1),
+        ]
+        assert sum(r["p"] for r in a_rows) == pytest.approx(1.0, abs=1e-6)
+
+    def test_top_n_cut(self, spark):
+        log = self._log(spark, {"s": ["a"] + list("bcdefg")})
+        # 'a' has one outgoing; every letter chains once.
+        counts = transition_counts(log, "sess", ["t"], "host")
+        rows = transition_model(counts, top_n=1).collect()
+        assert all(r["rnk"] == 1 for r in rows)
+        assert len(rows) == 6
+
+    def test_singleton_sessions_yield_nothing(self, spark):
+        log = self._log(spark, {"s1": ["a"], "s2": ["b"]})
+        assert transition_counts(log, "sess", ["t"], "host").count() == 0
