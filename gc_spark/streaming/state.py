@@ -505,3 +505,89 @@ def streaming_aimd(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+DDSKETCH_OUTPUT = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("n", LongType()),
+        StructField("q", DoubleType()),
+        StructField("est_q", DoubleType()),
+    ]
+)
+DDSKETCH_STATE = StructType(
+    [
+        StructField("buckets", ArrayType(IntegerType())),
+        StructField("cnts", ArrayType(LongType())),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _ddsketch_factory(value_col: str, alpha: float, qs: tuple):
+    import math
+
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    lng = math.log(gamma)
+
+    def _update(key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        d: dict[int, int] = {}
+        n = 0
+        if state.exists:
+            bks, cts, n = state.get
+            d = dict(zip(bks, cts))
+        for pdf in pdfs:
+            for x in pdf[value_col]:
+                x = float(x)
+                if x <= 0:
+                    continue
+                # same bucket rule as operators/ddsketch.dd_bucket — the
+                # round-9 quantization keeps JVM and CPython libm in step
+                b = math.ceil(round(math.log(x) / lng, 9))
+                d[b] = d.get(b, 0) + 1
+                n += 1
+        keys = sorted(d)
+        state.update((keys, [d[k] for k in keys], n))
+        rows = {"host": [], "n": [], "q": [], "est_q": []}
+        for q in qs:
+            rank = max(1, math.ceil(q * n))
+            cum = 0
+            bk = keys[-1] if keys else 0
+            for b in keys:
+                cum += d[b]
+                if cum >= rank:
+                    bk = b
+                    break
+            est = round(2.0 * gamma**bk / (gamma + 1.0), 6) if keys else 0.0
+            rows["host"].append(key[0])
+            rows["n"].append(n)
+            rows["q"].append(float(q))
+            rows["est_q"].append(est)
+        yield pd.DataFrame(rows)
+
+    return _update
+
+
+def streaming_ddsketch(
+    stream: DataFrame,
+    value_col: str = "bytes",
+    alpha: float = 0.01,
+    qs: tuple = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Streaming twin of operators/ddsketch: the per-host geometric bucket
+    table IS the checkpointed state — bounded by occupied buckets (a few
+    hundred over any realistic value range), restart-durable, and
+    bucket-identical to the batch sketch over the same rows because both
+    use ceil(round(ln(x)/ln_gamma, 9)). Emits running (n, q, est_q) rows
+    per host per batch; a restart resumes the histogram, so the final
+    batch's quantiles over a series of AvailableNow runs equal the batch
+    operator over the union of their rows. Folding a day of streamed
+    buckets into the batch rollup is operators/ddsketch.ddsketch_merge.
+    """
+    return stream.groupBy("host").applyInPandasWithState(
+        _ddsketch_factory(value_col, alpha, qs),
+        outputStructType=DDSKETCH_OUTPUT,
+        stateStructType=DDSKETCH_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -280,3 +280,52 @@ class TestMarkovTransitions:
     def test_singleton_sessions_yield_nothing(self, spark):
         log = self._log(spark, {"s1": ["a"], "s2": ["b"]})
         assert transition_counts(log, "sess", ["t"], "host").count() == 0
+
+
+class TestStreamingDdsketch:
+    def test_matches_batch_across_restart(self, spark, tmp_path):
+        """Two AvailableNow runs with a checkpoint restart between them:
+        the final emitted quantiles must equal the batch DDSketch over the
+        union of both waves — the bucket histogram survives."""
+        from gc_spark.operators.ddsketch import ddsketch_build, ddsketch_quantiles
+        from gc_spark.streaming.state import streaming_ddsketch
+
+        schema = "host string, bytes double"
+        wave1 = [("h", ((i * 37) % 997) / 10.0 + 0.5) for i in range(200)]
+        wave2 = [("h", ((i * 61) % 997) / 10.0 + 0.5) for i in range(200)]
+
+        src, out, ckpt = (str(tmp_path / p) for p in ("src", "out", "ckpt"))
+
+        def run_once():
+            stream = spark.readStream.schema(schema).parquet(src)
+            q = (
+                streaming_ddsketch(stream, "bytes", alpha=0.01)
+                .writeStream.outputMode("update")
+                .foreachBatch(lambda df, _id: df.write.mode("append").parquet(out))
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        spark.createDataFrame(wave1, schema).write.mode("append").parquet(src)
+        run_once()
+        spark.createDataFrame(wave2, schema).write.mode("append").parquet(src)
+        run_once()
+
+        streamed = {
+            r["q"]: r["est_q"]
+            for r in spark.read.parquet(out).where("n = 400").collect()
+        }
+        both = spark.createDataFrame(wave1 + wave2, schema).withColumn(
+            "g", F.lit("h")
+        )
+        sk = ddsketch_build(both, "bytes", ["g"], alpha=0.01)
+        batch = {
+            r["q"]: r["est_q"]
+            for r in ddsketch_quantiles(
+                sk, ["g"], [0.5, 0.9, 0.99], alpha=0.01
+            ).collect()
+        }
+        assert streamed == batch
+        assert len(streamed) == 3
