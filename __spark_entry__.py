@@ -5105,6 +5105,48 @@ def q180_host_transitions(spark, sf_dir):
     return transition_model(counts, top_n=3)
 
 
+def q181_good_turing(spark, sf_dir):
+    """Good-Turing discovery-rate estimate (operators/goodturing): from the
+    fetch log's URL visit counts, the probability the NEXT fetch surfaces a
+    never-seen URL (p_unseen = N1/N) plus the smoothed head of the
+    count-of-counts table (r* = (r+1)N_{r+1}/N_r) — the one-number
+    "is this source exhausted?" signal behind q119's vocab curve. One
+    corpus-sized count shuffle; everything after runs on the tiny r
+    table."""
+    from gc_spark.operators.goodturing import good_turing
+
+    o = _t(spark, sf_dir, "orders")
+    visits = o.select(
+        F.concat(
+            F.lit("u"),
+            (
+                (F.col("o_custkey") * 13 + F.col("o_orderkey") % 7) % 4000
+            ).cast("string"),
+        ).alias("url")
+    )
+    return good_turing(visits, "url", max_r=6)
+
+
+def q182_set_cover(spark, sf_dir):
+    """Greedy max-coverage mirror selection (operators/setcover): pick 3
+    suppliers covering the most distinct parts — the (1-1/e) greedy
+    set-cover planner for "which k sources to crawl next". Membership
+    dedups once; each round aggregates only still-uncovered rows and
+    collects a single argmax row (the kmeans/MMR bounded-picks
+    discipline), ties to the smaller source id, so the 3-pick sequence is
+    replayed exactly by the unrolled-CTE oracle."""
+    from gc_spark.operators.setcover import greedy_set_cover
+
+    li = _t(spark, sf_dir, "lineitem")
+    m = li.select(
+        F.concat(F.lit("s"), (F.col("l_suppkey") % 25).cast("string")).alias(
+            "src"
+        ),
+        F.col("l_partkey").alias("doc"),
+    )
+    return greedy_set_cover(m, "src", "doc", k=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_rollup": q01_rollup,
@@ -5287,6 +5329,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q178_ddsketch_quantiles": q178_ddsketch_quantiles,
         "q179_bloom_prune_join": q179_bloom_prune_join,
         "q180_host_transitions": q180_host_transitions,
+        "q181_good_turing": q181_good_turing,
+        "q182_set_cover": q182_set_cover,
     }
 
 
@@ -7513,6 +7557,52 @@ def oracle_sql() -> dict[str, str]:
 """,
         "q176_mmr_diversify": _mmr_oracle(lam=0.7, pool=8),
         "q178_ddsketch_quantiles": _ddsketch_oracle(alpha=0.01, qs=(0.5, 0.9, 0.99)),
+        "q181_good_turing": """
+    WITH items AS (
+      SELECT 'u' || CAST((o_custkey * 13 + o_orderkey % 7) % 4000 AS VARCHAR) AS item
+      FROM orders
+    ), tc AS (SELECT item, COUNT(*) AS r FROM items GROUP BY item),
+    cofc AS (SELECT r, COUNT(*) AS n_r FROM tc GROUP BY r),
+    nn AS (SELECT CAST(SUM(r) AS DOUBLE) AS nn FROM tc),
+    n1 AS (SELECT CAST(COALESCE(SUM(CASE WHEN r = 1 THEN n_r END), 0)
+                       AS DOUBLE) AS n1 FROM cofc)
+    SELECT a.r, a.n_r,
+           ROUND(CAST(a.r + 1 AS DOUBLE) * CAST(b.n_r AS DOUBLE)
+                 / CAST(a.n_r AS DOUBLE), 6) AS r_star,
+           ROUND(CAST(a.r AS DOUBLE) * CAST(a.n_r AS DOUBLE)
+                 / (SELECT nn FROM nn), 6) AS mass,
+           ROUND((SELECT n1 FROM n1) / (SELECT nn FROM nn), 6) AS p_unseen
+    FROM cofc a LEFT JOIN cofc b ON b.r = a.r + 1
+    WHERE a.r <= 6
+""",
+        # q182: the greedy pick sequence is deterministic (gain desc, set
+        # asc), so three unrolled rounds replay it exactly
+        "q182_set_cover": """
+    WITH pairs AS (
+      SELECT DISTINCT 's' || CAST(l_suppkey % 25 AS VARCHAR) AS s,
+             l_partkey AS e
+      FROM lineitem
+    ), g1 AS (SELECT s, COUNT(*) AS gain FROM pairs GROUP BY s),
+    p1 AS (SELECT s, gain FROM g1 ORDER BY gain DESC, s LIMIT 1),
+    c1 AS (SELECT e FROM pairs WHERE s = (SELECT s FROM p1)),
+    r2 AS (SELECT * FROM pairs WHERE s <> (SELECT s FROM p1)
+           AND e NOT IN (SELECT e FROM c1)),
+    g2 AS (SELECT s, COUNT(*) AS gain FROM r2 GROUP BY s),
+    p2 AS (SELECT s, gain FROM g2 ORDER BY gain DESC, s LIMIT 1),
+    c2 AS (SELECT e FROM pairs WHERE s = (SELECT s FROM p2)),
+    r3 AS (SELECT * FROM r2 WHERE s <> (SELECT s FROM p2)
+           AND e NOT IN (SELECT e FROM c2)),
+    g3 AS (SELECT s, COUNT(*) AS gain FROM r3 GROUP BY s),
+    p3 AS (SELECT s, gain FROM g3 ORDER BY gain DESC, s LIMIT 1)
+    SELECT CAST(1 AS INTEGER) AS pick, s AS chosen_set,
+           gain, gain AS cum_covered FROM p1
+    UNION ALL
+    SELECT CAST(2 AS INTEGER), s, gain,
+           gain + (SELECT gain FROM p1) FROM p2
+    UNION ALL
+    SELECT CAST(3 AS INTEGER), s, gain,
+           gain + (SELECT gain FROM p1) + (SELECT gain FROM p2) FROM p3
+""",
         "q180_host_transitions": """
     WITH log AS (
       SELECT user_id, ts, event_id,

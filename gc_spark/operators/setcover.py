@@ -1,0 +1,60 @@
+"""Greedy maximum-coverage set selection — which k sources to crawl next.
+
+Mirror/source selection is a set-cover instance: each candidate source
+(mirror, sitemap, feed) covers a set of documents; pick k sources
+covering the most DISTINCT documents. Exact max-coverage is NP-hard; the
+greedy "take the source with the largest marginal gain" is the classic
+(1 - 1/e)-approximation (Nemhauser, Wolsey & Fisher 1978) and is what
+production crawl planners run.
+
+Scale shape: the (set, element) membership frame is deduplicated ONCE
+(the only corpus-sized shuffle). Each of the k rounds is one aggregate
+over the still-uncovered membership rows plus a 1-row argmax collect —
+the driver sees k rows total, never data (the kmeans/MMR discipline for
+bounded iterative picks). The chosen set's elements anti-join out of the
+remaining frame, so round t scans only rows not yet covered. Ties break
+to the lexically smaller set id, making the pick sequence deterministic
+and oracle-replayable as k unrolled CTE rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def greedy_set_cover(df: DataFrame, set_col: str, elem_col: str, k: int = 3) -> DataFrame:
+    """(pick, chosen_set, gain, cum_covered) for up to k greedy rounds.
+    Stops early when no set adds coverage."""
+    spark = df.sparkSession
+    pairs = df.select(
+        F.col(set_col).alias("s"), F.col(elem_col).alias("e")
+    ).distinct()
+    pairs.cache()
+
+    remaining = pairs
+    picks: list[tuple[int, str, int, int]] = []
+    cum = 0
+    for i in range(k):
+        top = (
+            remaining.groupBy("s")
+            .agg(F.count("*").alias("gain"))
+            .orderBy(F.col("gain").desc(), F.col("s"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["gain"] == 0:
+            break
+        s, gain = top[0]["s"], top[0]["gain"]
+        cum += gain
+        picks.append((i + 1, str(s), int(gain), int(cum)))
+        chosen = pairs.where(F.col("s") == s).select("e")
+        remaining = remaining.where(F.col("s") != s).join(
+            chosen, "e", "left_anti"
+        )
+
+    out = spark.createDataFrame(
+        picks, "pick int, chosen_set string, gain long, cum_covered long"
+    )
+    pairs.unpersist()
+    return out

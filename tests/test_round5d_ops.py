@@ -282,6 +282,77 @@ class TestMarkovTransitions:
         assert transition_counts(log, "sess", ["t"], "host").count() == 0
 
 
+from gc_spark.operators.goodturing import good_turing  # noqa: E402
+from gc_spark.operators.setcover import greedy_set_cover  # noqa: E402
+
+
+class TestGoodTuring:
+    def test_hand_computed_table(self, spark):
+        # counts: a=1, b=1, c=2, d=3 -> N=7, N1=2, N2=1, N3=1.
+        items = ["a", "b", "c", "c", "d", "d", "d"]
+        df = spark.createDataFrame([(x,) for x in items], "item string")
+        rows = {r["r"]: r for r in good_turing(df, "item").collect()}
+        assert set(rows) == {1, 2, 3}
+        assert rows[1]["n_r"] == 2
+        assert rows[1]["r_star"] == pytest.approx(2 * 1 / 2)  # (1+1)*N2/N1
+        assert rows[1]["mass"] == pytest.approx(round(2 / 7, 6))
+        assert rows[2]["r_star"] == pytest.approx(3 * 1 / 1)
+        assert rows[3]["r_star"] is None  # nothing seen 4 times
+        assert all(
+            r["p_unseen"] == pytest.approx(round(2 / 7, 6))
+            for r in rows.values()
+        )
+
+    def test_no_singletons_means_zero_unseen_mass(self, spark):
+        df = spark.createDataFrame(
+            [(x,) for x in ["a", "a", "b", "b"]], "item string"
+        )
+        rows = good_turing(df, "item").collect()
+        assert all(r["p_unseen"] == 0.0 for r in rows)
+
+    def test_max_r_cut(self, spark):
+        df = spark.createDataFrame(
+            [("hot",)] * 50 + [("cold",)], "item string"
+        )
+        rows = good_turing(df, "item", max_r=6).collect()
+        assert {r["r"] for r in rows} == {1}  # the 50-count row is cut
+
+
+class TestGreedySetCover:
+    def _m(self, spark, sets):
+        rows = [(s, e) for s, elems in sets.items() for e in elems]
+        return spark.createDataFrame(rows, "src string, doc int")
+
+    def test_greedy_sequence(self, spark):
+        m = self._m(
+            spark,
+            {"A": [1, 2, 3, 4, 5], "B": [4, 5, 6, 7, 8], "C": [8, 9]},
+        )
+        rows = greedy_set_cover(m, "src", "doc", k=3).orderBy("pick").collect()
+        assert [(r["pick"], r["chosen_set"], r["gain"]) for r in rows] == [
+            (1, "A", 5),
+            (2, "B", 3),  # 6,7,8 newly covered
+            (3, "C", 1),  # only 9 left
+        ]
+        assert rows[-1]["cum_covered"] == 9
+
+    def test_tie_breaks_lexically(self, spark):
+        m = self._m(spark, {"zz": [1, 2], "aa": [3, 4]})
+        rows = greedy_set_cover(m, "src", "doc", k=1).collect()
+        assert rows[0]["chosen_set"] == "aa"
+
+    def test_early_stop_when_covered(self, spark):
+        m = self._m(spark, {"A": [1, 2, 3], "B": [1, 2]})
+        rows = greedy_set_cover(m, "src", "doc", k=5).orderBy("pick").collect()
+        assert len(rows) == 1  # B adds nothing after A
+        assert rows[0]["chosen_set"] == "A"
+
+    def test_duplicate_membership_collapses(self, spark):
+        m = self._m(spark, {"A": [1, 1, 1, 2], "B": [3, 4, 5]})
+        rows = greedy_set_cover(m, "src", "doc", k=1).collect()
+        assert rows[0]["chosen_set"] == "B"  # 3 distinct beats 2 distinct
+
+
 class TestStreamingDdsketch:
     def test_matches_batch_across_restart(self, spark, tmp_path):
         """Two AvailableNow runs with a checkpoint restart between them:
