@@ -5147,6 +5147,96 @@ def q182_set_cover(spark, sf_dir):
     return greedy_set_cover(m, "src", "doc", k=3)
 
 
+def q183_capture_recapture(spark, sf_dir):
+    """Chapman capture-recapture corpus-size estimate (operators/capture):
+    two quasi-independent crawl passes over each source shard (even line
+    numbers vs even order keys) yield per-shard n1/n2/overlap, the
+    bias-corrected total-size estimate, its standard error, and the
+    still-unseen share — "is a third pass over this source worth it?".
+    Passes contract to distinct (shard, part) once; everything after is
+    shard-grain."""
+    from gc_spark.operators.capture import capture_recapture
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        (F.col("l_suppkey") % 8).alias("src"),
+        F.col("l_partkey").alias("id"),
+        "l_linenumber",
+        "l_orderkey",
+    )
+    p1 = base.where(F.col("l_linenumber") % 2 == 0)
+    p2 = base.where(F.col("l_orderkey") % 2 == 0)
+    return capture_recapture(p1, p2, "id", "src")
+
+
+def q184_k_anonymity(spark, sf_dir):
+    """k-anonymity + l-diversity release audit (operators/kanon): is the
+    crawled order metadata safe to release with quasi-identifiers
+    (priority, order year, customer bucket)? One summary row: classes
+    smaller than k=5, rows re-identifiable through them, and classes
+    whose rows all share one o_orderstatus (the homogeneity leak). One
+    QI-grain groupBy is the only corpus-sized shuffle."""
+    from gc_spark.operators.kanon import k_anonymity
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.year("o_orderdate").alias("oyear"),
+        (F.col("o_custkey") % 500).alias("cbucket"),
+        "o_orderstatus",
+    )
+    return k_anonymity(
+        o,
+        ["o_orderpriority", "oyear", "cbucket"],
+        k=5,
+        sensitive_col="o_orderstatus",
+    )
+
+
+def q185_ht_totals(spark, sf_dir):
+    """Horvitz-Thompson stratified totals (operators/htsample): a
+    priority-stratified crawl sample (urgent strata fetched at 0.5, the
+    tail at 0.1; deterministic LCG uniforms) read back into unbiased
+    per-stratum corpus totals with Poisson-sampling standard errors —
+    the "estimated corpus value" line of a crawl report computed from
+    the biased sample. One stratum-grain groupBy, pure expressions."""
+    from gc_spark.operators.htsample import ht_stratified_total
+
+    o = _t(spark, sf_dir, "orders")
+    pi = (
+        F.when(F.col("o_orderpriority").startswith("1"), 0.5)
+        .when(F.col("o_orderpriority").startswith("2"), 0.4)
+        .when(F.col("o_orderpriority").startswith("3"), 0.25)
+        .when(F.col("o_orderpriority").startswith("4"), 0.2)
+        .otherwise(0.1)
+    )
+    u = ((F.col("o_orderkey") * F.lit(2654435761)) % 1000003).cast(
+        "double"
+    ) / 1000003.0
+    sample = o.withColumn("pi", pi).where(u < F.col("pi"))
+    return ht_stratified_total(
+        sample, "o_orderpriority", "o_totalprice", "pi"
+    )
+
+
+def q186_benford(spark, sf_dir):
+    """Benford first-digit deviation per source (operators/benford):
+    chi-square and total-variation distance of each supplier shard's
+    price first-digit distribution against Benford's law — the
+    generated-content / forged-metadata alarm over numeric columns.
+    One (shard, digit) count is the only corpus-sized shuffle; the
+    9-row-per-shard fold carries missing-digit mass exactly."""
+    from gc_spark.operators.benford import benford_deviation
+
+    li = _t(spark, sf_dir, "lineitem")
+    vals = li.select(
+        F.concat(F.lit("s"), (F.col("l_suppkey") % 25).cast("string")).alias(
+            "src"
+        ),
+        F.col("l_extendedprice").alias("v"),
+    )
+    return benford_deviation(vals, "src", "v")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_rollup": q01_rollup,
@@ -5331,6 +5421,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q180_host_transitions": q180_host_transitions,
         "q181_good_turing": q181_good_turing,
         "q182_set_cover": q182_set_cover,
+        "q183_capture_recapture": q183_capture_recapture,
+        "q184_k_anonymity": q184_k_anonymity,
+        "q185_ht_totals": q185_ht_totals,
+        "q186_benford": q186_benford,
     }
 
 
@@ -7602,6 +7696,106 @@ def oracle_sql() -> dict[str, str]:
     UNION ALL
     SELECT CAST(3 AS INTEGER), s, gain,
            gain + (SELECT gain FROM p1) + (SELECT gain FROM p2) FROM p3
+""",
+        "q183_capture_recapture": """
+    WITH p1 AS (
+      SELECT DISTINCT l_suppkey % 8 AS src, l_partkey AS id
+      FROM lineitem WHERE l_linenumber % 2 = 0
+    ), p2 AS (
+      SELECT DISTINCT l_suppkey % 8 AS src, l_partkey AS id
+      FROM lineitem WHERE l_orderkey % 2 = 0
+    ), a AS (SELECT src, COUNT(*) AS n1 FROM p1 GROUP BY src),
+    b AS (SELECT src, COUNT(*) AS n2 FROM p2 GROUP BY src),
+    mm AS (SELECT src, COUNT(*) AS m
+           FROM p1 JOIN p2 USING (src, id) GROUP BY src),
+    j AS (
+      SELECT COALESCE(a.src, b.src) AS src, COALESCE(n1, 0) AS n1,
+             COALESCE(n2, 0) AS n2, COALESCE(m, 0) AS m
+      FROM a FULL OUTER JOIN b ON a.src = b.src
+      LEFT JOIN mm ON COALESCE(a.src, b.src) = mm.src
+    )
+    SELECT src, n1, n2, m,
+           ROUND((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1, 6) AS n_hat,
+           ROUND(SQRT((n1 + 1.0) * (n2 + 1.0) * (n1 - m) * (n2 - m)
+                      / ((m + 1.0) * (m + 1.0) * (m + 2.0))), 6) AS se,
+           ROUND(GREATEST(0.0, 1.0 - (n1 + n2 - m)
+                 / ((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1)), 6)
+             AS unseen_share
+    FROM j
+""",
+        "q184_k_anonymity": """
+    WITH base AS (
+      SELECT o_orderpriority, EXTRACT(year FROM o_orderdate) AS oyear,
+             o_custkey % 500 AS cbucket, o_orderstatus
+      FROM orders
+    ), cls AS (
+      SELECT o_orderpriority, oyear, cbucket, COUNT(*) AS sz,
+             COUNT(DISTINCT o_orderstatus) AS n_sens
+      FROM base GROUP BY 1, 2, 3
+    )
+    SELECT CAST(5 AS INTEGER) AS k, SUM(sz) AS n_rows,
+           COUNT(*) AS n_classes, MIN(sz) AS min_class_size,
+           SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS violating_classes,
+           SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS rows_at_risk,
+           ROUND(CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS DOUBLE)
+                 / SUM(sz), 6) AS risk_share,
+           SUM(CASE WHEN sz >= 2 AND n_sens = 1 THEN 1 ELSE 0 END)
+             AS homogeneous_classes,
+           SUM(CASE WHEN sz >= 2 AND n_sens = 1 THEN sz ELSE 0 END)
+             AS rows_exposed
+    FROM cls
+""",
+        "q185_ht_totals": """
+    WITH s AS (
+      SELECT o_orderpriority AS stratum, o_totalprice AS y,
+             CASE WHEN o_orderpriority LIKE '1%' THEN 0.5
+                  WHEN o_orderpriority LIKE '2%' THEN 0.4
+                  WHEN o_orderpriority LIKE '3%' THEN 0.25
+                  WHEN o_orderpriority LIKE '4%' THEN 0.2
+                  ELSE 0.1 END AS pi,
+             CAST((o_orderkey * 2654435761) % 1000003 AS DOUBLE)
+               / 1000003.0 AS u
+      FROM orders
+    ), samp AS (SELECT * FROM s WHERE u < pi)
+    SELECT stratum, COUNT(*) AS n_sampled,
+           ROUND(SUM(1.0 / pi), 6) AS ht_count,
+           ROUND(SUM(y / pi), 6) AS ht_total,
+           ROUND(SQRT(SUM((1.0 - pi) / (pi * pi) * y * y)), 6) AS se
+    FROM samp GROUP BY stratum
+    UNION ALL
+    SELECT '__all__', COUNT(*),
+           ROUND(SUM(1.0 / pi), 6), ROUND(SUM(y / pi), 6),
+           ROUND(SQRT(SUM((1.0 - pi) / (pi * pi) * y * y)), 6)
+    FROM samp
+""",
+        "q186_benford": """
+    WITH vals AS (
+      SELECT 's' || CAST(l_suppkey % 25 AS VARCHAR) AS src,
+             l_extendedprice AS v
+      FROM lineitem WHERE l_extendedprice > 0
+    ), digits AS (
+      SELECT src,
+             CAST(FLOOR(v / POWER(10.0, FLOOR(LOG10(v)))) AS INTEGER) AS d,
+             COUNT(*) AS obs
+      FROM vals GROUP BY 1, 2
+    ), nn AS (SELECT src, SUM(obs) AS n FROM digits GROUP BY src),
+    bf AS (SELECT CAST(range AS INTEGER) AS d,
+                  LOG10(1.0 + 1.0 / range) AS p
+           FROM range(1, 10)),
+    grid AS (
+      SELECT nn.src, bf.d, bf.p, nn.n, COALESCE(dg.obs, 0) AS obs
+      FROM nn CROSS JOIN bf
+      LEFT JOIN digits dg ON dg.src = nn.src AND dg.d = bf.d
+    ), agg AS (
+      SELECT src, MAX(n) AS n,
+             ROUND(SUM(POWER(obs - p * n, 2) / (p * n)), 6) AS chi2,
+             ROUND(SUM(ABS(CAST(obs AS DOUBLE) / n - p)) / 2.0, 6) AS tvd,
+             ROUND(CAST(MAX(obs) AS DOUBLE) / MAX(n), 6) AS top_digit_share
+      FROM grid GROUP BY src
+    )
+    SELECT src, n, chi2, tvd, top_digit_share,
+           chi2 > 15.507 AS benford_alarm
+    FROM agg
 """,
         "q180_host_transitions": """
     WITH log AS (

@@ -1,0 +1,183 @@
+"""Round-5e operators: Chapman capture-recapture, k-anonymity/l-diversity
+audit, Horvitz-Thompson stratified totals, Benford first-digit deviation.
+
+Pins what the DuckDB oracles can't isolate: hand-computed estimator
+values on tiny frames, degenerate inputs (zero overlap, empty strata,
+single digits), and the missing-mass corrections.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from gc_spark.operators.benford import benford_deviation
+from gc_spark.operators.capture import capture_recapture
+from gc_spark.operators.htsample import ht_stratified_total
+from gc_spark.operators.kanon import k_anonymity
+
+
+class TestCaptureRecapture:
+    def test_hand_computed_chapman(self, spark):
+        # n1=4 (1,2,3,4), n2=3 (3,4,5), m=2 -> N_hat = 5*4/3 - 1
+        p1 = spark.createDataFrame(
+            [("a", i) for i in [1, 2, 3, 4]], "grp string, id int"
+        )
+        p2 = spark.createDataFrame(
+            [("a", i) for i in [3, 4, 5]], "grp string, id int"
+        )
+        [r] = capture_recapture(p1, p2, "id", "grp").collect()
+        assert (r["n1"], r["n2"], r["m"]) == (4, 3, 2)
+        assert r["n_hat"] == pytest.approx(5 * 4 / 3 - 1)
+        var = 5 * 4 * 2 * 1 / (9 * 4)
+        assert r["se"] == pytest.approx(round(math.sqrt(var), 6))
+        assert r["unseen_share"] == pytest.approx(
+            round(1 - 5 / (5 * 4 / 3 - 1), 6)
+        )
+
+    def test_duplicate_captures_collapse(self, spark):
+        p1 = spark.createDataFrame(
+            [("a", 1), ("a", 1), ("a", 2)], "grp string, id int"
+        )
+        p2 = spark.createDataFrame([("a", 1)], "grp string, id int")
+        [r] = capture_recapture(p1, p2, "id", "grp").collect()
+        assert (r["n1"], r["n2"], r["m"]) == (2, 1, 1)
+
+    def test_zero_overlap_still_finite(self, spark):
+        p1 = spark.createDataFrame([("a", 1)], "grp string, id int")
+        p2 = spark.createDataFrame([("a", 2)], "grp string, id int")
+        [r] = capture_recapture(p1, p2, "id", "grp").collect()
+        assert r["m"] == 0
+        assert r["n_hat"] == pytest.approx(2 * 2 / 1 - 1)
+
+    def test_group_only_in_one_pass(self, spark):
+        p1 = spark.createDataFrame([("only1", 1)], "grp string, id int")
+        p2 = spark.createDataFrame([("only2", 9)], "grp string, id int")
+        rows = {r["grp"]: r for r in capture_recapture(p1, p2, "id", "grp").collect()}
+        assert rows["only1"]["n2"] == 0 and rows["only2"]["n1"] == 0
+
+
+class TestKAnonymity:
+    def _df(self, spark):
+        # classes: (x,1)->3 rows, (x,2)->1 row, (y,1)->2 rows homogeneous
+        rows = [
+            ("x", 1, "s1"),
+            ("x", 1, "s2"),
+            ("x", 1, "s1"),
+            ("x", 2, "s3"),
+            ("y", 1, "s1"),
+            ("y", 1, "s1"),
+        ]
+        return spark.createDataFrame(rows, "a string, b int, sens string")
+
+    def test_summary_counts(self, spark):
+        [r] = k_anonymity(
+            self._df(spark), ["a", "b"], k=3, sensitive_col="sens"
+        ).collect()
+        assert r["n_rows"] == 6 and r["n_classes"] == 3
+        assert r["min_class_size"] == 1
+        assert r["violating_classes"] == 2  # sizes 1 and 2 are < 3
+        assert r["rows_at_risk"] == 3
+        assert r["risk_share"] == pytest.approx(0.5)
+        # (y,1) has 2 rows all sens=s1; (x,1) is diverse; (x,2) is sz 1
+        assert r["homogeneous_classes"] == 1
+        assert r["rows_exposed"] == 2
+
+    def test_without_sensitive_col(self, spark):
+        [r] = k_anonymity(self._df(spark), ["a"], k=2).collect()
+        assert "homogeneous_classes" not in r.asDict()
+        assert r["violating_classes"] == 0  # both a-classes have >= 2 rows
+
+    def test_all_anonymous_when_k_1(self, spark):
+        [r] = k_anonymity(self._df(spark), ["a", "b"], k=1).collect()
+        assert r["violating_classes"] == 0 and r["rows_at_risk"] == 0
+
+
+class TestHtStratified:
+    def test_unbiased_weighting(self, spark):
+        # stratum A: 2 rows at pi=0.5 -> ht_count 4, ht_total 2*(10+20)
+        # stratum B: 1 row at pi=0.25 -> ht_count 4, ht_total 4*8
+        rows = [("A", 10.0, 0.5), ("A", 20.0, 0.5), ("B", 8.0, 0.25)]
+        df = spark.createDataFrame(rows, "stratum string, y double, pi double")
+        out = {
+            r["stratum"]: r
+            for r in ht_stratified_total(df, "stratum", "y", "pi").collect()
+        }
+        assert out["A"]["ht_count"] == pytest.approx(4.0)
+        assert out["A"]["ht_total"] == pytest.approx(60.0)
+        assert out["B"]["ht_total"] == pytest.approx(32.0)
+        assert out["__all__"]["n_sampled"] == 3
+        assert out["__all__"]["ht_total"] == pytest.approx(92.0)
+
+    def test_se_closed_form(self, spark):
+        df = spark.createDataFrame(
+            [("A", 10.0, 0.5)], "stratum string, y double, pi double"
+        )
+        out = {
+            r["stratum"]: r
+            for r in ht_stratified_total(df, "stratum", "y", "pi").collect()
+        }
+        # Var = (1-0.5)/0.25 * 100 = 200
+        assert out["A"]["se"] == pytest.approx(round(math.sqrt(200.0), 6))
+
+    def test_pi_one_census_is_exact(self, spark):
+        df = spark.createDataFrame(
+            [("A", 7.0, 1.0), ("A", 3.0, 1.0)],
+            "stratum string, y double, pi double",
+        )
+        out = {
+            r["stratum"]: r
+            for r in ht_stratified_total(
+                df, "stratum", "y", "pi", include_overall=False
+            ).collect()
+        }
+        assert out["A"]["ht_total"] == pytest.approx(10.0)
+        assert out["A"]["se"] == pytest.approx(0.0)
+
+
+class TestBenford:
+    def test_single_digit_spike_alarms(self, spark):
+        # all values start with 5 -> chi2 = n*(5-spike term) ... just
+        # check it's the full missing-mass value: chi2 =
+        # (n - p5*n)^2/(p5*n) + n*(1-p5)
+        n = 100
+        df = spark.createDataFrame(
+            [("g", 5.0 * (10**(i % 3))) for i in range(n)], "grp string, v double"
+        )
+        [r] = benford_deviation(df, "grp", "v").collect()
+        p5 = math.log10(1.2)
+        expect = (n - p5 * n) ** 2 / (p5 * n) + n * (1 - p5)
+        assert r["n"] == n
+        assert r["chi2"] == pytest.approx(expect, rel=1e-6)
+        assert r["benford_alarm"] is True
+        assert r["top_digit_share"] == pytest.approx(1.0)
+        assert r["tvd"] == pytest.approx(round(1 - p5, 6))
+
+    def test_exact_benford_sample_passes(self, spark):
+        # counts proportional to Benford shares (scaled to ints) keep
+        # chi2 small and the alarm off
+        rows = []
+        for d in range(1, 10):
+            cnt = round(1000 * math.log10(1 + 1 / d))
+            rows += [("g", float(d))] * cnt
+        df = spark.createDataFrame(rows, "grp string, v double")
+        [r] = benford_deviation(df, "grp", "v").collect()
+        assert r["chi2"] < 1.0
+        assert r["benford_alarm"] is False
+
+    def test_nonpositive_values_ignored(self, spark):
+        df = spark.createDataFrame(
+            [("g", -3.0), ("g", 0.0), ("g", 123.0)], "grp string, v double"
+        )
+        [r] = benford_deviation(df, "grp", "v").collect()
+        assert r["n"] == 1
+
+    def test_first_digit_of_fractions(self, spark):
+        # 0.042 -> first digit 4 (log10 floor is negative)
+        df = spark.createDataFrame(
+            [("g", 0.042), ("g", 0.9)], "grp string, v double"
+        )
+        rows = benford_deviation(df, "grp", "v").collect()
+        assert rows[0]["n"] == 2  # both parsed, none dropped
