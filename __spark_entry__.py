@@ -5237,6 +5237,91 @@ def q186_benford(spark, sf_dir):
     return benford_deviation(vals, "src", "v")
 
 
+def q187_gini_budget(spark, sf_dir):
+    """Crawl-budget concentration report (operators/concentration): per
+    event family, the Gini coefficient, Herfindahl index, and top-host
+    share of fetch counts across hosts — "is this family's budget spread
+    or monopolized?". Events contract to (family, host) counts first;
+    the rank window only ever sees host-grain rows."""
+    from gc_spark.operators.concentration import gini_concentration
+
+    e = _t(spark, sf_dir, "events")
+    units = e.groupBy(
+        F.col("event_type").alias("family"),
+        F.concat(F.lit("h"), (F.col("user_id") % 1000).cast("string")).alias(
+            "host"
+        ),
+    ).agg(F.count("*").alias("fetches"))
+    return gini_concentration(units, "family", "host", "fetches")
+
+
+def q188_postings_sizing(spark, sf_dir):
+    """Elias-Fano vs gap-varint postings pricing (operators/eliasfano):
+    per term of the documents corpus, the closed-form bit cost of both
+    posting-list encodings and the winner — the storage planner that runs
+    before materializing q64's inverted index. One distinct (term, doc)
+    contraction; gaps from a term-grain LAG window."""
+    from gc_spark.operators.eliasfano import postings_size_plan
+
+    d = _t_wide(spark, sf_dir, "documents")
+    return postings_size_plan(d, "text", "doc_id")
+
+
+def q189_cocitation(spark, sf_dir):
+    """Co-citation + bibliographic coupling (operators/cocite): part
+    pairs repeatedly ordered together (shared citing order) and order
+    pairs sharing cited parts, df-capped at the shared neighbor exactly
+    like the triangle/Adamic-Adar wedge generators, n_common >= 3 keeps
+    the pair set sparse. The "related pages" / link-farm signal built
+    from existing edges only."""
+    from gc_spark.operators.cocite import cocitation_coupling
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("o"), (F.col("l_orderkey") % 2000).cast("string")).alias(
+            "src"
+        ),
+        F.concat(F.lit("p"), (F.col("l_partkey") % 400).cast("string")).alias(
+            "dst"
+        ),
+    )
+    return cocitation_coupling(edges, max_degree=40, min_common=3)
+
+
+def q190_ucb1_schedule(spark, sf_dir):
+    """UCB1 explore/exploit source ranking (operators/bandit): sources'
+    past fetches are bandit pulls, a fulfilled order is reward 1 — the
+    scheduler picks the highest upper-confidence arm next, exploring
+    thin sources before writing them off. One source-grain groupBy; N
+    rides as a 1-row broadcast."""
+    from gc_spark.operators.bandit import ucb1_schedule
+
+    o = _t(spark, sf_dir, "orders")
+    log = o.select(
+        F.concat(F.lit("s"), (F.col("o_custkey") % 40).cast("string")).alias(
+            "source"
+        ),
+        F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias(
+            "reward"
+        ),
+    )
+    return ucb1_schedule(log, "source", "reward")
+
+
+def q191_dirichlet_qlm(spark, sf_dir):
+    """Dirichlet query-likelihood ranking (operators/qlm): the LM
+    retrieval model (Zhai-Lafferty smoothing toward the corpus model)
+    over the documents table for the query {spark, merge, vector} —
+    the third classic ranker next to q53's tf-idf and q63's BM25, with
+    only matched (term, doc) rows entering the join."""
+    from gc_spark.operators.qlm import dirichlet_qlm
+
+    d = _t_wide(spark, sf_dir, "documents")
+    return dirichlet_qlm(
+        d, ["spark", "merge", "vector"], mu=500.0, top_k=12
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_rollup": q01_rollup,
@@ -5425,6 +5510,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q184_k_anonymity": q184_k_anonymity,
         "q185_ht_totals": q185_ht_totals,
         "q186_benford": q186_benford,
+        "q187_gini_budget": q187_gini_budget,
+        "q188_postings_sizing": q188_postings_sizing,
+        "q189_cocitation": q189_cocitation,
+        "q190_ucb1_schedule": q190_ucb1_schedule,
+        "q191_dirichlet_qlm": q191_dirichlet_qlm,
     }
 
 
@@ -7796,6 +7886,120 @@ def oracle_sql() -> dict[str, str]:
     SELECT src, n, chi2, tvd, top_digit_share,
            chi2 > 15.507 AS benford_alarm
     FROM agg
+""",
+        "q187_gini_budget": """
+    WITH units AS (
+      SELECT event_type AS family,
+             'h' || CAST(user_id % 1000 AS VARCHAR) AS host,
+             CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ), ranked AS (
+      SELECT family, x,
+             ROW_NUMBER() OVER (PARTITION BY family ORDER BY x, host) AS i
+      FROM units
+    )
+    SELECT family, COUNT(*) AS n_units, ROUND(SUM(x), 6) AS total,
+           ROUND(2.0 * SUM(i * x) / (COUNT(*) * SUM(x))
+                 - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini,
+           ROUND(SUM(x * x) / (SUM(x) * SUM(x)), 6) AS hhi,
+           ROUND(MAX(x) / SUM(x), 6) AS top_share
+    FROM ranked GROUP BY family
+""",
+        "q188_postings_sizing": """
+    WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+               FROM documents),
+    toks AS (
+      SELECT DISTINCT doc_id AS doc, t.term
+      FROM d, UNNEST(toks) AS t(term) WHERE t.term <> ''
+    ), u AS (SELECT CAST(MAX(doc_id) + 1 AS DOUBLE) AS uu FROM documents),
+    g AS (
+      SELECT term, doc,
+             doc - LAG(doc) OVER (PARTITION BY term ORDER BY doc) AS lg
+      FROM toks
+    ), g2 AS (SELECT term, COALESCE(lg, doc + 1) AS gap FROM g),
+    per AS (
+      SELECT term, COUNT(*) AS doc_freq,
+             SUM(8 * (CAST(FLOOR(FLOOR(LOG2(GREATEST(gap, 1))) / 7)
+                      AS BIGINT) + 1)) AS varint_bits
+      FROM g2 GROUP BY term
+    ), sized AS (
+      SELECT term, doc_freq,
+             doc_freq * (2 + GREATEST(0, CAST(CEIL(LOG2(
+               (SELECT uu FROM u) / doc_freq)) AS BIGINT))) AS ef_bits,
+             varint_bits
+      FROM per
+    )
+    SELECT term, doc_freq, ef_bits, varint_bits,
+           CASE WHEN ef_bits <= varint_bits THEN 'ef' ELSE 'varint' END
+             AS best,
+           ABS(ef_bits - varint_bits) AS bits_saved
+    FROM sized
+""",
+        "q189_cocitation": """
+    WITH e AS (
+      SELECT DISTINCT 'o' || CAST(l_orderkey % 2000 AS VARCHAR) AS src,
+             'p' || CAST(l_partkey % 400 AS VARCHAR) AS dst
+      FROM lineitem
+    ),
+    a1 AS (SELECT src AS z, dst AS n FROM e),
+    d1 AS (SELECT z FROM a1 GROUP BY z HAVING COUNT(*) <= 40),
+    c1 AS (SELECT a1.z, a1.n FROM a1 JOIN d1 USING (z)),
+    co AS (
+      SELECT 'cocitation' AS kind, l.n AS a, r.n AS b, COUNT(*) AS n_common
+      FROM c1 l JOIN c1 r ON l.z = r.z AND l.n < r.n
+      GROUP BY 2, 3 HAVING COUNT(*) >= 3
+    ),
+    a2 AS (SELECT dst AS z, src AS n FROM e),
+    d2 AS (SELECT z FROM a2 GROUP BY z HAVING COUNT(*) <= 40),
+    c2 AS (SELECT a2.z, a2.n FROM a2 JOIN d2 USING (z)),
+    cp AS (
+      SELECT 'coupling' AS kind, l.n AS a, r.n AS b, COUNT(*) AS n_common
+      FROM c2 l JOIN c2 r ON l.z = r.z AND l.n < r.n
+      GROUP BY 2, 3 HAVING COUNT(*) >= 3
+    )
+    SELECT * FROM co UNION ALL SELECT * FROM cp
+""",
+        "q190_ucb1_schedule": """
+    WITH log AS (
+      SELECT 's' || CAST(o_custkey % 40 AS VARCHAR) AS source,
+             CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS r
+      FROM orders
+    ), arms AS (
+      SELECT source, COUNT(*) AS n_pulls, AVG(r) AS m FROM log
+      GROUP BY source
+    ), t AS (SELECT CAST(SUM(n_pulls) AS DOUBLE) AS nn FROM arms)
+    SELECT source, n_pulls, ROUND(m, 6) AS mean_reward,
+           ROUND(m + SQRT(2.0 * LN((SELECT nn FROM t)) / n_pulls), 6)
+             AS ucb,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY m + SQRT(2.0 * LN((SELECT nn FROM t)) / n_pulls)
+               DESC, source) AS INTEGER) AS rank
+    FROM arms
+""",
+        "q191_dirichlet_qlm": """
+    WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+               FROM documents),
+    toks AS (
+      SELECT doc_id AS doc, t.term
+      FROM d, UNNEST(toks) AS t(term) WHERE t.term <> ''
+    ), dl AS (SELECT doc, COUNT(*) AS dl FROM toks GROUP BY doc),
+    c AS (SELECT CAST(COUNT(*) AS DOUBLE) AS clen FROM toks),
+    cf AS (
+      SELECT term, COUNT(*) / (SELECT clen FROM c) AS p_c
+      FROM toks WHERE term IN ('spark', 'merge', 'vector') GROUP BY term
+    ), tf AS (
+      SELECT doc, term, COUNT(*) AS tf FROM toks
+      WHERE term IN ('spark', 'merge', 'vector') GROUP BY doc, term
+    ), m AS (
+      SELECT tf.doc, COUNT(*) AS n_matched,
+             SUM(LN(1.0 + tf / (500.0 * p_c))) AS msum
+      FROM tf JOIN cf USING (term) GROUP BY tf.doc
+    )
+    SELECT m.doc AS doc_id, n_matched,
+           ROUND(msum + 3.0 * LN(500.0 / (dl + 500.0)), 6) AS score
+    FROM m JOIN dl ON m.doc = dl.doc
+    ORDER BY score DESC, doc_id
+    LIMIT 12
 """,
         "q180_host_transitions": """
     WITH log AS (

@@ -1,0 +1,80 @@
+"""Co-citation and bibliographic coupling — relatedness without new links.
+
+Two pages repeatedly linked FROM the same sources (co-citation: Small
+1973) or linking TO the same targets (bibliographic coupling: Kessler
+1963) are related even when no edge joins them directly — the oldest
+similarity signals in citation analysis and still the backbone of
+"related pages" on web graphs. For a crawler they rank discovery
+candidates (pages co-cited with known-good seeds) and expose coordinated
+link farms (clusters with abnormally high coupling), complementing
+adamic_adar which scores the same wedges with hub damping.
+
+Scale shape: identical wedge discipline to linkpred.adamic_adar and the
+triangle counter — pairs are generated AT the shared neighbor, so its
+degree drives fan-out, and neighbors past max_degree are df-capped
+before pairing (a hub citing everything says nothing about relatedness
+anyway). One groupBy(pair) aggregate after the wedge expansion, a
+min_common filter keeps the output sparse. No UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def common_neighbor_pairs(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    shared: str = "src",
+    max_degree: int = 64,
+    min_common: int = 2,
+) -> DataFrame:
+    """(a, b, n_common) pairs (a < b) sharing >= min_common neighbors.
+
+    shared='src' pairs dst nodes by common citing source (co-citation);
+    shared='dst' pairs src nodes by common cited target (coupling).
+    Shared neighbors with fan-out > max_degree are excluded before
+    pairing.
+    """
+    if shared == "src":
+        z, n = src_col, dst_col
+    elif shared == "dst":
+        z, n = dst_col, src_col
+    else:
+        raise ValueError("shared must be 'src' or 'dst'")
+    adj = edges.select(
+        F.col(z).alias("z"), F.col(n).alias("n")
+    ).distinct()
+    deg = adj.groupBy("z").agg(F.count("*").alias("deg"))
+    capped = adj.join(
+        F.broadcast(deg.where(F.col("deg") <= max_degree)).select("z"), "z"
+    )
+    left = capped.select("z", F.col("n").alias("a"))
+    right = capped.select("z", F.col("n").alias("b"))
+    return (
+        left.join(right, "z")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+    )
+
+
+def cocitation_coupling(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_degree: int = 64,
+    min_common: int = 2,
+) -> DataFrame:
+    """Both signals in one frame: (kind, a, b, n_common) with kind in
+    {'cocitation', 'coupling'}."""
+    co = common_neighbor_pairs(
+        edges, src_col, dst_col, "src", max_degree, min_common
+    ).select(F.lit("cocitation").alias("kind"), "a", "b", "n_common")
+    bc = common_neighbor_pairs(
+        edges, src_col, dst_col, "dst", max_degree, min_common
+    ).select(F.lit("coupling").alias("kind"), "a", "b", "n_common")
+    return co.unionByName(bc)

@@ -181,3 +181,176 @@ class TestBenford:
         )
         rows = benford_deviation(df, "grp", "v").collect()
         assert rows[0]["n"] == 2  # both parsed, none dropped
+
+
+from gc_spark.operators.bandit import ucb1_schedule  # noqa: E402
+from gc_spark.operators.cocite import (  # noqa: E402
+    cocitation_coupling,
+    common_neighbor_pairs,
+)
+from gc_spark.operators.concentration import gini_concentration  # noqa: E402
+from gc_spark.operators.eliasfano import postings_size_plan  # noqa: E402
+from gc_spark.operators.qlm import dirichlet_qlm  # noqa: E402
+
+
+class TestGiniConcentration:
+    def test_perfect_equality_is_zero(self, spark):
+        df = spark.createDataFrame(
+            [("f", f"h{i}", 10.0) for i in range(5)],
+            "grp string, unit string, x double",
+        )
+        [r] = gini_concentration(df, "grp", "unit", "x").collect()
+        assert r["gini"] == pytest.approx(0.0)
+        assert r["hhi"] == pytest.approx(0.2)
+        assert r["top_share"] == pytest.approx(0.2)
+
+    def test_total_monopoly_approaches_one(self, spark):
+        rows = [("f", "big", 1000.0)] + [("f", f"h{i}", 0.0) for i in range(9)]
+        df = spark.createDataFrame(rows, "grp string, unit string, x double")
+        [r] = gini_concentration(df, "grp", "unit", "x").collect()
+        # closed form with one non-zero unit of n=10: G = (n-1)/n
+        assert r["gini"] == pytest.approx(0.9)
+        assert r["hhi"] == pytest.approx(1.0)
+        assert r["top_share"] == pytest.approx(1.0)
+
+    def test_hand_computed_small(self, spark):
+        # x sorted = [1,2,3,4]; sum=10; sum(i*x)=1+4+9+16=30
+        # G = 2*30/(4*10) - 5/4 = 1.5 - 1.25 = 0.25
+        df = spark.createDataFrame(
+            [("f", "a", 1.0), ("f", "b", 2.0), ("f", "c", 3.0), ("f", "d", 4.0)],
+            "grp string, unit string, x double",
+        )
+        [r] = gini_concentration(df, "grp", "unit", "x").collect()
+        assert r["gini"] == pytest.approx(0.25)
+
+
+class TestPostingsSizing:
+    def test_closed_forms(self, spark):
+        # term "t" in docs 0..7 of a universe of 8: EF = 8*(2+ceil(log2(1)))
+        rows = [(i, "t") for i in range(8)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        [r] = postings_size_plan(df).collect()
+        assert r["doc_freq"] == 8
+        assert r["ef_bits"] == 8 * 2  # log2(8/8)=0
+        # gaps: first doc 0 -> gap 1, then 1,1,... -> 8 one-byte varints
+        assert r["varint_bits"] == 64
+        assert r["best"] == "ef"
+
+    def test_sparse_term_prefers_varint_when_cheaper(self, spark):
+        # one term in a single doc at id 0 within universe 1000:
+        # EF = 1*(2+ceil(log2(1000))) = 12 bits; varint gap 1 -> 8 bits
+        rows = [(0, "rare")] + [(999, "filler")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["term"]: r for r in postings_size_plan(df).collect()}
+        assert out["rare"]["ef_bits"] == 12
+        assert out["rare"]["varint_bits"] == 8
+        assert out["rare"]["best"] == "varint"
+        assert out["rare"]["bits_saved"] == 4
+
+    def test_duplicate_tokens_one_posting(self, spark):
+        df = spark.createDataFrame(
+            [(3, "x x x")], "doc_id long, text string"
+        )
+        [r] = postings_size_plan(df).collect()
+        assert r["doc_freq"] == 1
+
+
+class TestCocite:
+    def test_cocitation_pairs(self, spark):
+        # s1 and s2 both cite a,b -> (a,b) co-cited twice
+        edges = spark.createDataFrame(
+            [("s1", "a"), ("s1", "b"), ("s2", "a"), ("s2", "b"), ("s3", "a")],
+            "src string, dst string",
+        )
+        rows = common_neighbor_pairs(
+            edges, shared="src", min_common=2
+        ).collect()
+        assert [(r["a"], r["b"], r["n_common"]) for r in rows] == [
+            ("a", "b", 2)
+        ]
+
+    def test_coupling_pairs(self, spark):
+        edges = spark.createDataFrame(
+            [("s1", "t"), ("s2", "t"), ("s1", "u"), ("s2", "u")],
+            "src string, dst string",
+        )
+        rows = common_neighbor_pairs(
+            edges, shared="dst", min_common=2
+        ).collect()
+        assert [(r["a"], r["b"], r["n_common"]) for r in rows] == [
+            ("s1", "s2", 2)
+        ]
+
+    def test_hub_capped_out(self, spark):
+        # hub cites 5 targets; with max_degree=4 it emits no wedges
+        edges = spark.createDataFrame(
+            [("hub", f"d{i}") for i in range(5)], "src string, dst string"
+        )
+        assert (
+            common_neighbor_pairs(
+                edges, shared="src", max_degree=4, min_common=1
+            ).count()
+            == 0
+        )
+
+    def test_both_kinds_united(self, spark):
+        edges = spark.createDataFrame(
+            [("s1", "a"), ("s1", "b"), ("s2", "a"), ("s2", "b")],
+            "src string, dst string",
+        )
+        kinds = {
+            r["kind"]
+            for r in cocitation_coupling(edges, min_common=2).collect()
+        }
+        assert kinds == {"cocitation", "coupling"}
+
+
+class TestUcb1:
+    def test_thin_arm_gets_exploration_bonus(self, spark):
+        # arm A: 100 pulls, mean 0.5; arm B: 1 pull, mean 0.0 ->
+        # B's bonus sqrt(2 ln 101) > A's mean + tiny bonus
+        rows = [("A", 0.5)] * 100 + [("B", 0.0)]
+        df = spark.createDataFrame(rows, "source string, reward double")
+        out = {r["source"]: r for r in ucb1_schedule(df, "source", "reward").collect()}
+        assert out["B"]["rank"] == 1
+        assert out["A"]["rank"] == 2
+        assert out["B"]["ucb"] == pytest.approx(
+            round(math.sqrt(2 * math.log(101)), 6)
+        )
+
+    def test_ucb_value(self, spark):
+        rows = [("A", 1.0), ("A", 0.0), ("B", 1.0), ("B", 1.0)]
+        df = spark.createDataFrame(rows, "source string, reward double")
+        out = {r["source"]: r for r in ucb1_schedule(df, "source", "reward").collect()}
+        assert out["A"]["mean_reward"] == pytest.approx(0.5)
+        assert out["A"]["ucb"] == pytest.approx(
+            round(0.5 + math.sqrt(2 * math.log(4.0) / 2), 6)
+        )
+
+
+class TestDirichletQlm:
+    def test_hand_computed_score(self, spark):
+        # corpus: d1="q q x", d2="y y y"; query=[q]; mu=10
+        # p(q|C)=2/6; d1: log(1+2/(10/3)) + 1*log(10/13)
+        df = spark.createDataFrame(
+            [(1, "q q x"), (2, "y y y")], "doc_id long, text string"
+        )
+        rows = dirichlet_qlm(df, ["q"], mu=10.0).collect()
+        assert len(rows) == 1 and rows[0]["doc_id"] == 1
+        expect = math.log(1 + 2 / (10 * (2 / 6))) + math.log(10 / 13)
+        assert rows[0]["score"] == pytest.approx(expect, abs=1e-6)
+        assert rows[0]["n_matched"] == 1
+
+    def test_length_normalization_prefers_short_doc(self, spark):
+        # same tf, shorter doc scores higher
+        df = spark.createDataFrame(
+            [(1, "q a"), (2, "q a a a a a a a")], "doc_id long, text string"
+        )
+        rows = dirichlet_qlm(df, ["q"], mu=5.0).collect()
+        assert rows[0]["doc_id"] == 1
+
+    def test_top_k_bound(self, spark):
+        df = spark.createDataFrame(
+            [(i, "q filler") for i in range(20)], "doc_id long, text string"
+        )
+        assert dirichlet_qlm(df, ["q"], top_k=7).count() == 7
