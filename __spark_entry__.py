@@ -5112,16 +5112,18 @@ def q181_good_turing(spark, sf_dir):
     count-of-counts table (r* = (r+1)N_{r+1}/N_r) — the one-number
     "is this source exhausted?" signal behind q119's vocab curve. One
     corpus-sized count shuffle; everything after runs on the tiny r
-    table."""
+    table. The URL space scales with the data (one bucket per
+    (customer, weekday-ish slot), ~1.4 visits each at every SF), so the
+    count-of-counts head is populated at sf0.001 and sf1 alike."""
     from gc_spark.operators.goodturing import good_turing
 
     o = _t(spark, sf_dir, "orders")
     visits = o.select(
         F.concat(
             F.lit("u"),
-            (
-                (F.col("o_custkey") * 13 + F.col("o_orderkey") % 7) % 4000
-            ).cast("string"),
+            (F.col("o_custkey") * 13 + F.col("o_orderkey") % 7).cast(
+                "string"
+            ),
         ).alias("url")
     )
     return good_turing(visits, "url", max_r=6)
@@ -5271,21 +5273,29 @@ def q189_cocitation(spark, sf_dir):
     """Co-citation + bibliographic coupling (operators/cocite): part
     pairs repeatedly ordered together (shared citing order) and order
     pairs sharing cited parts, df-capped at the shared neighbor exactly
-    like the triangle/Adamic-Adar wedge generators, n_common >= 3 keeps
-    the pair set sparse. The "related pages" / link-farm signal built
-    from existing edges only."""
+    like the triangle/Adamic-Adar wedge generators, n_common >= 2 keeps
+    the pair set sparse. Raw order/part keys keep both node degrees
+    SF-invariant (orders carry ~4 lines, parts ~30 lines at EVERY TPC-H
+    scale factor), so the wedge fan-out stays linear in the data and the
+    output non-degenerate from sf0.001 to sf1."""
     from gc_spark.operators.cocite import cocitation_coupling
 
     li = _t(spark, sf_dir, "lineitem")
+    # long node ids through the wedge shuffle (the 10M-row stage); the
+    # display prefix is applied to the few-thousand-row result instead
     edges = li.select(
-        F.concat(F.lit("o"), (F.col("l_orderkey") % 2000).cast("string")).alias(
-            "src"
-        ),
-        F.concat(F.lit("p"), (F.col("l_partkey") % 400).cast("string")).alias(
-            "dst"
-        ),
+        F.col("l_orderkey").alias("src"), F.col("l_partkey").alias("dst")
     )
-    return cocitation_coupling(edges, max_degree=40, min_common=3)
+    pairs = cocitation_coupling(edges, max_degree=64, min_common=2)
+    tag = F.when(F.col("kind") == "cocitation", F.lit("p")).otherwise(
+        F.lit("o")
+    )
+    return pairs.select(
+        "kind",
+        F.concat(tag, F.col("a").cast("string")).alias("a"),
+        F.concat(tag, F.col("b").cast("string")).alias("b"),
+        "n_common",
+    )
 
 
 def q190_ucb1_schedule(spark, sf_dir):
@@ -7743,7 +7753,7 @@ def oracle_sql() -> dict[str, str]:
         "q178_ddsketch_quantiles": _ddsketch_oracle(alpha=0.01, qs=(0.5, 0.9, 0.99)),
         "q181_good_turing": """
     WITH items AS (
-      SELECT 'u' || CAST((o_custkey * 13 + o_orderkey % 7) % 4000 AS VARCHAR) AS item
+      SELECT 'u' || CAST(o_custkey * 13 + o_orderkey % 7 AS VARCHAR) AS item
       FROM orders
     ), tc AS (SELECT item, COUNT(*) AS r FROM items GROUP BY item),
     cofc AS (SELECT r, COUNT(*) AS n_r FROM tc GROUP BY r),
@@ -7937,27 +7947,32 @@ def oracle_sql() -> dict[str, str]:
 """,
         "q189_cocitation": """
     WITH e AS (
-      SELECT DISTINCT 'o' || CAST(l_orderkey % 2000 AS VARCHAR) AS src,
-             'p' || CAST(l_partkey % 400 AS VARCHAR) AS dst
-      FROM lineitem
+      SELECT DISTINCT l_orderkey AS src, l_partkey AS dst FROM lineitem
     ),
     a1 AS (SELECT src AS z, dst AS n FROM e),
-    d1 AS (SELECT z FROM a1 GROUP BY z HAVING COUNT(*) <= 40),
+    d1 AS (SELECT z FROM a1 GROUP BY z HAVING COUNT(*) <= 64),
     c1 AS (SELECT a1.z, a1.n FROM a1 JOIN d1 USING (z)),
     co AS (
       SELECT 'cocitation' AS kind, l.n AS a, r.n AS b, COUNT(*) AS n_common
       FROM c1 l JOIN c1 r ON l.z = r.z AND l.n < r.n
-      GROUP BY 2, 3 HAVING COUNT(*) >= 3
+      GROUP BY 2, 3 HAVING COUNT(*) >= 2
     ),
     a2 AS (SELECT dst AS z, src AS n FROM e),
-    d2 AS (SELECT z FROM a2 GROUP BY z HAVING COUNT(*) <= 40),
+    d2 AS (SELECT z FROM a2 GROUP BY z HAVING COUNT(*) <= 64),
     c2 AS (SELECT a2.z, a2.n FROM a2 JOIN d2 USING (z)),
     cp AS (
       SELECT 'coupling' AS kind, l.n AS a, r.n AS b, COUNT(*) AS n_common
       FROM c2 l JOIN c2 r ON l.z = r.z AND l.n < r.n
-      GROUP BY 2, 3 HAVING COUNT(*) >= 3
-    )
-    SELECT * FROM co UNION ALL SELECT * FROM cp
+      GROUP BY 2, 3 HAVING COUNT(*) >= 2
+    ),
+    u AS (SELECT * FROM co UNION ALL SELECT * FROM cp)
+    SELECT kind,
+           CASE WHEN kind = 'cocitation' THEN 'p' ELSE 'o' END
+             || CAST(a AS VARCHAR) AS a,
+           CASE WHEN kind = 'cocitation' THEN 'p' ELSE 'o' END
+             || CAST(b AS VARCHAR) AS b,
+           n_common
+    FROM u
 """,
         "q190_ucb1_schedule": """
     WITH log AS (

@@ -42,18 +42,27 @@ def dirichlet_qlm(
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
     ).where(F.col("term") != "")
 
-    doclen = toks.groupBy("doc").agg(F.count("*").alias("dl"))
-    corpus = toks.agg(F.count("*").cast("double").alias("clen"))
+    # the (doc, term, cnt) contraction feeds every downstream consumer
+    # (doc lengths, corpus length, query-term stats): lazily checkpointed
+    # so the corpus is tokenized ONCE, not once per aggregate (the
+    # tfidf.py discipline)
+    tcounts = (
+        toks.groupBy("doc", "term")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    doclen = tcounts.groupBy("doc").agg(F.sum("cnt").alias("dl"))
+    corpus = tcounts.agg(F.sum("cnt").cast("double").alias("clen"))
 
     qset = [t for t in query_terms]
-    qtoks = toks.where(F.col("term").isin(qset))
+    qcounts = tcounts.where(F.col("term").isin(qset))
     cf = (
-        qtoks.groupBy("term")
-        .agg(F.count("*").alias("cf"))
+        qcounts.groupBy("term")
+        .agg(F.sum("cnt").alias("cf"))
         .crossJoin(F.broadcast(corpus))
         .select("term", (F.col("cf") / F.col("clen")).alias("p_c"))
     )
-    tf = qtoks.groupBy("doc", "term").agg(F.count("*").alias("tf"))
+    tf = qcounts.select("doc", "term", F.col("cnt").alias("tf"))
     matched = tf.join(F.broadcast(cf), "term").groupBy("doc").agg(
         F.count("*").alias("n_matched"),
         F.sum(

@@ -48,9 +48,14 @@ def greedy_set_cover(df: DataFrame, set_col: str, elem_col: str, k: int = 3) -> 
         s, gain = top[0]["s"], top[0]["gain"]
         cum += gain
         picks.append((i + 1, str(s), int(gain), int(cum)))
+        # the chosen set's element list is one set's worth of rows —
+        # broadcast it so each round's anti-join is map-side; round t
+        # then replays rounds 1..t-1 as a chain of broadcast anti-joins
+        # over the cached pairs scan (k is small by contract, and one
+        # cached scan per round beats materializing `remaining` to disk)
         chosen = pairs.where(F.col("s") == s).select("e")
         remaining = remaining.where(F.col("s") != s).join(
-            chosen, "e", "left_anti"
+            F.broadcast(chosen), "e", "left_anti"
         )
 
     out = spark.createDataFrame(
