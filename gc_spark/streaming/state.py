@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -588,6 +589,89 @@ def streaming_ddsketch(
         _ddsketch_factory(value_col, alpha, qs),
         outputStructType=DDSKETCH_OUTPUT,
         stateStructType=DDSKETCH_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+BENFORD_OUTPUT = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("n", LongType()),
+        StructField("chi2", DoubleType()),
+        StructField("tvd", DoubleType()),
+        StructField("top_digit_share", DoubleType()),
+        StructField("benford_alarm", BooleanType()),
+    ]
+)
+BENFORD_STATE = StructType([StructField("counts", ArrayType(LongType()))])
+
+
+def _benford_factory(value_col: str, alarm_chi2: float):
+    import math
+
+    ps = [math.log10(1.0 + 1.0 / d) for d in range(1, 10)]
+
+    def _update(key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        counts = [0] * 9
+        if state.exists:
+            (stored,) = state.get
+            counts = list(stored)
+        for pdf in pdfs:
+            for x in pdf[value_col]:
+                x = float(x)
+                if x <= 0 or math.isnan(x):
+                    continue
+                # same first-digit rule as operators/benford:
+                # floor(v / 10^floor(log10(v)))
+                d = int(x / (10.0 ** math.floor(math.log10(x))))
+                if 1 <= d <= 9:
+                    counts[d - 1] += 1
+        state.update((counts,))
+        n = sum(counts)
+        if n:
+            chi2 = round(
+                sum((c - p * n) ** 2 / (p * n) for c, p in zip(counts, ps)),
+                6,
+            )
+            tvd = round(
+                sum(abs(c / n - p) for c, p in zip(counts, ps)) / 2.0, 6
+            )
+            top = round(max(counts) / n, 6)
+        else:
+            chi2 = tvd = top = 0.0
+        yield pd.DataFrame(
+            {
+                "host": [key[0]],
+                "n": [n],
+                "chi2": [chi2],
+                "tvd": [tvd],
+                "top_digit_share": [top],
+                "benford_alarm": [bool(chi2 > alarm_chi2)],
+            }
+        )
+
+    return _update
+
+
+def streaming_benford(
+    stream: DataFrame,
+    value_col: str = "bytes",
+    alarm_chi2: float = 15.507,
+) -> DataFrame:
+    """Streaming twin of operators/benford: the per-host first-digit
+    counter vector (exactly 9 longs) IS the checkpointed state — the
+    smallest possible sketch, restart-durable, and digit-identical to
+    the batch operator because both use floor(v / 10^floor(log10(v))).
+    Emits a running (n, chi2, tvd, top_digit_share, benford_alarm) row
+    per host per batch; after any sequence of AvailableNow runs the last
+    row per host equals benford_deviation over the union of their rows —
+    the always-on generated-content alarm for a continuously-fed crawl.
+    """
+    return stream.groupBy("host").applyInPandasWithState(
+        _benford_factory(value_col, alarm_chi2),
+        outputStructType=BENFORD_OUTPUT,
+        stateStructType=BENFORD_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

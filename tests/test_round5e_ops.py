@@ -354,3 +354,68 @@ class TestDirichletQlm:
             [(i, "q filler") for i in range(20)], "doc_id long, text string"
         )
         assert dirichlet_qlm(df, ["q"], top_k=7).count() == 7
+
+
+class TestStreamingBenford:
+    def test_matches_batch_across_restart(self, spark, tmp_path):
+        """Two AvailableNow runs with a checkpoint restart between: the
+        final emitted row per host must equal the batch benford_deviation
+        over the union of both waves — the 9-counter state survives."""
+        from gc_spark.streaming.state import streaming_benford
+
+        schema = "host string, bytes double"
+        wave1 = [("h", float(1 + (i * 37) % 900)) for i in range(300)]
+        wave2 = [("h", float(1 + (i * 61) % 900)) for i in range(300)]
+
+        src, out, ckpt = (str(tmp_path / p) for p in ("src", "out", "ckpt"))
+
+        def run_once():
+            stream = spark.readStream.schema(schema).parquet(src)
+            q = (
+                streaming_benford(stream, "bytes")
+                .writeStream.outputMode("update")
+                .foreachBatch(lambda df, _id: df.write.mode("append").parquet(out))
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        spark.createDataFrame(wave1, schema).write.mode("append").parquet(src)
+        run_once()
+        spark.createDataFrame(wave2, schema).write.mode("append").parquet(src)
+        run_once()
+
+        [streamed] = spark.read.parquet(out).where("n = 600").collect()
+        both = spark.createDataFrame(wave1 + wave2, schema)
+        [batch] = benford_deviation(both, "host", "bytes").collect()
+        assert streamed["chi2"] == pytest.approx(batch["chi2"], abs=2e-6)
+        assert streamed["tvd"] == pytest.approx(batch["tvd"], abs=2e-6)
+        assert streamed["top_digit_share"] == pytest.approx(
+            batch["top_digit_share"], abs=2e-6
+        )
+        assert streamed["benford_alarm"] == batch["benford_alarm"]
+
+    def test_alarm_fires_on_spiked_stream(self, spark, tmp_path):
+        from gc_spark.streaming.state import streaming_benford
+
+        schema = "host string, bytes double"
+        ok_rows = []
+        for d in range(1, 10):
+            ok_rows += [("ok", float(d))] * round(300 * math.log10(1 + 1 / d))
+        rows = [("spam", 5e3)] * 100 + ok_rows
+        src, out, ckpt = (str(tmp_path / p) for p in ("s2", "o2", "c2"))
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            streaming_benford(stream, "bytes")
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda df, _id: df.write.mode("append").parquet(out))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {r["host"]: r for r in spark.read.parquet(out).collect()}
+        assert got["spam"]["benford_alarm"] is True
+        assert got["ok"]["benford_alarm"] is False
