@@ -5332,6 +5332,91 @@ def q191_dirichlet_qlm(spark, sf_dir):
     )
 
 
+def q192_feature_corr(spark, sf_dir):
+    """Quality-feature redundancy audit (operators/featcorr): the
+    pairwise Pearson matrix over four per-row numeric features in two
+    algebraic aggregate passes (means, then centered second moments —
+    the cancellation-safe formulation). Which features are clones is
+    read off one k(k-1)/2-row frame."""
+    from gc_spark.operators.featcorr import pearson_matrix
+
+    li = _t(spark, sf_dir, "lineitem")
+    return pearson_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+def q193_kappa(spark, sf_dir):
+    """Cohen's kappa between two labelers (operators/kappa): the order
+    status vs a price-threshold classifier over the same rows —
+    chance-corrected agreement, the gate before swapping a pipeline
+    classifier for a cheaper one. One (label, label) groupBy, then
+    label-grain marginals."""
+    from gc_spark.operators.kappa import cohens_kappa
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("la"),
+        F.when(F.col("o_totalprice") > 150000, "F")
+        .when(F.col("o_totalprice") > 75000, "O")
+        .otherwise("P")
+        .alias("lb"),
+    )
+    return cohens_kappa(o, "la", "lb")
+
+
+def q194_prop_ztest(spark, sf_dir):
+    """Two-proportion z-test (operators/proptest): policy A vs B (order
+    key parity) on fulfilled-order rate — the fixed-n A/B verdict for a
+    binary crawl outcome, one conditional aggregate, one row out."""
+    from gc_spark.operators.proptest import two_proportion_ztest
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderkey") % 2 == 0, "A").otherwise("B").alias(
+            "policy"
+        ),
+        (F.col("o_orderstatus") == "F").cast("int").alias("ok"),
+    )
+    return two_proportion_ztest(o, "policy", "ok", "A", "B")
+
+
+def q195_mann_whitney(spark, sf_dir):
+    """Mann-Whitney rank-sum test (operators/ranktest): did policy B
+    shift the quantity distribution? Tie-corrected normal approximation
+    over the DISTINCT-VALUE contraction, prefix sums two-phased through
+    fixed-width value-range shards (the curriculum.py dense-numbering
+    scheme) — no global sort at any scale."""
+    from gc_spark.operators.ranktest import mann_whitney_u
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 2 == 0, "A").otherwise("B").alias(
+            "policy"
+        ),
+        "l_quantity",
+    )
+    return mann_whitney_u(li, "policy", "l_quantity", "A", "B", shard_width=16.0)
+
+
+def q196_sprt(spark, sf_dir):
+    """Wald SPRT early stopping (operators/sprt): per host, walk the
+    error-outcome log-likelihood ratio (H1: 30% errors vs H0: 15%) in
+    event order and report the first boundary crossing — the sequential
+    test that retires a failing source trial in a fraction of the
+    fixed-n sample. One per-host window cumsum, verdicts from a
+    host-grain aggregate."""
+    from gc_spark.operators.sprt import sprt_decisions
+
+    e = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string")).alias(
+            "host"
+        ),
+        "event_id",
+        (F.col("event_type") == "error").cast("int").alias("err"),
+    )
+    return sprt_decisions(
+        e, "host", "event_id", "err", p0=0.15, p1=0.3
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_rollup": q01_rollup,
@@ -5525,6 +5610,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q189_cocitation": q189_cocitation,
         "q190_ucb1_schedule": q190_ucb1_schedule,
         "q191_dirichlet_qlm": q191_dirichlet_qlm,
+        "q192_feature_corr": q192_feature_corr,
+        "q193_kappa": q193_kappa,
+        "q194_prop_ztest": q194_prop_ztest,
+        "q195_mann_whitney": q195_mann_whitney,
+        "q196_sprt": q196_sprt,
     }
 
 
@@ -8015,6 +8105,156 @@ def oracle_sql() -> dict[str, str]:
     FROM m JOIN dl ON m.doc = dl.doc
     ORDER BY score DESC, doc_id
     LIMIT 12
+""",
+        "q192_feature_corr": """
+    WITH m AS (
+      SELECT AVG(CAST(l_quantity AS DOUBLE)) AS m1,
+             AVG(CAST(l_extendedprice AS DOUBLE)) AS m2,
+             AVG(CAST(l_discount AS DOUBLE)) AS m3,
+             AVG(CAST(l_tax AS DOUBLE)) AS m4
+      FROM lineitem
+    ), s AS (
+      SELECT COUNT(*) AS n,
+             SUM((l_quantity - m1) * (l_quantity - m1)) AS v1,
+             SUM((l_extendedprice - m2) * (l_extendedprice - m2)) AS v2,
+             SUM((l_discount - m3) * (l_discount - m3)) AS v3,
+             SUM((l_tax - m4) * (l_tax - m4)) AS v4,
+             SUM((l_quantity - m1) * (l_extendedprice - m2)) AS x12,
+             SUM((l_quantity - m1) * (l_discount - m3)) AS x13,
+             SUM((l_quantity - m1) * (l_tax - m4)) AS x14,
+             SUM((l_extendedprice - m2) * (l_discount - m3)) AS x23,
+             SUM((l_extendedprice - m2) * (l_tax - m4)) AS x24,
+             SUM((l_discount - m3) * (l_tax - m4)) AS x34
+      FROM lineitem CROSS JOIN m
+    )
+    SELECT 'l_quantity' AS feat_a, 'l_extendedprice' AS feat_b, n,
+           ROUND(x12 / SQRT(v1 * v2), 6) AS r FROM s
+    UNION ALL SELECT 'l_quantity', 'l_discount', n,
+           ROUND(x13 / SQRT(v1 * v3), 6) FROM s
+    UNION ALL SELECT 'l_quantity', 'l_tax', n,
+           ROUND(x14 / SQRT(v1 * v4), 6) FROM s
+    UNION ALL SELECT 'l_extendedprice', 'l_discount', n,
+           ROUND(x23 / SQRT(v2 * v3), 6) FROM s
+    UNION ALL SELECT 'l_extendedprice', 'l_tax', n,
+           ROUND(x24 / SQRT(v2 * v4), 6) FROM s
+    UNION ALL SELECT 'l_discount', 'l_tax', n,
+           ROUND(x34 / SQRT(v3 * v4), 6) FROM s
+""",
+        "q193_kappa": """
+    WITH lab AS (
+      SELECT o_orderstatus AS la,
+             CASE WHEN o_totalprice > 150000 THEN 'F'
+                  WHEN o_totalprice > 75000 THEN 'O'
+                  ELSE 'P' END AS lb
+      FROM orders
+    ), cm AS (SELECT la, lb, COUNT(*) AS cnt FROM lab GROUP BY la, lb),
+    rm AS (SELECT la, SUM(cnt) AS rm FROM cm GROUP BY la),
+    cl AS (SELECT lb AS la, SUM(cnt) AS cl FROM cm GROUP BY lb),
+    e AS (SELECT SUM(CAST(rm.rm AS DOUBLE) * cl.cl) AS ee
+          FROM rm JOIN cl USING (la)),
+    b AS (SELECT SUM(cnt) AS n,
+                 CAST(SUM(CASE WHEN la = lb THEN cnt ELSE 0 END) AS DOUBLE)
+                   AS diag
+          FROM cm)
+    SELECT n, ROUND(diag / n, 6) AS p_o,
+           ROUND((SELECT ee FROM e) / (CAST(n AS DOUBLE) * n), 6) AS p_e,
+           ROUND((diag / n - (SELECT ee FROM e) / (CAST(n AS DOUBLE) * n))
+                 / (1.0 - (SELECT ee FROM e) / (CAST(n AS DOUBLE) * n)), 6)
+             AS kappa
+    FROM b
+""",
+        "q194_prop_ztest": """
+    WITH log AS (
+      SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'A' ELSE 'B' END AS g,
+             CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS s
+      FROM orders
+    ), agg AS (
+      SELECT SUM(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS n_a,
+             SUM(CASE WHEN g = 'B' THEN 1 ELSE 0 END) AS n_b,
+             SUM(CASE WHEN g = 'A' THEN s ELSE 0.0 END) AS sa,
+             SUM(CASE WHEN g = 'B' THEN s ELSE 0.0 END) AS sb
+      FROM log
+    ), z AS (
+      SELECT n_a, n_b, sa / n_a AS pa, sb / n_b AS pb,
+             (sa / n_a - sb / n_b)
+               / SQRT((sa + sb) / (n_a + n_b)
+                      * (1.0 - (sa + sb) / (n_a + n_b))
+                      * (1.0 / n_a + 1.0 / n_b)) AS zz
+      FROM agg
+    )
+    SELECT 'A' AS group_a, 'B' AS group_b, n_a, n_b,
+           ROUND(pa, 6) AS p_a, ROUND(pb, 6) AS p_b,
+           ROUND(zz, 6) AS z,
+           ABS(ROUND(zz, 6)) > 1.959964 AS significant
+    FROM z
+""",
+        "q195_mann_whitney": """
+    WITH vals AS (
+      SELECT CAST(l_quantity AS DOUBLE) AS v,
+             SUM(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS na,
+             SUM(CASE WHEN l_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS nb
+      FROM lineitem GROUP BY 1
+    ), r AS (
+      SELECT v, na, nb, na + nb AS t,
+             COALESCE(SUM(na + nb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cumt
+      FROM vals
+    ), a AS (
+      SELECT SUM(na) AS n_a, SUM(nb) AS n_b,
+             SUM(na * (cumt + (t + 1) / 2.0)) AS ra,
+             SUM(CAST(t AS DOUBLE) * t * t - t) AS tie
+      FROM r
+    ), f AS (
+      SELECT n_a, n_b,
+             ra - n_a * (n_a + 1.0) / 2.0 AS ua,
+             CAST(n_a AS DOUBLE) * n_b / 2.0 AS mu,
+             SQRT(CAST(n_a AS DOUBLE) * n_b / 12.0
+                  * ((n_a + n_b + 1.0)
+                     - tie / (CAST(n_a + n_b AS DOUBLE)
+                              * (n_a + n_b - 1.0)))) AS sigma
+      FROM a
+    )
+    SELECT n_a, n_b, ROUND(ua, 6) AS u_a, ROUND(mu, 6) AS mu,
+           ROUND(sigma, 6) AS sigma,
+           ROUND((ua - mu) / sigma, 6) AS z,
+           ABS(ROUND((ua - mu) / sigma, 6)) > 1.959964 AS significant
+    FROM f
+""",
+        "q196_sprt": """
+    WITH log AS (
+      SELECT 'h' || CAST(user_id % 20 AS VARCHAR) AS source, event_id,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS y
+      FROM events
+    ), w AS (
+      SELECT source, event_id,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY event_id)
+               AS trial,
+             SUM(CASE WHEN y = 1 THEN LN(0.3 / 0.15)
+                      ELSE LN((1.0 - 0.3) / (1.0 - 0.15)) END)
+               OVER (PARTITION BY source ORDER BY event_id
+                     ROWS UNBOUNDED PRECEDING) AS llr
+      FROM log
+    ), per AS (
+      SELECT source, COUNT(*) AS n_trials,
+             ROUND(ARG_MAX(llr, trial), 6) AS llr_final,
+             MIN(CASE WHEN llr >= LN((1.0 - 0.05) / 0.05)
+                      THEN trial END) AS up,
+             MIN(CASE WHEN llr <= LN(0.05 / (1.0 - 0.05))
+                      THEN trial END) AS dn
+      FROM w GROUP BY source
+    )
+    SELECT source, n_trials, llr_final,
+           CASE WHEN up IS NULL AND dn IS NULL THEN 'continue'
+                WHEN COALESCE(up, 4611686018427387904)
+                     <= COALESCE(dn, 4611686018427387904)
+                  THEN 'accept_h1'
+                ELSE 'accept_h0' END AS decision,
+           CASE WHEN up IS NOT NULL OR dn IS NOT NULL
+                THEN LEAST(COALESCE(up, 4611686018427387904),
+                           COALESCE(dn, 4611686018427387904)) END
+             AS n_at_decision
+    FROM per
 """,
         "q180_host_transitions": """
     WITH log AS (
