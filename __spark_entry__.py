@@ -5417,6 +5417,80 @@ def q196_sprt(spark, sf_dir):
     )
 
 
+def q197_theil_sen(spark, sf_dir):
+    """Theil-Sen robust trend per host (operators/theilsen): median
+    pairwise slope of the metric over event order — the drift detector
+    one 10 GB outlier response can't bend. Hosts beyond 512 points are
+    df-capped out before pairing (the wedge discipline); slope medians
+    are group-grain percentile aggregates."""
+    from gc_spark.operators.theilsen import theil_sen_trend
+
+    e = _t(spark, sf_dir, "events")
+    pts = e.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 2000).cast("string")).alias(
+            "host"
+        ),
+        F.col("event_id").cast("double").alias("x"),
+        F.col("value").alias("y"),
+    )
+    return theil_sen_trend(pts, "host", "x", "y", max_points=512)
+
+
+def q198_kendall_tau(spark, sf_dir):
+    """Kendall tau-b ranker agreement (operators/kendall): do the
+    char-count and token-count scorers order the first 100 docs the same
+    way? Pairwise by definition, so the candidate set is capped by the
+    caller (the rerank-window contract); one crossJoin fold."""
+    from gc_spark.operators.kendall import kendall_tau
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    scored = d.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("a"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("double")
+        .alias("b"),
+    )
+    return kendall_tau(scored, "doc_id", "a", "b")
+
+
+def q199_cuped(spark, sf_dir):
+    """CUPED variance-reduced A/B readout (operators/cuped): price as
+    the metric, quantity as the pre-period covariate, order-key parity
+    as the arms — theta fit on the pooled sample, two centered aggregate
+    passes, one row out with the variance fraction the covariate
+    removed."""
+    from gc_spark.operators.cuped import cuped_adjusted
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 2 == 0, "A").otherwise("B").alias(
+            "policy"
+        ),
+        "l_extendedprice",
+        "l_quantity",
+    )
+    return cuped_adjusted(
+        li, "policy", "l_extendedprice", "l_quantity", "A", "B"
+    )
+
+
+def q200_eb_shrinkage(spark, sf_dir):
+    """Empirical-Bayes rate shrinkage (operators/shrinkage): per-host
+    fulfilled rates shrunk toward a method-of-moments Beta prior — the
+    borrowing-strength estimate that feeds schedulers, next to
+    reputation.py's pessimistic Wilson gate. One host groupBy, one
+    1-row-broadcast moment fit, closed-form map pass."""
+    from gc_spark.operators.shrinkage import eb_shrink_rates
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("c"), (F.col("o_custkey") % 200).cast("string")).alias(
+            "host"
+        ),
+        (F.col("o_orderstatus") == "F").cast("int").alias("ok"),
+    )
+    return eb_shrink_rates(o, "host", "ok")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_rollup": q01_rollup,
@@ -5615,6 +5689,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q194_prop_ztest": q194_prop_ztest,
         "q195_mann_whitney": q195_mann_whitney,
         "q196_sprt": q196_sprt,
+        "q197_theil_sen": q197_theil_sen,
+        "q198_kendall_tau": q198_kendall_tau,
+        "q199_cuped": q199_cuped,
+        "q200_eb_shrinkage": q200_eb_shrinkage,
     }
 
 
@@ -8255,6 +8333,116 @@ def oracle_sql() -> dict[str, str]:
                            COALESCE(dn, 4611686018427387904)) END
              AS n_at_decision
     FROM per
+""",
+        "q197_theil_sen": """
+    WITH pts AS (
+      SELECT 'h' || CAST(user_id % 2000 AS VARCHAR) AS grp,
+             CAST(event_id AS DOUBLE) AS x, value AS y
+      FROM events
+    ), sizes AS (
+      SELECT grp, COUNT(*) AS n_points FROM pts GROUP BY grp
+      HAVING COUNT(*) BETWEEN 2 AND 512
+    ), cap AS (SELECT pts.*, sizes.n_points FROM pts JOIN sizes USING (grp)),
+    pr AS (
+      SELECT l.grp, l.n_points, (r.y - l.y) / (r.x - l.x) AS m,
+             ROW_NUMBER() OVER (PARTITION BY l.grp
+                                ORDER BY (r.y - l.y) / (r.x - l.x)) AS rn,
+             COUNT(*) OVER (PARTITION BY l.grp) AS n_pairs
+      FROM cap l JOIN cap r ON l.grp = r.grp AND l.x < r.x
+    ), med AS (
+      SELECT grp, n_points, n_pairs, m AS slope FROM pr
+      WHERE rn = (n_pairs + 1) // 2
+    ), rx AS (
+      SELECT grp, x,
+             ROW_NUMBER() OVER (PARTITION BY grp ORDER BY x) AS rn,
+             COUNT(*) OVER (PARTITION BY grp) AS ct
+      FROM cap
+    ), ry AS (
+      SELECT grp, y,
+             ROW_NUMBER() OVER (PARTITION BY grp ORDER BY y) AS rn,
+             COUNT(*) OVER (PARTITION BY grp) AS ct
+      FROM cap
+    ), ctr AS (
+      SELECT rx.grp, rx.x AS mx, ry.y AS my
+      FROM rx JOIN ry ON rx.grp = ry.grp
+      WHERE rx.rn = (rx.ct + 1) // 2 AND ry.rn = (ry.ct + 1) // 2
+    )
+    SELECT med.grp AS host, med.n_points, n_pairs,
+           ROUND(slope, 6) + 0.0 AS slope,
+           ROUND(my - slope * mx, 6) + 0.0 AS intercept
+    FROM med JOIN ctr ON med.grp = ctr.grp
+""",
+        "q198_kendall_tau": """
+    WITH c AS (
+      SELECT doc_id, CAST(n_chars AS DOUBLE) AS a,
+             CAST(array_length(regexp_split_to_array(trim(text), '\\s+'))
+                  AS DOUBLE) AS b
+      FROM documents WHERE doc_id < 100
+    ), p AS (
+      SELECT l.a - r.a AS da, l.b - r.b AS db
+      FROM c l JOIN c r ON l.doc_id < r.doc_id
+    ), agg AS (
+      SELECT COUNT(*) AS n_pairs,
+             SUM(CASE WHEN da * db > 0 THEN 1 ELSE 0 END) AS concordant,
+             SUM(CASE WHEN da * db < 0 THEN 1 ELSE 0 END) AS discordant,
+             SUM(CASE WHEN da = 0 THEN 1 ELSE 0 END) AS ties_a,
+             SUM(CASE WHEN db = 0 THEN 1 ELSE 0 END) AS ties_b
+      FROM p
+    )
+    SELECT (SELECT COUNT(*) FROM c) AS n, n_pairs, concordant, discordant,
+           ties_a, ties_b,
+           ROUND(CAST(concordant - discordant AS DOUBLE)
+                 / SQRT(CAST((n_pairs - ties_a) AS DOUBLE)
+                        * (n_pairs - ties_b)), 6) AS tau_b
+    FROM agg
+""",
+        "q199_cuped": """
+    WITH log AS (
+      SELECT CASE WHEN l_orderkey % 2 = 0 THEN 'A' ELSE 'B' END AS g,
+             CAST(l_extendedprice AS DOUBLE) AS y,
+             CAST(l_quantity AS DOUBLE) AS x
+      FROM lineitem
+    ), m AS (SELECT AVG(y) AS my, AVG(x) AS mx FROM log),
+    s AS (
+      SELECT SUM(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS n_a,
+             SUM(CASE WHEN g = 'B' THEN 1 ELSE 0 END) AS n_b,
+             SUM((x - mx) * (x - mx)) AS vx,
+             SUM((y - my) * (y - my)) AS vy,
+             SUM((x - mx) * (y - my)) AS cxy,
+             SUM(CASE WHEN g = 'A' THEN y ELSE 0.0 END) AS ya,
+             SUM(CASE WHEN g = 'B' THEN y ELSE 0.0 END) AS yb,
+             SUM(CASE WHEN g = 'A' THEN x ELSE 0.0 END) AS xa,
+             SUM(CASE WHEN g = 'B' THEN x ELSE 0.0 END) AS xb,
+             MAX(mx) AS mx
+      FROM log CROSS JOIN m
+    )
+    SELECT 'A' AS group_a, 'B' AS group_b, n_a, n_b,
+           ROUND(cxy / vx, 6) AS theta,
+           ROUND(ya / n_a - yb / n_b, 6) AS diff_raw,
+           ROUND((ya / n_a - (cxy / vx) * (xa / n_a - mx))
+                 - (yb / n_b - (cxy / vx) * (xb / n_b - mx)), 6)
+             AS diff_adj,
+           ROUND((cxy / vx) * (cxy / vx) * vx / vy, 6) AS var_reduction
+    FROM s
+""",
+        "q200_eb_shrinkage": """
+    WITH per AS (
+      SELECT 'c' || CAST(o_custkey % 200 AS VARCHAR) AS host,
+             COUNT(*) AS n,
+             SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS s
+      FROM orders GROUP BY 1
+    ), r AS (SELECT host, n, s, CAST(s AS DOUBLE) / n AS raw FROM per),
+    mom AS (SELECT AVG(raw) AS m, VAR_POP(raw) AS v FROM r),
+    st AS (
+      SELECT m, CASE WHEN v > 0
+                     THEN GREATEST(m * (1.0 - m) / v - 1.0, 1.0)
+                     ELSE 1e9 END AS k
+      FROM mom
+    )
+    SELECT host, n, s, ROUND(raw, 6) AS raw_rate,
+           ROUND((s + (SELECT m * k FROM st))
+                 / (n + (SELECT k FROM st)), 6) AS shrunk_rate
+    FROM r
 """,
         "q180_host_transitions": """
     WITH log AS (

@@ -202,3 +202,122 @@ class TestSprt:
         [r] = sprt_decisions(df, "src", "t", "y", p0=0.2, p1=0.4).collect()
         expect = 2 * math.log(0.4 / 0.2) + math.log(0.6 / 0.8)
         assert r["llr_final"] == pytest.approx(round(expect, 6))
+
+
+from gc_spark.operators.cuped import cuped_adjusted  # noqa: E402
+from gc_spark.operators.kendall import kendall_tau  # noqa: E402
+from gc_spark.operators.shrinkage import eb_shrink_rates  # noqa: E402
+from gc_spark.operators.theilsen import theil_sen_trend  # noqa: E402
+
+
+class TestTheilSen:
+    def test_exact_line_recovered(self, spark):
+        rows = [("h", float(i), 3.0 * i + 7.0) for i in range(9)]
+        df = spark.createDataFrame(rows, "g string, x double, y double")
+        [r] = theil_sen_trend(df, "g", "x", "y").collect()
+        assert r["slope"] == pytest.approx(3.0)
+        assert r["intercept"] == pytest.approx(7.0)
+        assert r["n_pairs"] == 36
+
+    def test_outlier_resistance(self, spark):
+        # one wild outlier leaves the median slope on the true line
+        rows = [("h", float(i), 2.0 * i) for i in range(11)]
+        rows[5] = ("h", 5.0, 1000.0)
+        df = spark.createDataFrame(rows, "g string, x double, y double")
+        [r] = theil_sen_trend(df, "g", "x", "y").collect()
+        assert r["slope"] == pytest.approx(2.0)
+
+    def test_big_group_capped_out(self, spark):
+        rows = [("big", float(i), float(i)) for i in range(600)] + [
+            ("ok", 0.0, 0.0),
+            ("ok", 1.0, 5.0),
+        ]
+        df = spark.createDataFrame(rows, "g string, x double, y double")
+        out = theil_sen_trend(df, "g", "x", "y", max_points=512).collect()
+        assert [r["g"] for r in out] == ["ok"]
+        assert out[0]["slope"] == pytest.approx(5.0)
+
+    def test_equal_x_pairs_skipped(self, spark):
+        rows = [("h", 1.0, 1.0), ("h", 1.0, 9.0), ("h", 2.0, 2.0)]
+        df = spark.createDataFrame(rows, "g string, x double, y double")
+        [r] = theil_sen_trend(df, "g", "x", "y").collect()
+        assert r["n_pairs"] == 2  # the (x=1, x=1) pair is vertical
+
+
+class TestKendallTau:
+    def test_perfect_agreement(self, spark):
+        rows = [(i, float(i), float(i * 10)) for i in range(10)]
+        df = spark.createDataFrame(rows, "i int, a double, b double")
+        [r] = kendall_tau(df, "i", "a", "b").collect()
+        assert r["tau_b"] == pytest.approx(1.0)
+        assert r["discordant"] == 0
+
+    def test_perfect_reversal(self, spark):
+        rows = [(i, float(i), float(-i)) for i in range(10)]
+        df = spark.createDataFrame(rows, "i int, a double, b double")
+        [r] = kendall_tau(df, "i", "a", "b").collect()
+        assert r["tau_b"] == pytest.approx(-1.0)
+
+    def test_ties_counted(self, spark):
+        rows = [(1, 1.0, 1.0), (2, 1.0, 2.0), (3, 2.0, 3.0)]
+        df = spark.createDataFrame(rows, "i int, a double, b double")
+        [r] = kendall_tau(df, "i", "a", "b").collect()
+        assert r["ties_a"] == 1 and r["ties_b"] == 0
+        # C = 2 (pairs 1-3, 2-3), D = 0, tau_b = 2/sqrt(2*3)
+        assert r["tau_b"] == pytest.approx(round(2 / math.sqrt(6), 6))
+
+
+class TestCuped:
+    def test_covariate_removes_variance(self, spark):
+        # y = 10*x + arm effect: after CUPED the arms separate cleanly
+        rows = []
+        for i in range(200):
+            x = float((i // 2) % 20)  # balanced across arms
+            arm = "A" if i % 2 == 0 else "B"
+            y = 10.0 * x + (5.0 if arm == "A" else 0.0)
+            rows.append((arm, y, x))
+        df = spark.createDataFrame(rows, "g string, y double, x double")
+        [r] = cuped_adjusted(df, "g", "y", "x", "A", "B").collect()
+        assert r["theta"] == pytest.approx(10.0, abs=0.01)
+        assert r["diff_adj"] == pytest.approx(5.0, abs=0.01)
+        assert r["var_reduction"] > 0.9
+
+    def test_uncorrelated_covariate_changes_nothing(self, spark):
+        rows = [
+            ("A" if i % 2 == 0 else "B", float(i % 7), float((i // 7) % 2))
+            for i in range(280)
+        ]
+        df = spark.createDataFrame(rows, "g string, y double, x double")
+        [r] = cuped_adjusted(df, "g", "y", "x", "A", "B").collect()
+        assert r["theta"] == pytest.approx(0.0, abs=1e-6)
+        assert r["diff_adj"] == pytest.approx(r["diff_raw"], abs=1e-6)
+        assert r["var_reduction"] == pytest.approx(0.0, abs=1e-6)
+
+
+class TestEbShrinkage:
+    def test_small_sample_shrinks_harder(self, spark):
+        # h1: 1/1 perfect; h2: 90/100; many mid hosts anchor the prior
+        rows = [("h1", 1)] + [("h2", 1)] * 90 + [("h2", 0)] * 10
+        for k in range(20):
+            rows += [(f"m{k}", 1)] * 5 + [(f"m{k}", 0)] * 5
+        df = spark.createDataFrame(rows, "h string, ok int")
+        out = {r["h"]: r for r in eb_shrink_rates(df, "h", "ok").collect()}
+        # both shrink toward ~0.5-ish prior; the 1-sample host moves more
+        move1 = out["h1"]["raw_rate"] - out["h1"]["shrunk_rate"]
+        move2 = out["h2"]["raw_rate"] - out["h2"]["shrunk_rate"]
+        assert move1 > move2 > 0
+        assert out["h2"]["shrunk_rate"] > out["h1"]["shrunk_rate"]
+
+    def test_zero_variance_collapses_to_mean(self, spark):
+        rows = [("a", 1), ("a", 0), ("b", 1), ("b", 0)]
+        df = spark.createDataFrame(rows, "h string, ok int")
+        out = eb_shrink_rates(df, "h", "ok").collect()
+        for r in out:
+            assert r["shrunk_rate"] == pytest.approx(0.5)
+
+    def test_shrunk_between_raw_and_prior_mean(self, spark):
+        rows = [("lo", 0)] * 10 + [("hi", 1)] * 10 + [("mid", 1), ("mid", 0)]
+        df = spark.createDataFrame(rows, "h string, ok int")
+        out = {r["h"]: r for r in eb_shrink_rates(df, "h", "ok").collect()}
+        assert 0.0 < out["lo"]["shrunk_rate"] < 0.5
+        assert 0.5 < out["hi"]["shrunk_rate"] < 1.0
