@@ -675,3 +675,92 @@ def streaming_benford(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SPRT_OUTPUT = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("n_trials", LongType()),
+        StructField("llr", DoubleType()),
+        StructField("decision", StringType()),
+        StructField("n_at_decision", LongType()),
+    ]
+)
+SPRT_STATE = StructType(
+    [
+        StructField("llr", DoubleType()),
+        StructField("n", LongType()),
+        StructField("decision", StringType()),
+        StructField("n_at", LongType()),
+    ]
+)
+
+
+def _sprt_factory(
+    outcome_col: str, order_col: str, p0: float, p1: float,
+    alpha: float, beta: float
+):
+    import math
+
+    up = math.log((1.0 - beta) / alpha)
+    dn = math.log(beta / (1.0 - alpha))
+    inc1 = math.log(p1 / p0)
+    inc0 = math.log((1.0 - p1) / (1.0 - p0))
+
+    def _update(key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        llr, n, decision, n_at = (
+            state.get if state.exists else (0.0, 0, "continue", None)
+        )
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(order_col)
+            for y in pdf[outcome_col]:
+                n += 1
+                llr += inc1 if int(y) == 1 else inc0
+                if decision == "continue":
+                    # first crossing freezes the verdict (Wald's rule);
+                    # the walk keeps accumulating for the llr readout
+                    if llr >= up:
+                        decision, n_at = "accept_h1", n
+                    elif llr <= dn:
+                        decision, n_at = "accept_h0", n
+        state.update((llr, n, decision, n_at))
+        yield pd.DataFrame(
+            {
+                "host": [key[0]],
+                "n_trials": [n],
+                "llr": [round(llr, 6)],
+                "decision": [decision],
+                "n_at_decision": [n_at if n_at is not None else pd.NA],
+            }
+        )
+
+    return _update
+
+
+def streaming_sprt(
+    stream: DataFrame,
+    outcome_col: str = "err",
+    order_col: str = "event_id",
+    p0: float = 0.15,
+    p1: float = 0.3,
+    alpha: float = 0.05,
+    beta: float = 0.05,
+) -> DataFrame:
+    """Streaming twin of operators/sprt: the sequential test is the
+    natively-streaming member of the experimentation family — its whole
+    per-host state is ONE cumulative log-likelihood ratio plus the frozen
+    verdict (four scalars), checkpoint-durable, so a source trial
+    resumes mid-walk across restarts. Same ordered-replay contract as
+    streaming_cusum (per-key arrival follows trial order; rows inside a
+    micro-batch are sorted). The last emitted row per host equals
+    sprt_decisions over the union of all rows, except that llr here is
+    the FULL walk's endpoint (identical to batch llr_final)."""
+    return stream.groupBy("host").applyInPandasWithState(
+        _sprt_factory(outcome_col, order_col, p0, p1, alpha, beta),
+        outputStructType=SPRT_OUTPUT,
+        stateStructType=SPRT_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

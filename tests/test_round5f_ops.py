@@ -321,3 +321,58 @@ class TestEbShrinkage:
         out = {r["h"]: r for r in eb_shrink_rates(df, "h", "ok").collect()}
         assert 0.0 < out["lo"]["shrunk_rate"] < 0.5
         assert 0.5 < out["hi"]["shrunk_rate"] < 1.0
+
+
+class TestStreamingSprt:
+    def test_matches_batch_across_restart(self, spark, tmp_path):
+        """Two AvailableNow runs with a checkpoint restart between: the
+        final row per host must equal batch sprt_decisions over the
+        union — the LLR walk and the frozen verdict survive."""
+        from gc_spark.streaming.state import streaming_sprt
+
+        schema = "host string, event_id long, err int"
+        # host hgood: mostly 0s (accepts H0); hbad: mostly 1s (H1);
+        # split across two waves so the crossing can happen in either
+        wave1 = [("hgood", i, 1 if i % 5 == 0 else 0) for i in range(1, 16)] + [
+            ("hbad", i, 0 if i % 5 == 0 else 1) for i in range(1, 16)
+        ]
+        wave2 = [("hgood", i, 1 if i % 5 == 0 else 0) for i in range(16, 31)] + [
+            ("hbad", i, 0 if i % 5 == 0 else 1) for i in range(16, 31)
+        ]
+        src, out, ckpt = (str(tmp_path / p) for p in ("src", "out", "ckpt"))
+
+        def run_once():
+            stream = spark.readStream.schema(schema).parquet(src)
+            q = (
+                streaming_sprt(stream, "err", "event_id", p0=0.15, p1=0.3)
+                .writeStream.outputMode("update")
+                .foreachBatch(lambda df, _id: df.write.mode("append").parquet(out))
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        spark.createDataFrame(wave1, schema).write.mode("append").parquet(src)
+        run_once()
+        spark.createDataFrame(wave2, schema).write.mode("append").parquet(src)
+        run_once()
+
+        streamed = {
+            r["host"]: r
+            for r in spark.read.parquet(out).where("n_trials = 30").collect()
+        }
+        both = spark.createDataFrame(wave1 + wave2, schema)
+        batch = {
+            r["source"]: r
+            for r in sprt_decisions(
+                both, "host", "event_id", "err", p0=0.15, p1=0.3
+            ).collect()
+        }
+        assert set(streamed) == {"hgood", "hbad"}
+        for h in streamed:
+            assert streamed[h]["decision"] == batch[h]["decision"]
+            assert streamed[h]["n_at_decision"] == batch[h]["n_at_decision"]
+            assert streamed[h]["llr"] == pytest.approx(
+                batch[h]["llr_final"], abs=2e-6
+            )
