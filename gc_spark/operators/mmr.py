@@ -37,7 +37,7 @@ def mmr_diversify(
     query. Ties break toward the smaller id (candidates are processed in
     id order)."""
 
-    def step(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def step(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col)
         V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
         norms = np.sqrt((V * V).sum(axis=1))
