@@ -196,48 +196,83 @@ def cuckoo_maybe_contains(
 ) -> DataFrame:
     """Adds boolean `cuckoo_maybe`: False ⇒ definitely NOT in the seen set.
 
-    Shard-equi-join then a vectorized two-bucket probe per Arrow batch; a
+    broadcast=True (the fits-in-memory case the module docstring scopes):
+    the num_shards-row filter is collected ONCE into a SparkContext
+    broadcast and the probe is a pure map-side vectorized pandas UDF —
+    candidates never shuffle and each executor receives each shard table
+    exactly once. (A shard-equi broadcast JOIN — the prior shape — is a
+    trap here: the join REPLICATES the multi-hundred-KB table blob onto
+    every candidate row, and every row then crosses the JVM→Arrow
+    boundary carrying its own copy; at 150k rows that is tens of GB of
+    serialization for a 2 MB filter, ~70x slower end to end.)
+
+    broadcast=False for filters too large for the driver: candidates
+    shuffle by shard ONCE into a num_shards-way cogroup, so each shard's
+    table row crosses once per shard task, never per candidate row. A
     saturated shard (overflow > 0) answers True for everything it cannot
-    disprove. `broadcast=False` for filters too large to broadcast — the
-    same join then shuffles only (hash, shard) pairs to the
-    shard-partitioned filter side (module docstring, scale note)."""
+    disprove in both paths."""
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf(BooleanType())
-    def _probe(
-        h: pd.Series, blob: pd.Series, nb: pd.Series, ov: pd.Series
-    ) -> pd.Series:
-        out = np.zeros(len(h), dtype=bool)
-        if len(h) == 0:
-            return pd.Series(out)
-        hv = _hash_np(h)
-        valid = blob.notna().to_numpy()
-        for b in blob[valid].unique():
-            mask = (blob == b).fillna(False).to_numpy()
-            nbuckets = int(nb[mask].iloc[0])
-            table = np.frombuffer(b, dtype=np.uint16)
-            hit = _probe_table(table, nbuckets, hv[mask])
-            if int(ov[mask].iloc[0]) > 0:
-                hit[:] = True  # saturated shard: never claim absent
-            out[mask] = hit
-        return pd.Series(out)
+    if broadcast:
+        tables = {
+            int(r["shard"]): (
+                None if r["table"] is None else bytes(r["table"]),
+                int(r["num_buckets"]),
+                int(r["overflow"]),
+            )
+            for r in cuckoo.collect()
+        }
+        bc = candidates.sparkSession.sparkContext.broadcast(tables)
 
-    withs = candidates.withColumn("shard", shard_of(F.col(hash_col), num_shards))
-    filt = F.broadcast(cuckoo) if broadcast else cuckoo
-    joined = withs.join(filt, "shard", "left")
-    return (
-        joined.withColumn(
-            "cuckoo_maybe",
-            F.when(F.col("table").isNull(), F.lit(False)).otherwise(
-                _probe(
-                    F.col(hash_col),
-                    F.col("table"),
-                    F.col("num_buckets"),
-                    F.col("overflow"),
-                )
-            ),
+        @pandas_udf(BooleanType())
+        def _probe(h: pd.Series) -> pd.Series:
+            out = np.zeros(len(h), dtype=bool)
+            if len(h) == 0:
+                return pd.Series(out)
+            hv = _hash_np(h)
+            # same shard rule as shard_of(): pmod of the signed hash
+            shards = np.mod(hv.view(np.int64), num_shards)
+            for s in np.unique(shards):
+                entry = bc.value.get(int(s))
+                if entry is None or entry[0] is None:
+                    continue  # shard absent from the filter: definite no
+                blob, nbuckets, overflow = entry
+                mask = shards == s
+                if overflow > 0:
+                    out[mask] = True  # saturated: never claim absent
+                    continue
+                table = np.frombuffer(blob, dtype=np.uint16)
+                out[mask] = _probe_table(table, nbuckets, hv[mask])
+            return pd.Series(out)
+
+        return candidates.withColumn("cuckoo_maybe", _probe(F.col(hash_col)))
+
+    out_schema = StructType(
+        list(candidates.schema.fields)
+        + [StructField("cuckoo_maybe", BooleanType(), True)]
+    )
+
+    def _apply(key, cand: pd.DataFrame, filt: pd.DataFrame) -> pd.DataFrame:
+        res = cand.drop(columns=["_shard"])
+        if len(res) == 0:
+            return res.assign(cuckoo_maybe=np.zeros(0, dtype=bool))
+        if len(filt) == 0 or filt["table"].iloc[0] is None:
+            return res.assign(cuckoo_maybe=False)
+        if int(filt["overflow"].iloc[0]) > 0:
+            return res.assign(cuckoo_maybe=True)
+        table = np.frombuffer(bytes(filt["table"].iloc[0]), dtype=np.uint16)
+        hit = _probe_table(
+            table, int(filt["num_buckets"].iloc[0]), _hash_np(res[hash_col])
         )
-        .drop("table", "num_buckets", "n_keys", "overflow", "shard")
+        return res.assign(cuckoo_maybe=hit)
+
+    withs = candidates.withColumn(
+        "_shard", shard_of(F.col(hash_col), num_shards)
+    )
+    return (
+        withs.groupby("_shard")
+        .cogroup(cuckoo.groupby("shard"))
+        .applyInPandas(_apply, schema=out_schema)
     )
 
 

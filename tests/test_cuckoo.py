@@ -122,3 +122,30 @@ class TestCuckooFilter:
             _hashes(spark, keys), num_shards=4, expected_per_shard=256
         ).collect()}
         assert a == b
+
+
+class TestProbePaths:
+    def test_cogroup_path_equals_broadcast_path(self, spark):
+        """broadcast=False (shard cogroup) must return exactly the same
+        verdicts as the SparkContext-broadcast map-side probe, including
+        for keys the filter never saw."""
+        keys = [hash(f"url{i}") & ((1 << 60) - 1) for i in range(3000)]
+        probes = keys[:1500] + [
+            hash(f"other{i}") & ((1 << 60) - 1) for i in range(1500)
+        ]
+        filt = build_cuckoo(_hashes(spark, keys), num_shards=8)
+        cand = _hashes(spark, probes)
+        a = {
+            r["url_hash64"]: r["cuckoo_maybe"]
+            for r in cuckoo_maybe_contains(
+                cand, filt, num_shards=8, broadcast=True
+            ).collect()
+        }
+        b = {
+            r["url_hash64"]: r["cuckoo_maybe"]
+            for r in cuckoo_maybe_contains(
+                cand, filt, num_shards=8, broadcast=False
+            ).collect()
+        }
+        assert a == b
+        assert all(a[k & ((1 << 60) - 1)] for k in keys[:1500])
