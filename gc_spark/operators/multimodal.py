@@ -123,10 +123,20 @@ RESIZED = StructType(
 
 
 def resize_images(df: DataFrame, target: int = 224, blob_col: str = "blob",
-                  ref_col: str = "media_ref", rows_per_batch: int = 256) -> DataFrame:
+                  ref_col: str = "media_ref",
+                  rows_per_batch: int | None = None) -> DataFrame:
     """Resize plumbing: partition-local, Arrow-batched. The resize itself is
     STUBBED (no PIL): output blob = deterministic fake (sha-stamped header +
-    truncated payload) with the real batch/partition shape."""
+    truncated payload) with the real batch/partition shape.
+
+    rows_per_batch, when given, sets spark.sql.execution.arrow.
+    maxRecordsPerBatch — a SESSION-WIDE knob (Spark has no per-plan Arrow
+    batch bound), so the caller owns restoring it; the default (None)
+    leaves the session untouched. Production bounds blob batch bytes at
+    submit time (--conf spark.sql.execution.arrow.maxRecordsPerBatch)
+    rather than per-operator: an earlier version set it unconditionally
+    here and every later Arrow op in the session silently ran on 256-row
+    micro-batches."""
 
     def _run(parts: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -147,9 +157,13 @@ def resize_images(df: DataFrame, target: int = 224, blob_col: str = "blob",
                 }
             )
 
-    # bound Arrow batch bytes: fewer rows per batch for large blobs
-    spark = df.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(rows_per_batch))
+    if rows_per_batch is not None:
+        # bound Arrow batch bytes: fewer rows per batch for large blobs
+        # (session-wide; see docstring — caller restores)
+        df.sparkSession.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(rows_per_batch),
+        )
     return df.mapInPandas(_run, schema=RESIZED)
 
 

@@ -1335,3 +1335,24 @@ class TestQuantization:
             .toString()
         )
         assert "Generate" not in plan
+
+
+class TestResizeConfHygiene:
+    def test_default_resize_leaves_session_conf_untouched(self, spark):
+        """Regression: resize_images once set arrow.maxRecordsPerBatch
+        session-wide unconditionally, silently micro-batching every later
+        Arrow op in the session."""
+        import pyspark.sql.functions as F
+        from gc_spark.operators.multimodal import resize_images
+
+        key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+        before = spark.conf.get(key)
+        imgs = spark.createDataFrame(
+            [("m1", bytearray(b"\x89PNG123456"))], "media_ref string, blob binary"
+        )
+        resize_images(imgs, target=16).collect()
+        assert spark.conf.get(key) == before
+        # explicit opt-in still applies the bound (caller owns restore)
+        resize_images(imgs, target=16, rows_per_batch=64).collect()
+        assert spark.conf.get(key) == "64"
+        spark.conf.set(key, before)
