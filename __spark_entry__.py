@@ -4846,6 +4846,42 @@ def _pagerank_oracle(iters: int = 5, damping: float = 0.85) -> str:
     )
 
 
+def _opic_oracle(iters: int = 5) -> str:
+    """Chained-CTE OPIC cash rounds — s{k}(node, cash, hist) from s{k-1},
+    dangling cash as a scalar subquery redistributed uniformly, the same
+    recurrence operators/opic.py folds (hist_k = hist+cash; cash_k =
+    incoming + dangling/n)."""
+    n = "(SELECT n FROM nn)"
+    parts = [
+        "WITH e AS (SELECT DISTINCT user_id % 50 AS src,"
+        " (user_id * 7 + event_id) % 50 AS dst FROM events)",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d FROM e GROUP BY src)",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
+        f"s0 AS (SELECT node, 1.0 / {n} AS cash, CAST(0 AS DOUBLE) AS hist"
+        " FROM nodes)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"s{k - 1}"
+        parts.append(
+            f"s{k} AS (SELECT nd.node,"
+            f" COALESCE(c.s, 0) + (SELECT COALESCE(SUM({p}.cash), 0) FROM {p}"
+            f" LEFT JOIN deg ON {p}.node = deg.src WHERE deg.src IS NULL)"
+            f" / {n} AS cash,"
+            f" pr.hist + pr.cash AS hist"
+            f" FROM nodes nd LEFT JOIN"
+            f" (SELECT e.dst AS node, SUM({p}.cash / deg.d) AS s"
+            f" FROM {p} JOIN deg ON {p}.node = deg.src JOIN e ON e.src = {p}.node"
+            f" GROUP BY e.dst) c ON nd.node = c.node"
+            f" JOIN {p} pr ON nd.node = pr.node)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT node, ROUND((hist + cash) / {float(iters + 1)}, 6)"
+        f" AS importance FROM s{iters}"
+    )
+
+
 def q34_pending_join(spark, sf_dir):
     """§2.11 meta-carry twin: pending-docs completion join
     (operators/pending.resolve_pending) — listing-built pendings keyed by a
@@ -5491,6 +5527,74 @@ def q200_eb_shrinkage(spark, sf_dir):
     return eb_shrink_rates(o, "host", "ok")
 
 
+def q201_opic(spark, sf_dir):
+    """OPIC on-line page importance (operators/opic): 5 synchronous
+    cash-distribution rounds over the SAME 50-node host graph as q52 —
+    the crawl-time alternative to PageRank whose estimate is valid at
+    every step (history + cash share). Same one-shuffle-per-round shape
+    as pagerank; dangling cash redistributes via a 1-row broadcast.
+    Oracle: the identical rounds as chained (cash, hist) CTEs."""
+    from gc_spark.operators.opic import opic
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        (F.col("user_id") % 50).alias("src"),
+        ((F.col("user_id") * 7 + F.col("event_id")) % 50).alias("dst"),
+    )
+    imp = opic(edges, iters=5)
+    return imp.select("node", F.round("importance", 6).alias("importance"))
+
+
+def q202_maxscore_topk(spark, sf_dir):
+    """MaxScore upper-bound-pruned BM25 top-k (operators/maxscore): the
+    dynamic-pruning serving twin of q81 — per-term max-contribution
+    bounds seed a theta from k exactly-scored candidates, docs whose
+    bound can't reach theta are never scored. Returns the top-10 plus
+    the audit constants (n_matched vs n_scored = the pruning win); every
+    branch value is 6dp-rounded so both engines prune identically."""
+    from gc_spark.operators.maxscore import maxscore_topk
+
+    d = _t_wide(spark, sf_dir, "documents")
+    return maxscore_topk(d, ["spark", "data", "merge"], k=10)
+
+
+def q203_holt_forecast(spark, sf_dir):
+    """Holt linear-trend smoothing per host (operators/holt): level,
+    trend, next-window forecast and one-step MAE over per-host event
+    series — the capacity-planning feed for the bandwidth/budget
+    schedulers. One groupBy, the recurrence as a JVM F.aggregate fold
+    (sequential within a host, parallel across hosts). Oracle: the same
+    recurrence as a recursive CTE, bit-identical double arithmetic."""
+    from gc_spark.operators.holt import holt_forecast
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 8000)
+    series = ev.select(
+        (F.col("user_id") % 16).alias("host"),
+        F.col("event_id").alias("t"),
+        F.col("value").alias("y"),
+    )
+    return holt_forecast(
+        series, "host", "t", "y", alpha=0.5, beta=0.3, horizon=3
+    )
+
+
+def q204_dp_release(spark, sf_dir):
+    """Epsilon-DP Laplace count release (operators/dprelease): per-host
+    event counts + deterministic-seed Laplace(1/eps) noise via the
+    portable sha256 uniform kernel, clamped and integer-rounded
+    (post-processing) — the publish side of the privacy family (q184
+    audits, q134/q139 redact). One count shuffle, map-side noise."""
+    from gc_spark.operators.dprelease import laplace_release
+
+    ev = _t(spark, sf_dir, "events")
+    g = ev.select(
+        F.concat(F.lit("host-"), (F.col("user_id") % 25).cast("string")).alias(
+            "host"
+        )
+    )
+    return laplace_release(g, "host", epsilon=0.8, salt="r5-census")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_rollup": q01_rollup,
@@ -5693,6 +5797,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q198_kendall_tau": q198_kendall_tau,
         "q199_cuped": q199_cuped,
         "q200_eb_shrinkage": q200_eb_shrinkage,
+        "q201_opic": q201_opic,
+        "q202_maxscore_topk": q202_maxscore_topk,
+        "q203_holt_forecast": q203_holt_forecast,
+        "q204_dp_release": q204_dp_release,
     }
 
 
@@ -9056,6 +9164,99 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node
         """,
+        "q201_opic": _opic_oracle(iters=5),
+        "q202_maxscore_topk": r"""
+    WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+               FROM documents),
+    len AS (SELECT doc_id, array_length(toks) AS dl FROM d),
+    stats AS (SELECT AVG(dl) AS avgdl, CAST(COUNT(*) AS DOUBLE) AS n FROM len),
+    post AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM d, UNNEST(toks) AS t(term)
+      WHERE term IN ('spark', 'data', 'merge')
+      GROUP BY doc_id, term
+    ),
+    dfq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS dfreq FROM post GROUP BY term),
+    contrib AS (
+      SELECT p.doc_id, p.term,
+             ROUND(ln(1.0 + (s.n - f.dfreq + 0.5) / (f.dfreq + 0.5))
+                   * p.tf * 2.2
+                   / (p.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)), 6) AS c
+      FROM post p JOIN dfq f USING (term) JOIN len l USING (doc_id)
+      CROSS JOIN stats s
+    ),
+    ubt AS (SELECT term, MAX(c) AS ub FROM contrib GROUP BY term),
+    ubd AS (
+      SELECT c.doc_id, ROUND(SUM(u.ub), 6) AS ubd
+      FROM contrib c JOIN ubt u USING (term) GROUP BY c.doc_id
+    ),
+    exact AS (SELECT doc_id, ROUND(SUM(c), 6) AS score FROM contrib GROUP BY doc_id),
+    seed AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY ubd DESC, doc_id ASC) AS r
+        FROM ubd
+      ) WHERE r <= 10
+    ),
+    theta AS (SELECT MIN(e.score) AS th FROM seed s JOIN exact e USING (doc_id)),
+    surv AS (SELECT doc_id FROM ubd WHERE ubd >= (SELECT th FROM theta)),
+    nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_matched FROM ubd),
+    ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_scored FROM surv),
+    fin AS (
+      SELECT s.doc_id, e.score,
+             row_number() OVER (ORDER BY e.score DESC, s.doc_id ASC) AS rank
+      FROM surv s JOIN exact e USING (doc_id)
+    )
+    SELECT doc_id, score, CAST(rank AS INTEGER) AS rank,
+           (SELECT n_matched FROM nm) AS n_matched,
+           (SELECT n_scored FROM ns) AS n_scored
+    FROM fin WHERE rank <= 10
+""",
+        "q203_holt_forecast": """
+    WITH RECURSIVE src AS (
+      SELECT user_id % 16 AS host, event_id AS t, CAST(value AS DOUBLE) AS y
+      FROM events WHERE event_id < 8000
+    ), ord AS (
+      SELECT host, y,
+             row_number() OVER (PARTITION BY host ORDER BY t, y) AS rn,
+             COUNT(*) OVER (PARTITION BY host) AS n
+      FROM src
+    ), rec AS (
+      SELECT host, rn, n, y AS l, CAST(0 AS DOUBLE) AS b,
+             CAST(0 AS DOUBLE) AS sae
+      FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.host, o.rn, o.n,
+             0.5 * o.y + 0.5 * (r.l + r.b) AS l,
+             0.3 * ((0.5 * o.y + 0.5 * (r.l + r.b)) - r.l) + 0.7 * r.b AS b,
+             r.sae + ABS(o.y - (r.l + r.b)) AS sae
+      FROM rec r JOIN ord o ON o.host = r.host AND o.rn = r.rn + 1
+    )
+    SELECT host, n, ROUND(l, 6) AS level, ROUND(b, 6) AS trend,
+           ROUND(l + 3.0 * b, 6) AS forecast,
+           CASE WHEN n > 1 THEN ROUND(sae / (n - 1), 6) END AS mae
+    FROM rec WHERE rn = n
+""",
+        "q204_dp_release": """
+    WITH counts AS (
+      SELECT 'host-' || CAST(user_id % 25 AS VARCHAR) AS "group",
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1
+    ), u AS (
+      SELECT "group", n,
+             ((CAST('0x' || substr(sha256('r5-census|' || "group"), 1, 15)
+                    AS BIGINT) % 1000000) + 0.5) / 1000000.0 AS u
+      FROM counts
+    )
+    SELECT "group",
+           GREATEST(0, CAST(ROUND(
+             n + (-1.25) * (CASE WHEN u < 0.5 THEN -1.0
+                                 WHEN u > 0.5 THEN 1.0
+                                 ELSE 0.0 END)
+                 * ln(1.0 - 2.0 * ABS(u - 0.5)), 0) AS BIGINT)) AS released,
+           CAST(0.8 AS DOUBLE) AS epsilon,
+           CAST(1.25 AS DOUBLE) AS scale
+    FROM u
+""",
     }
 
 
