@@ -4882,6 +4882,42 @@ def _opic_oracle(iters: int = 5) -> str:
     )
 
 
+def _salsa_oracle(iters: int = 5) -> str:
+    """Chained-CTE SALSA bipartite walk — h{k} from a{k-1}, a{k} from
+    h{k}, the same normalized propagation operators/salsa.py runs."""
+    parts = [
+        "WITH e AS (SELECT DISTINCT user_id % 50 AS src,"
+        " (user_id * 7 + event_id) % 50 AS dst FROM events)",
+        "ind AS (SELECT dst AS an, CAST(COUNT(*) AS DOUBLE) AS ind"
+        " FROM e GROUP BY dst)",
+        "outd AS (SELECT src AS hn, CAST(COUNT(*) AS DOUBLE) AS outd"
+        " FROM e GROUP BY src)",
+        "a0 AS (SELECT an AS node,"
+        " 1.0 / (SELECT CAST(COUNT(*) AS DOUBLE) FROM ind) AS a FROM ind)",
+    ]
+    for k in range(1, iters + 1):
+        p = f"a{k - 1}"
+        parts.append(
+            f"h{k} AS (SELECT e.src AS node, SUM({p}.a / ind.ind) AS h"
+            f" FROM {p} JOIN ind ON {p}.node = ind.an"
+            f" JOIN e ON e.dst = {p}.node GROUP BY e.src)"
+        )
+        parts.append(
+            f"a{k} AS (SELECT e.dst AS node, SUM(h{k}.h / outd.outd) AS a"
+            f" FROM h{k} JOIN outd ON h{k}.node = outd.hn"
+            f" JOIN e ON e.src = h{k}.node GROUP BY e.dst)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+    SELECT COALESCE(a.node, h.node) AS node,
+           ROUND(COALESCE(a.a, 0), 6) AS authority,
+           ROUND(COALESCE(h.h, 0), 6) AS hub
+    FROM a{iters} a FULL OUTER JOIN h{iters} h ON a.node = h.node
+"""
+    )
+
+
 def q34_pending_join(spark, sf_dir):
     """§2.11 meta-carry twin: pending-docs completion join
     (operators/pending.resolve_pending) — listing-built pendings keyed by a
@@ -5595,6 +5631,82 @@ def q204_dp_release(spark, sf_dir):
     return laplace_release(g, "host", epsilon=0.8, salt="r5-census")
 
 
+def q205_ks_test(spark, sf_dir):
+    """Kolmogorov-Smirnov two-sample test (operators/kstest): the
+    binless shape-shift readout between the click and view cohorts'
+    value distributions — max ECDF gap + the 5-term asymptotic p.
+    Distinct-value contraction, two-phase sharded prefix sums (the
+    ranktest discipline), one output row."""
+    from gc_spark.operators.kstest import ks_two_sample
+
+    ev = _t(spark, sf_dir, "events")
+    return ks_two_sample(ev, "event_type", "value", "click", "view")
+
+
+def q206_chi_squared(spark, sf_dir):
+    """Chi-squared independence test (operators/chisq): is order status
+    independent of priority class — the r x c generalization of the
+    two-group tests, with Cramer's V effect size and the Wilson-Hilferty
+    z. Contingency contraction + broadcast marginals; zero-observed
+    cells enter via the n - sum(e_observed) identity, never generated."""
+    from gc_spark.operators.chisq import chi_squared_independence
+
+    o = _t(spark, sf_dir, "orders")
+    return chi_squared_independence(o, "o_orderpriority", "o_orderstatus")
+
+
+def q207_acf(spark, sf_dir):
+    """Lag-k autocorrelation per host (operators/acf): the periodicity
+    detector feeding recrawl alignment — lags 1/2/7 over per-host event
+    series. One window pass emits every lag at once; denominator is the
+    full-series centered sum of squares (two-pass, cancellation-safe)."""
+    from gc_spark.operators.acf import acf
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 8000)
+    series = ev.select(
+        (F.col("user_id") % 8).alias("host"),
+        F.col("event_id").alias("t"),
+        F.col("value").alias("y"),
+    )
+    return acf(series, "host", "t", "y", lags=(1, 2, 7))
+
+
+def q208_salsa(spark, sf_dir):
+    """SALSA authority/hub walk (operators/salsa): the TKC-spam-
+    resistant cousin of HITS (q69) on the SAME 50-node host graph as
+    q52/q201 — each step normalizes into a bipartite random walk, so
+    one strong hub can't inflate a whole community. Two edge-joins per
+    round, mass conserved, oracled as chained CTEs."""
+    from gc_spark.operators.salsa import salsa
+
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        (F.col("user_id") % 50).alias("src"),
+        ((F.col("user_id") * 7 + F.col("event_id")) % 50).alias("dst"),
+    )
+    out = salsa(edges, iters=5)
+    return out.select(
+        "node",
+        F.round("authority", 6).alias("authority"),
+        F.round("hub", 6).alias("hub"),
+    )
+
+
+def q209_rm3_topk(spark, sf_dir):
+    """RM3 pseudo-relevance feedback retrieval (operators/rm3): the
+    vocabulary-mismatch fix for the serving stack — top-5 feedback docs
+    for ('spark','data','merge') build a relevance model, the top-3 new
+    terms join the query, and the expanded weighted query re-retrieves
+    the top-10 via the same 6dp-rounded BM25 contributions maxscore
+    uses. n_terms audits the expanded set size."""
+    from gc_spark.operators.rm3 import rm3_expand_topk
+
+    d = _t_wide(spark, sf_dir, "documents")
+    return rm3_expand_topk(
+        d, ["spark", "data", "merge"], k=10, fb_docs=5, fb_terms=3, lam=0.5
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_rollup": q01_rollup,
@@ -5801,6 +5913,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q202_maxscore_topk": q202_maxscore_topk,
         "q203_holt_forecast": q203_holt_forecast,
         "q204_dp_release": q204_dp_release,
+        "q205_ks_test": q205_ks_test,
+        "q206_chi_squared": q206_chi_squared,
+        "q207_acf": q207_acf,
+        "q208_salsa": q208_salsa,
+        "q209_rm3_topk": q209_rm3_topk,
     }
 
 
@@ -9256,6 +9373,200 @@ def oracle_sql() -> dict[str, str]:
            CAST(0.8 AS DOUBLE) AS epsilon,
            CAST(1.25 AS DOUBLE) AS scale
     FROM u
+""",
+        "q205_ks_test": """
+    WITH e AS (
+      SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+      WHERE event_type IN ('click', 'view')
+    ), vals AS (
+      SELECT v,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cb
+      FROM e GROUP BY v
+    ), tot AS (SELECT SUM(ca) AS n_a, SUM(cb) AS n_b FROM vals),
+    cum AS (
+      SELECT SUM(ca) OVER (ORDER BY v) AS cum_a,
+             SUM(cb) OVER (ORDER BY v) AS cum_b
+      FROM vals
+    ), dmax AS (
+      SELECT MAX(ABS(CAST(cum_a AS DOUBLE) / (SELECT n_a FROM tot)
+                     - CAST(cum_b AS DOUBLE) / (SELECT n_b FROM tot))) AS d
+      FROM cum
+    ), f AS (
+      SELECT (SELECT n_a FROM tot) AS n_a, (SELECT n_b FROM tot) AS n_b,
+             ROUND(d, 6) AS d_stat,
+             SQRT(CAST((SELECT n_a FROM tot) AS DOUBLE)
+                  * (SELECT n_b FROM tot)
+                  / ((SELECT n_a FROM tot) + (SELECT n_b FROM tot))) AS en
+      FROM dmax
+    ), lamt AS (
+      SELECT n_a, n_b, d_stat,
+             (SQRT(en) + 0.12 + 0.11 / SQRT(en)) * d_stat AS lam
+      FROM f
+    )
+    SELECT n_a, n_b, d_stat,
+           ROUND(LEAST(1.0, GREATEST(0.0,
+             0.0 + 2.0 * EXP(-2.0 * lam * lam)
+                 - 2.0 * EXP(-8.0 * lam * lam)
+                 + 2.0 * EXP(-18.0 * lam * lam)
+                 - 2.0 * EXP(-32.0 * lam * lam)
+                 + 2.0 * EXP(-50.0 * lam * lam))), 6) AS p_value
+    FROM lamt
+""",
+        "q206_chi_squared": """
+    WITH cells AS (
+      SELECT o_orderpriority AS r, o_orderstatus AS c,
+             CAST(COUNT(*) AS DOUBLE) AS o
+      FROM orders
+      WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    rm AS (SELECT r, SUM(o) AS rt FROM cells GROUP BY r),
+    cm AS (SELECT c, SUM(o) AS ct FROM cells GROUP BY c),
+    nn AS (
+      SELECT SUM(o) AS n, COUNT(DISTINCT r) AS n_rows,
+             COUNT(DISTINCT c) AS n_cols
+      FROM cells
+    ),
+    j AS (
+      SELECT nn.n, nn.n_rows, nn.n_cols, rm.rt * cm.ct / nn.n AS e, cells.o
+      FROM cells JOIN rm USING (r) JOIN cm USING (c) CROSS JOIN nn
+    ),
+    a AS (
+      SELECT MAX(n) AS n, MAX(n_rows) AS n_rows, MAX(n_cols) AS n_cols,
+             SUM((o - e) * (o - e) / e) AS chi_obs, SUM(e) AS e_obs
+      FROM j
+    ),
+    f AS (
+      SELECT n, n_rows, n_cols,
+             (n_rows - 1) * (n_cols - 1) AS dof,
+             chi_obs + (n - e_obs) AS chi2
+      FROM a
+    )
+    SELECT CAST(n AS BIGINT) AS n, n_rows, n_cols, dof,
+           ROUND(chi2, 6) AS chi2,
+           CASE WHEN dof > 0 THEN ROUND(SQRT(chi2
+             / (n * CAST(LEAST(n_rows - 1, n_cols - 1) AS DOUBLE))), 6)
+           END AS cramers_v,
+           CASE WHEN dof > 0 THEN ROUND(
+             (POW(chi2 / CAST(dof AS DOUBLE), 1.0 / 3.0)
+              - (1.0 - 2.0 / (9.0 * CAST(dof AS DOUBLE))))
+             / SQRT(2.0 / (9.0 * CAST(dof AS DOUBLE))), 6)
+           END AS z_wh
+    FROM f
+""",
+        "q207_acf": """
+    WITH src AS (
+      SELECT user_id % 8 AS host, event_id AS t, CAST(value AS DOUBLE) AS y
+      FROM events WHERE event_id < 8000
+    ),
+    m AS (SELECT host, AVG(y) AS mean FROM src GROUP BY host),
+    ss AS (
+      SELECT s.host, SUM((y - mean) * (y - mean)) AS ss
+      FROM src s JOIN m USING (host) GROUP BY s.host
+    ),
+    lagd AS (
+      SELECT host, y,
+             lag(y, 1) OVER w AS yl1,
+             lag(y, 2) OVER w AS yl2,
+             lag(y, 7) OVER w AS yl7
+      FROM src WINDOW w AS (PARTITION BY host ORDER BY t)
+    ),
+    pairs AS (
+      SELECT host, y, 1 AS lg, yl1 AS yp FROM lagd
+      UNION ALL SELECT host, y, 2, yl2 FROM lagd
+      UNION ALL SELECT host, y, 7, yl7 FROM lagd
+    ),
+    num AS (
+      SELECT p.host, p.lg, SUM((p.y - m.mean) * (p.yp - m.mean)) AS num,
+             COUNT(*) AS n_pairs
+      FROM pairs p JOIN m USING (host)
+      WHERE p.yp IS NOT NULL GROUP BY p.host, p.lg
+    )
+    SELECT n.host, n.lg AS "lag", n.n_pairs,
+           CASE WHEN s.ss > 0 THEN ROUND(n.num / s.ss, 6) END AS r
+    FROM num n JOIN ss s USING (host)
+""",
+        "q208_salsa": _salsa_oracle(iters=5),
+        "q209_rm3_topk": r"""
+    WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+               FROM documents),
+    len AS (SELECT doc_id, array_length(toks) AS dl FROM d),
+    stats AS (SELECT AVG(dl) AS avgdl, CAST(COUNT(*) AS DOUBLE) AS n FROM len),
+    post1 AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM d, UNNEST(toks) AS t(term)
+      WHERE term IN ('spark', 'data', 'merge')
+      GROUP BY doc_id, term
+    ),
+    dfq1 AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS dfreq FROM post1 GROUP BY term),
+    c1 AS (
+      SELECT p.doc_id,
+             ROUND(ln(1.0 + (s.n - f.dfreq + 0.5) / (f.dfreq + 0.5))
+                   * p.tf * 2.2
+                   / (p.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)), 6) AS c
+      FROM post1 p JOIN dfq1 f USING (term) JOIN len l USING (doc_id)
+      CROSS JOIN stats s
+    ),
+    s1 AS (SELECT doc_id, ROUND(SUM(c), 6) AS s FROM c1 GROUP BY doc_id),
+    fb AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id ASC) AS r
+        FROM s1
+      ) WHERE r <= 5
+    ),
+    fcnt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS f FROM fb),
+    fb_post AS (
+      SELECT d.doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM d JOIN fb USING (doc_id), UNNEST(d.toks) AS t(term)
+      GROUP BY d.doc_id, term
+    ),
+    rm AS (
+      SELECT term,
+             ROUND(0.5 * SUM(fp.tf / l.dl) / (SELECT f FROM fcnt), 6) AS rmw
+      FROM fb_post fp JOIN len l USING (doc_id) GROUP BY term
+    ),
+    newt AS (
+      SELECT term, rmw AS w FROM (
+        SELECT term, rmw,
+               row_number() OVER (ORDER BY rmw DESC, term ASC) AS r
+        FROM rm WHERE term NOT IN ('spark', 'data', 'merge')
+      ) WHERE r <= 3
+    ),
+    origt AS (
+      SELECT term, ROUND(rmw + 0.166667, 6) AS w FROM rm
+      WHERE term IN ('spark', 'data', 'merge')
+      UNION ALL
+      SELECT q.term, 0.166667 AS w
+      FROM (VALUES ('spark'), ('data'), ('merge')) q(term)
+      WHERE q.term NOT IN (SELECT term FROM rm)
+    ),
+    terms AS (SELECT * FROM origt UNION ALL SELECT * FROM newt),
+    nt AS (SELECT COUNT(*) AS n_terms FROM terms),
+    post2 AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM d, UNNEST(toks) AS t(term)
+      WHERE term IN (SELECT term FROM terms)
+      GROUP BY doc_id, term
+    ),
+    dfq2 AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS dfreq FROM post2 GROUP BY term),
+    c2 AS (
+      SELECT p.doc_id, t.w,
+             ROUND(ln(1.0 + (s.n - f2.dfreq + 0.5) / (f2.dfreq + 0.5))
+                   * p.tf * 2.2
+                   / (p.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)), 6) AS c
+      FROM post2 p JOIN dfq2 f2 USING (term) JOIN len l USING (doc_id)
+      CROSS JOIN stats s JOIN terms t USING (term)
+    ),
+    s2 AS (SELECT doc_id, ROUND(SUM(w * c), 6) AS score FROM c2 GROUP BY doc_id),
+    fin AS (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+      FROM s2
+    )
+    SELECT doc_id, score, CAST(rank AS INTEGER) AS rank,
+           (SELECT n_terms FROM nt) AS n_terms
+    FROM fin WHERE rank <= 10
 """,
     }
 

@@ -73,7 +73,7 @@ def opic(
     state = nodes.crossJoin(F.broadcast(nn)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("cash"), F.lit(0.0).alias("hist")
     )
-    for _ in range(iters):
+    for it in range(iters):
         # cash held by dangling nodes this round — 1-row aggregate, stays
         # in the dataflow (broadcast back), no driver round-trip
         dangling = (
@@ -98,7 +98,10 @@ def opic(
                 (F.coalesce(F.col("s"), F.lit(0.0)) + F.col("dang") / F.col("n")).alias("cash"),
                 (F.col("_ph") + F.col("_pc")).alias("hist"),
             )
-            .localCheckpoint(eager=False)
+            # deep runs materialize every 8th round: purely-lazy
+            # checkpoints let the accumulated plan overflow the
+            # serializer stack past ~10 rounds
+            .localCheckpoint(eager=it % 8 == 7)
         )
     return state.select(
         "node",
