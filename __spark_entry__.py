@@ -5707,6 +5707,74 @@ def q209_rm3_topk(spark, sf_dir):
     )
 
 
+def q210_welch_ttest(spark, sf_dir):
+    """Welch unequal-variance t-test (operators/ttest): did the MEAN
+    move between the click and view cohorts — the variance-robust
+    default, with sample variances from a second centered pass (the
+    featcorr cancellation discipline) and the Welch-Satterthwaite df."""
+    from gc_spark.operators.ttest import welch_ttest
+
+    ev = _t(spark, sf_dir, "events")
+    return welch_ttest(ev, "event_type", "value", "click", "view")
+
+
+def q211_assoc_rules(spark, sf_dir):
+    """Two-item association rules (operators/assoc): support /
+    confidence / lift over order baskets of part classes — the
+    basket-grain co-occurrence readout (vs collocations' adjacent-token
+    PMI). Pairs generated AT the basket with a deterministic size cap,
+    marginals joined unhinted so AQE broadcasts the pruned rule table."""
+    from gc_spark.operators.assoc import pair_rules
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("basket"),
+        F.concat(F.lit("p"), (F.col("l_partkey") % 25).cast("string")).alias(
+            "item"
+        ),
+    )
+    return pair_rules(li, "basket", "item", min_count=10)
+
+
+def q212_calibration(spark, sf_dir):
+    """Reliability bins + expected calibration error (operators/
+    calibration): audits whether a [0,1] score behaves like a
+    probability — deterministic synthetic scorer over events whose
+    label rate tracks the score by construction, 10 equal-width bins,
+    global ECE broadcast onto the bin rows."""
+    from gc_spark.operators.calibration import calibration_bins
+
+    ev = _t(spark, sf_dir, "events")
+    scored = ev.select(
+        (((F.col("event_id") % 100) + 0.5) / 100.0).alias("score"),
+        F.when(
+            (F.col("user_id") % 100) < (F.col("event_id") % 100), 1.0
+        )
+        .otherwise(0.0)
+        .alias("label"),
+    )
+    return calibration_bins(scored, "score", "label", n_bins=10)
+
+
+def q213_pettitt(spark, sf_dir):
+    """Pettitt change-point test (operators/pettitt): WHERE did each
+    host's value regime shift — a +30 step injected at t=5000 that the
+    rank-based sweep must localize. The O(n^2) textbook statistic
+    collapses to two per-key windows via U_t = 2 S_t - t(n+1) over
+    mid-ranks from the distinct-value contraction."""
+    from gc_spark.operators.pettitt import pettitt_test
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 8000)
+    series = ev.select(
+        (F.col("user_id") % 12).alias("host"),
+        F.col("event_id").alias("t"),
+        (
+            F.col("value").cast("double")
+            + F.when(F.col("event_id") > 5000, 30.0).otherwise(0.0)
+        ).alias("y"),
+    )
+    return pettitt_test(series, "host", "t", "y")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_rollup": q01_rollup,
@@ -5918,6 +5986,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q207_acf": q207_acf,
         "q208_salsa": q208_salsa,
         "q209_rm3_topk": q209_rm3_topk,
+        "q210_welch_ttest": q210_welch_ttest,
+        "q211_assoc_rules": q211_assoc_rules,
+        "q212_calibration": q212_calibration,
+        "q213_pettitt": q213_pettitt,
     }
 
 
@@ -9567,6 +9639,127 @@ def oracle_sql() -> dict[str, str]:
     SELECT doc_id, score, CAST(rank AS INTEGER) AS rank,
            (SELECT n_terms FROM nt) AS n_terms
     FROM fin WHERE rank <= 10
+""",
+        "q210_welch_ttest": """
+    WITH e AS (
+      SELECT event_type AS g, CAST(value AS DOUBLE) AS v FROM events
+      WHERE event_type IN ('click', 'view')
+    ),
+    m AS (SELECT g, AVG(v) AS m, COUNT(*) AS n FROM e GROUP BY g),
+    c AS (
+      SELECT e.g, SUM((v - m.m) * (v - m.m)) AS ssd
+      FROM e JOIN m ON e.g = m.g GROUP BY e.g
+    ),
+    st AS (
+      SELECT m.g, m.n, m.m, c.ssd / CAST(m.n - 1 AS DOUBLE) AS s2
+      FROM m JOIN c ON m.g = c.g
+    ),
+    a AS (SELECT n AS n_a, m AS ma, s2 AS va FROM st WHERE g = 'click'),
+    b AS (SELECT n AS n_b, m AS mb, s2 AS vb FROM st WHERE g = 'view'),
+    j AS (
+      SELECT *, va / CAST(n_a AS DOUBLE) AS sa, vb / CAST(n_b AS DOUBLE) AS sb
+      FROM a CROSS JOIN b
+    )
+    SELECT n_a, n_b, ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+           ROUND((ma - mb) / SQRT(sa + sb), 6) AS t,
+           ROUND((sa + sb) * (sa + sb)
+                 / (sa * sa / CAST(n_a - 1 AS DOUBLE)
+                    + sb * sb / CAST(n_b - 1 AS DOUBLE)), 6) AS df_welch,
+           ABS(ROUND((ma - mb) / SQRT(sa + sb), 6)) > 1.959964 AS significant
+    FROM j
+""",
+        "q211_assoc_rules": """
+    WITH bi AS (
+      SELECT DISTINCT l_orderkey AS b,
+             'p' || CAST(l_partkey % 25 AS VARCHAR) AS i
+      FROM lineitem
+    ),
+    capped AS (
+      SELECT b, i FROM (
+        SELECT b, i, row_number() OVER (PARTITION BY b ORDER BY i) AS r
+        FROM bi
+      ) WHERE r <= 1000
+    ),
+    item_n AS (SELECT i, COUNT(*) AS n_item FROM capped GROUP BY i),
+    nb AS (SELECT CAST(COUNT(DISTINCT b) AS DOUBLE) AS nb FROM capped),
+    pairs AS (
+      SELECT l.i AS a, r.i AS c, COUNT(*) AS n_pair
+      FROM capped l JOIN capped r ON l.b = r.b AND l.i < r.i
+      GROUP BY 1, 2 HAVING COUNT(*) >= 10
+    ),
+    rules AS (
+      SELECT a AS ante, c AS cons, n_pair FROM pairs
+      UNION ALL SELECT c, a, n_pair FROM pairs
+    )
+    SELECT ante, cons, n_pair,
+           ROUND(n_pair / (SELECT nb FROM nb), 6) AS support,
+           ROUND(n_pair / CAST(na.n_item AS DOUBLE), 6) AS confidence,
+           ROUND((n_pair / CAST(na.n_item AS DOUBLE))
+                 / (nc.n_item / (SELECT nb FROM nb)), 6) AS lift
+    FROM rules
+    JOIN item_n na ON rules.ante = na.i
+    JOIN item_n nc ON rules.cons = nc.i
+""",
+        "q212_calibration": """
+    WITH e AS (
+      SELECT ((event_id % 100) + 0.5) / 100.0 AS s,
+             CASE WHEN (user_id % 100) < (event_id % 100)
+                  THEN 1.0 ELSE 0.0 END AS y
+      FROM events
+    ),
+    b AS (
+      SELECT LEAST(CAST(FLOOR(s * 10) AS INTEGER), 9) AS bin,
+             COUNT(*) AS n, AVG(s) AS ms, AVG(y) AS fp
+      FROM e GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(SUM(n) AS DOUBLE) AS nn,
+             SUM(n * ABS(ms - fp)) AS wgap
+      FROM b
+    )
+    SELECT bin, n, ROUND(ms, 6) AS mean_score, ROUND(fp, 6) AS frac_pos,
+           ROUND(ABS(ms - fp), 6) AS gap,
+           ROUND((SELECT wgap FROM t) / (SELECT nn FROM t), 6) AS ece
+    FROM b
+""",
+        "q213_pettitt": """
+    WITH obs AS (
+      SELECT user_id % 12 AS k, event_id AS t,
+             CAST(value AS DOUBLE)
+               + CASE WHEN event_id > 5000 THEN 30.0 ELSE 0.0 END AS v
+      FROM events WHERE event_id < 8000
+    ),
+    vals AS (SELECT k, v, COUNT(*) AS c FROM obs GROUP BY k, v),
+    ranks AS (
+      SELECT k, v,
+             COALESCE(SUM(c) OVER (PARTITION BY k ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (c + 1) / 2.0 AS ar
+      FROM vals
+    ),
+    nn AS (SELECT k, COUNT(*) AS n FROM obs GROUP BY k),
+    walked AS (
+      SELECT o.k, o.t, nn.n,
+             SUM(r.ar) OVER (PARTITION BY o.k ORDER BY o.t) AS s,
+             row_number() OVER (PARTITION BY o.k ORDER BY o.t) AS i
+      FROM obs o JOIN ranks r ON o.k = r.k AND o.v = r.v
+      JOIN nn ON o.k = nn.k
+    ),
+    u AS (
+      SELECT k, t, n, 2.0 * s - i * CAST(n + 1 AS DOUBLE) AS u
+      FROM walked WHERE i < n
+    ),
+    best AS (
+      SELECT k, t, n, u,
+             row_number() OVER (PARTITION BY k
+               ORDER BY ABS(u) DESC, t ASC) AS r
+      FROM u
+    )
+    SELECT k AS host, n, t AS cp_t, ROUND(ABS(u), 6) AS k_stat,
+           ROUND(LEAST(1.0, 2.0 * EXP(-6.0 * ABS(u) * ABS(u)
+             / (CAST(n AS DOUBLE) * n * n + CAST(n AS DOUBLE) * n))), 6)
+             AS p_value
+    FROM best WHERE r = 1
 """,
     }
 
