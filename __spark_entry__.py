@@ -5775,6 +5775,46 @@ def q213_pettitt(spark, sf_dir):
     return pettitt_test(series, "host", "t", "y")
 
 
+def q214_best_passage(spark, sf_dir):
+    """Best-passage extraction (operators/passage): the snippet offset —
+    for every doc matching ('spark','data','merge'), the 15-token window
+    with the most query hits (earliest on ties). The range-frame window
+    runs over MATCH POSITIONS only (scan-side term filter), never the
+    token stream."""
+    from gc_spark.operators.passage import best_passage
+
+    d = _t_wide(spark, sf_dir, "documents")
+    return best_passage(d, ["spark", "data", "merge"], width=15)
+
+
+def q215_funnel(spark, sf_dir):
+    """Ordered funnel (operators/funnel): view -> click -> purchase with
+    strict temporal order, each step the earliest qualifying event after
+    the previous step. Step k is one user-grain join + min-aggregate —
+    no per-user folds or windows. Rates vs first and previous step."""
+    from gc_spark.operators.funnel import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"])
+
+
+def q216_trimmed_mean(spark, sf_dir):
+    """Exact 10%-trimmed mean per host (operators/trimmed): the robust
+    center the sketches approximate, computed from the distinct-value
+    contraction + interval-overlap closed form — no per-row sort at any
+    scale."""
+    from gc_spark.operators.trimmed import trimmed_mean
+
+    ev = _t(spark, sf_dir, "events")
+    g = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string")).alias(
+            "host"
+        ),
+        F.col("value"),
+    )
+    return trimmed_mean(g, "host", "value", trim_frac=0.1)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_rollup": q01_rollup,
@@ -5990,6 +6030,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q211_assoc_rules": q211_assoc_rules,
         "q212_calibration": q212_calibration,
         "q213_pettitt": q213_pettitt,
+        "q214_best_passage": q214_best_passage,
+        "q215_funnel": q215_funnel,
+        "q216_trimmed_mean": q216_trimmed_mean,
     }
 
 
@@ -9760,6 +9803,99 @@ def oracle_sql() -> dict[str, str]:
              / (CAST(n AS DOUBLE) * n * n + CAST(n AS DOUBLE) * n))), 6)
              AS p_value
     FROM best WHERE r = 1
+""",
+        "q214_best_passage": r"""
+    WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+               FROM documents),
+    pos AS (
+      SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,
+             UNNEST(toks) AS term
+      FROM d
+    ),
+    mp AS (
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos FROM pos
+      WHERE term IN ('spark', 'data', 'merge')
+    ),
+    hits AS (
+      SELECT doc_id, pos,
+             COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+               RANGE BETWEEN CURRENT ROW AND 14 FOLLOWING) AS n_hits
+      FROM mp
+    ),
+    best AS (
+      SELECT doc_id, pos, n_hits,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY n_hits DESC, pos ASC) AS r
+      FROM hits
+    )
+    SELECT doc_id, pos AS passage_start, n_hits FROM best WHERE r = 1
+""",
+        "q215_funnel": """
+    WITH s1 AS (
+      SELECT user_id AS u, MIN(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id AS u, MIN(e.ts) AS t
+      FROM events e JOIN s1 ON e.user_id = s1.u AND e.ts > s1.t
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id AS u, MIN(e.ts) AS t
+      FROM events e JOIN s2 ON e.user_id = s2.u AND e.ts > s2.t
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ),
+    c AS (
+      SELECT 1 AS step_idx, 'view' AS step,
+             (SELECT COUNT(*) FROM s1) AS n
+      UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+      UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+    )
+    SELECT step_idx, step, n AS n_users,
+           CASE WHEN (SELECT COUNT(*) FROM s1) > 0
+                THEN ROUND(n / CAST((SELECT COUNT(*) FROM s1) AS DOUBLE), 6)
+                ELSE 0.0 END AS rate_from_first,
+           CASE WHEN lag(n) OVER (ORDER BY step_idx) IS NULL THEN 1.0
+                WHEN lag(n) OVER (ORDER BY step_idx) > 0
+                THEN ROUND(n / CAST(lag(n) OVER (ORDER BY step_idx)
+                                    AS DOUBLE), 6)
+                ELSE 0.0 END AS rate_from_prev
+    FROM c
+""",
+        "q216_trimmed_mean": """
+    WITH src AS (
+      SELECT 'h' || CAST(user_id % 20 AS VARCHAR) AS g,
+             CAST(value AS DOUBLE) AS v
+      FROM events
+    ),
+    vals AS (SELECT g, v, COUNT(*) AS c FROM src GROUP BY g, v),
+    cum AS (
+      SELECT g, v, c,
+             COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+      FROM vals
+    ),
+    tot AS (SELECT g, SUM(c) AS n, SUM(v * c) AS sv FROM vals GROUP BY g),
+    j AS (
+      SELECT cum.g, tot.n, cum.v, tot.sv,
+             CAST(FLOOR(0.1 * tot.n) AS BIGINT) AS lo,
+             GREATEST(0, LEAST(cum.st + cum.c,
+                               tot.n - CAST(FLOOR(0.1 * tot.n) AS BIGINT))
+                         - GREATEST(cum.st,
+                                    CAST(FLOOR(0.1 * tot.n) AS BIGINT)))
+               AS kept
+      FROM cum JOIN tot ON cum.g = tot.g
+    ),
+    a AS (
+      SELECT g, n, lo, sv, SUM(kept) AS nk, SUM(v * kept) AS sk
+      FROM j GROUP BY g, n, lo, sv
+    )
+    SELECT g AS "group", n,
+           CASE WHEN nk > 0 THEN 2 * lo ELSE 0 END AS n_trimmed,
+           ROUND(sv / CAST(n AS DOUBLE), 6) AS mean_raw,
+           ROUND(CASE WHEN nk > 0 THEN sk / CAST(nk AS DOUBLE)
+                      ELSE sv / CAST(n AS DOUBLE) END, 6) AS mean_trimmed
+    FROM a
 """,
     }
 

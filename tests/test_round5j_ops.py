@@ -1,0 +1,130 @@
+"""Round-5j operators: best-passage extraction, ordered funnel,
+exact trimmed mean.
+
+Pins hand-computed window densities and tie-breaks, strict temporal
+funnel ordering with drop-off propagation, and the interval-overlap
+trimmed mean including ties spanning the trim boundary.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from gc_spark.operators.funnel import funnel
+from gc_spark.operators.passage import best_passage
+from gc_spark.operators.trimmed import trimmed_mean
+
+
+class TestBestPassage:
+    def test_densest_window_found(self, spark):
+        df = spark.createDataFrame(
+            [(1, "x q x x q q x")], "doc_id long, text string"
+        )
+        [r] = best_passage(df, ["q"], width=3).collect()
+        assert r["passage_start"] == 4
+        assert r["n_hits"] == 2
+
+    def test_tie_breaks_earliest(self, spark):
+        df = spark.createDataFrame(
+            [(1, "q x x q x x")], "doc_id long, text string"
+        )
+        [r] = best_passage(df, ["q"], width=2).collect()
+        assert r["passage_start"] == 0
+        assert r["n_hits"] == 1
+
+    def test_unmatched_doc_absent(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, "q b c")], "doc_id long, text string"
+        )
+        out = {r["doc_id"] for r in best_passage(df, ["q"], width=5).collect()}
+        assert out == {2}
+
+    def test_multi_term_density(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a q b r q r b a a a")], "doc_id long, text string"
+        )
+        [r] = best_passage(df, ["q", "r"], width=4).collect()
+        # window [1,4]: q,r,q -> 3 hits; [2,5]: r q r -> 3 but later
+        assert r["passage_start"] == 1
+        assert r["n_hits"] == 3
+
+
+class TestFunnel:
+    def _events(self, spark):
+        rows = [
+            (1, 1.0, "view"), (1, 2.0, "click"), (1, 3.0, "purchase"),
+            (2, 1.0, "click"), (2, 2.0, "view"),
+            (3, 1.0, "view"), (3, 5.0, "click"),
+        ]
+        return spark.createDataFrame(rows, "u long, ts double, et string")
+
+    def test_ordered_conversion(self, spark):
+        out = {
+            r["step_idx"]: r
+            for r in funnel(
+                self._events(spark), "u", "ts", "et", ["view", "click", "purchase"]
+            ).collect()
+        }
+        assert [out[i]["n_users"] for i in (1, 2, 3)] == [3, 2, 1]
+        assert out[1]["rate_from_prev"] == 1.0
+        assert out[2]["rate_from_first"] == pytest.approx(round(2 / 3, 6))
+        assert out[3]["rate_from_prev"] == pytest.approx(0.5)
+
+    def test_strict_order_same_ts_not_counted(self, spark):
+        rows = [(1, 5.0, "view"), (1, 5.0, "click")]
+        df = spark.createDataFrame(rows, "u long, ts double, et string")
+        out = {r["step_idx"]: r["n_users"] for r in funnel(df, "u", "ts", "et", ["view", "click"]).collect()}
+        assert out == {1: 1, 2: 0}
+
+    def test_missing_step_zeros_propagate(self, spark):
+        rows = [(1, 1.0, "view"), (1, 2.0, "purchase")]
+        df = spark.createDataFrame(rows, "u long, ts double, et string")
+        out = {
+            r["step_idx"]: r
+            for r in funnel(df, "u", "ts", "et", ["view", "click", "purchase"]).collect()
+        }
+        assert out[2]["n_users"] == 0 and out[3]["n_users"] == 0
+        assert out[3]["rate_from_prev"] == 0.0
+
+    def test_empty_steps_raise(self, spark):
+        df = spark.createDataFrame([(1, 1.0, "view")], "u long, ts double, et string")
+        with pytest.raises(ValueError):
+            funnel(df, "u", "ts", "et", [])
+
+
+class TestTrimmedMean:
+    def test_outlier_removed(self, spark):
+        vals = [0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 100.0]
+        df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+        [r] = trimmed_mean(df, "g", "v", trim_frac=0.1).collect()
+        assert r["mean_raw"] == pytest.approx(13.6)
+        assert r["mean_trimmed"] == pytest.approx(4.5)
+        assert r["n_trimmed"] == 2
+
+    def test_ties_spanning_boundary(self, spark):
+        vals = [1.0, 1.0, 1.0, 5.0, 9.0, 9.0, 9.0]
+        df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+        [r] = trimmed_mean(df, "g", "v", trim_frac=0.15).collect()
+        # lo = floor(1.05) = 1: keep ranks 2..6 = {1,1,5,9,9} -> 5.0
+        assert r["mean_trimmed"] == pytest.approx(5.0)
+        assert r["n"] == 7
+
+    def test_zero_trim_equals_raw(self, spark):
+        vals = [2.0, 4.0, 9.0]
+        df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+        [r] = trimmed_mean(df, "g", "v", trim_frac=0.0).collect()
+        assert r["mean_trimmed"] == r["mean_raw"] == pytest.approx(5.0)
+        assert r["n_trimmed"] == 0
+
+    def test_groups_independent(self, spark):
+        rows = [("a", float(v)) for v in range(10)] + [("b", 7.0)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = {r["group"]: r for r in trimmed_mean(df, "g", "v", 0.1).collect()}
+        assert out["a"]["mean_trimmed"] == pytest.approx(4.5)
+        assert out["b"]["mean_trimmed"] == pytest.approx(7.0)
+        assert out["b"]["n_trimmed"] == 0
+
+    def test_invalid_trim_raises(self, spark):
+        df = spark.createDataFrame([("g", 1.0)], "g string, v double")
+        with pytest.raises(ValueError):
+            trimmed_mean(df, "g", "v", trim_frac=0.5)
