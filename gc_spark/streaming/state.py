@@ -764,3 +764,79 @@ def streaming_sprt(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HOLT_OUTPUT = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("n", LongType()),
+        StructField("level", DoubleType()),
+        StructField("trend", DoubleType()),
+        StructField("forecast", DoubleType()),
+        StructField("mae", DoubleType()),
+    ]
+)
+HOLT_STATE = StructType(
+    [
+        StructField("l", DoubleType()),
+        StructField("b", DoubleType()),
+        StructField("n", LongType()),
+        StructField("sae", DoubleType()),
+    ]
+)
+
+
+def _holt_factory(value_col: str, order_col: str, alpha: float, beta: float, horizon: int):
+    def _update(key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        l, b, n, sae = state.get if state.exists else (0.0, 0.0, 0, 0.0)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(order_col)
+            for y in pdf[value_col]:
+                y = float(y)
+                if n == 0:
+                    l, b, n, sae = y, 0.0, 1, 0.0
+                else:
+                    sae += abs(y - (l + b))
+                    l_new = alpha * y + (1.0 - alpha) * (l + b)
+                    b = beta * (l_new - l) + (1.0 - beta) * b
+                    l = l_new
+                    n += 1
+        state.update((l, b, n, sae))
+        yield pd.DataFrame(
+            {
+                "host": [key[0]],
+                "n": [n],
+                "level": [round(l, 6)],
+                "trend": [round(b, 6)],
+                "forecast": [round(l + float(horizon) * b, 6)],
+                "mae": [round(sae / (n - 1), 6) if n > 1 else pd.NA],
+            }
+        )
+
+    return _update
+
+
+def streaming_holt(
+    stream: DataFrame,
+    value_col: str = "y",
+    order_col: str = "t",
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    horizon: int = 1,
+) -> DataFrame:
+    """Streaming twin of operators/holt: the level/trend recurrence is
+    natively streaming — per-host state is FOUR scalars (level, trend,
+    n, sum of absolute one-step errors), checkpoint-durable, so the
+    capacity forecast survives restarts and replays to exactly the
+    batch holt_forecast over the union of all rows (same ordered-replay
+    contract as streaming_cusum/streaming_sprt: per-key arrival follows
+    series order; rows inside a micro-batch are sorted by order_col)."""
+    return stream.groupBy("host").applyInPandasWithState(
+        _holt_factory(value_col, order_col, alpha, beta, horizon),
+        outputStructType=HOLT_OUTPUT,
+        stateStructType=HOLT_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

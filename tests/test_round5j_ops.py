@@ -128,3 +128,54 @@ class TestTrimmedMean:
         df = spark.createDataFrame([("g", 1.0)], "g string, v double")
         with pytest.raises(ValueError):
             trimmed_mean(df, "g", "v", trim_frac=0.5)
+
+
+class TestStreamingHolt:
+    def test_matches_batch_across_restart(self, spark, tmp_path):
+        """Two AvailableNow runs with a checkpoint restart between: the
+        final row per host must equal batch holt_forecast over the
+        union of both waves — level/trend/n/sae survive the restart."""
+        from gc_spark.operators.holt import holt_forecast
+        from gc_spark.streaming.state import streaming_holt
+
+        schema = "host string, t long, y double"
+        wave1 = [
+            ("ha", t, float(3 + 2 * t + (t % 3))) for t in range(1, 11)
+        ] + [("hb", t, 50.0 - t) for t in range(1, 11)]
+        wave2 = [
+            ("ha", t, float(3 + 2 * t + (t % 3))) for t in range(11, 21)
+        ] + [("hb", t, 50.0 - t) for t in range(11, 21)]
+        src, out, ckpt = (str(tmp_path / p) for p in ("src", "out", "ckpt"))
+
+        def run_once():
+            stream = spark.readStream.schema(schema).parquet(src)
+            q = (
+                streaming_holt(stream, "y", "t", alpha=0.5, beta=0.3, horizon=2)
+                .writeStream.outputMode("update")
+                .foreachBatch(lambda df, _id: df.write.mode("append").parquet(out))
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        spark.createDataFrame(wave1, schema).write.mode("append").parquet(src)
+        run_once()
+        spark.createDataFrame(wave2, schema).write.mode("append").parquet(src)
+        run_once()
+
+        streamed = {
+            r["host"]: r
+            for r in spark.read.parquet(out).where("n = 20").collect()
+        }
+        both = spark.createDataFrame(wave1 + wave2, schema)
+        batch = {
+            r["host"]: r
+            for r in holt_forecast(
+                both, "host", "t", "y", alpha=0.5, beta=0.3, horizon=2
+            ).collect()
+        }
+        assert set(streamed) == {"ha", "hb"}
+        for h in streamed:
+            for c in ("level", "trend", "forecast", "mae"):
+                assert streamed[h][c] == pytest.approx(batch[h][c], abs=2e-6)
