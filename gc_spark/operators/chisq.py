@@ -50,9 +50,12 @@ def chi_squared_independence(
         F.countDistinct("_c").alias("n_cols"),
     )
 
+    # marginal joins unhinted: a dimension can be unbounded (hosts), and
+    # cells is always >= the marginal's size — AQE broadcasts the right
+    # side at runtime
     joined = (
-        cells.join(F.broadcast(rm), "_r")
-        .join(F.broadcast(cm), "_c")
+        cells.join(rm, "_r")
+        .join(cm, "_c")
         .crossJoin(F.broadcast(nn))
         .select(
             "_n",
