@@ -4882,6 +4882,46 @@ def _opic_oracle(iters: int = 5) -> str:
     )
 
 
+_SCORED_EVENTS_SQL = """
+      SELECT ((event_id % 100) + 0.5) / 100.0 AS v,
+             CASE WHEN (user_id % 100) < (event_id % 100)
+                  THEN 1 ELSE 0 END AS y
+      FROM events
+"""
+
+
+def _pr_sweep_oracle(ths) -> str:
+    """One conditional-aggregate pass + a VALUES unpivot — the same
+    27-counter shape operators/classifier_eval.pr_at_thresholds runs."""
+    counters = ["SUM(y) AS p"]
+    for i, t in enumerate(ths):
+        counters.append(
+            f"SUM(CASE WHEN v >= {t} THEN 1 ELSE 0 END) AS pp{i}"
+        )
+        counters.append(
+            f"SUM(CASE WHEN v >= {t} AND y = 1 THEN 1 ELSE 0 END) AS tp{i}"
+        )
+    branches = "\n      UNION ALL ".join(
+        f"SELECT CAST({t} AS DOUBLE) AS threshold, pp{i} AS n_pred_pos,"
+        f" tp{i} AS tp, p FROM a"
+        for i, t in enumerate(ths)
+    )
+    return f"""
+    WITH e AS ({_SCORED_EVENTS_SQL}),
+    a AS (SELECT {', '.join(counters)} FROM e),
+    rows AS ({branches})
+    SELECT threshold, n_pred_pos, tp,
+           CASE WHEN n_pred_pos > 0
+                THEN ROUND(tp / CAST(n_pred_pos AS DOUBLE), 6) END AS precision,
+           CASE WHEN p > 0 THEN ROUND(tp / CAST(p AS DOUBLE), 6)
+                ELSE 0.0 END AS recall,
+           CASE WHEN (n_pred_pos + p) > 0
+                THEN ROUND(2.0 * CAST(tp AS DOUBLE)
+                           / CAST(n_pred_pos + p AS DOUBLE), 6) END AS f1
+    FROM rows
+"""
+
+
 def _salsa_oracle(iters: int = 5) -> str:
     """Chained-CTE SALSA bipartite walk — h{k} from a{k-1}, a{k} from
     h{k}, the same normalized propagation operators/salsa.py runs."""
@@ -5815,6 +5855,38 @@ def q216_trimmed_mean(spark, sf_dir):
     return trimmed_mean(g, "host", "value", trim_frac=0.1)
 
 
+def _scored_events(spark, sf_dir):
+    """The shared synthetic scorer of q212/q217/q218: deterministic
+    [0,1] score whose label rate tracks it by construction."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        (((F.col("event_id") % 100) + 0.5) / 100.0).alias("score"),
+        F.when((F.col("user_id") % 100) < (F.col("event_id") % 100), 1)
+        .otherwise(0)
+        .alias("label"),
+    )
+
+
+def q217_roc_auc(spark, sf_dir):
+    """ROC-AUC with Hanley-McNeil SE (operators/classifier_eval): does
+    the q212 scorer RANK — tie-aware rank-sum identity over the
+    distinct-score contraction with two-phase sharded prefix sums (the
+    ranktest discipline), one output row."""
+    from gc_spark.operators.classifier_eval import roc_auc
+
+    return roc_auc(_scored_events(spark, sf_dir), "score", "label")
+
+
+def q218_pr_sweep(spark, sf_dir):
+    """Precision/recall/F1 threshold sweep (operators/classifier_eval):
+    where to CUT the q212 scorer — 9 operating points from ONE
+    conditional-aggregate pass (27 counters unpivoted to rows), F1 via
+    the exact 2TP/(PP+P) identity."""
+    from gc_spark.operators.classifier_eval import pr_at_thresholds
+
+    return pr_at_thresholds(_scored_events(spark, sf_dir), "score", "label")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_rollup": q01_rollup,
@@ -6033,6 +6105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q214_best_passage": q214_best_passage,
         "q215_funnel": q215_funnel,
         "q216_trimmed_mean": q216_trimmed_mean,
+        "q217_roc_auc": q217_roc_auc,
+        "q218_pr_sweep": q218_pr_sweep,
     }
 
 
@@ -9897,6 +9971,38 @@ def oracle_sql() -> dict[str, str]:
                       ELSE sv / CAST(n AS DOUBLE) END, 6) AS mean_trimmed
     FROM a
 """,
+        "q217_roc_auc": f"""
+    WITH e AS ({_SCORED_EVENTS_SQL}),
+    vals AS (SELECT v, SUM(y) AS np, SUM(1 - y) AS nn FROM e GROUP BY v),
+    r AS (
+      SELECT v, np, nn, np + nn AS t,
+             COALESCE(SUM(np + nn) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      FROM vals
+    ),
+    a AS (
+      SELECT SUM(np) AS n_pos, SUM(nn) AS n_neg,
+             SUM(np * (cum + (t + 1) / 2.0)) AS rp
+      FROM r
+    ),
+    f AS (
+      SELECT n_pos, n_neg,
+             (rp - CAST(n_pos AS DOUBLE) * (n_pos + 1.0) / 2.0)
+               / (CAST(n_pos AS DOUBLE) * n_neg) AS auc
+      FROM a
+    )
+    SELECT n_pos, n_neg, ROUND(auc, 6) AS auc,
+           ROUND(2.0 * auc - 1.0, 6) AS gini,
+           ROUND(SQRT((auc * (1.0 - auc)
+                       + (n_pos - 1.0) * (auc / (2.0 - auc) - auc * auc)
+                       + (n_neg - 1.0) * (2.0 * auc * auc / (1.0 + auc)
+                                          - auc * auc))
+                      / (CAST(n_pos AS DOUBLE) * n_neg)), 6) AS se
+    FROM f
+""",
+        "q218_pr_sweep": _pr_sweep_oracle(
+            (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+        ),
     }
 
 

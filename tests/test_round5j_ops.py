@@ -179,3 +179,74 @@ class TestStreamingHolt:
         for h in streamed:
             for c in ("level", "trend", "forecast", "mae"):
                 assert streamed[h][c] == pytest.approx(batch[h][c], abs=2e-6)
+
+
+class TestRocAuc:
+    def test_perfect_separation(self, spark):
+        rows = [(0.9, 1)] * 5 + [(0.1, 0)] * 5
+        df = spark.createDataFrame(rows, "s double, y int")
+        from gc_spark.operators.classifier_eval import roc_auc
+
+        [r] = roc_auc(df, "s", "y").collect()
+        assert r["auc"] == pytest.approx(1.0)
+        assert r["gini"] == pytest.approx(1.0)
+
+    def test_all_tied_half(self, spark):
+        rows = [(0.5, 1)] * 4 + [(0.5, 0)] * 6
+        df = spark.createDataFrame(rows, "s double, y int")
+        from gc_spark.operators.classifier_eval import roc_auc
+
+        [r] = roc_auc(df, "s", "y").collect()
+        assert r["auc"] == pytest.approx(0.5)
+
+    def test_hand_computed_with_ties(self, spark):
+        # pos: .3 .7 .7 ; neg: .3 .5 — pairwise wins: (.3 vs .3)=.5,
+        # (.3 vs .5)=0, (.7 vs .3)=1 x2, (.7 vs .5)=1 x2 -> 4.5/6
+        rows = [(0.3, 1), (0.7, 1), (0.7, 1), (0.3, 0), (0.5, 0)]
+        df = spark.createDataFrame(rows, "s double, y int")
+        from gc_spark.operators.classifier_eval import roc_auc
+
+        [r] = roc_auc(df, "s", "y").collect()
+        assert r["auc"] == pytest.approx(0.75)
+        assert r["n_pos"] == 3 and r["n_neg"] == 2
+
+    def test_shard_width_invariance(self, spark):
+        rows = [((i * 13 % 37) / 37.0, i % 2) for i in range(80)]
+        df = spark.createDataFrame(rows, "s double, y int")
+        from gc_spark.operators.classifier_eval import roc_auc
+
+        a = roc_auc(df, "s", "y", shard_width=0.03).collect()
+        b = roc_auc(df, "s", "y", shard_width=0.9).collect()
+        assert a == b
+
+
+class TestPrSweep:
+    def test_hand_computed(self, spark):
+        # scores .2 .4 .6 .8 with labels 0 1 0 1
+        rows = [(0.2, 0), (0.4, 1), (0.6, 0), (0.8, 1)]
+        df = spark.createDataFrame(rows, "s double, y int")
+        from gc_spark.operators.classifier_eval import pr_at_thresholds
+
+        out = {
+            round(r["threshold"], 2): r
+            for r in pr_at_thresholds(df, "s", "y", (0.3, 0.5, 0.7)).collect()
+        }
+        assert out[0.3]["n_pred_pos"] == 3 and out[0.3]["tp"] == 2
+        assert out[0.3]["precision"] == pytest.approx(round(2 / 3, 6))
+        assert out[0.3]["recall"] == pytest.approx(1.0)
+        assert out[0.5]["precision"] == pytest.approx(0.5)
+        assert out[0.7]["precision"] == pytest.approx(1.0)
+        assert out[0.7]["recall"] == pytest.approx(0.5)
+        # f1 at .7: 2*1/(1+2) = 2/3
+        assert out[0.7]["f1"] == pytest.approx(round(2 / 3, 6))
+
+    def test_empty_prediction_side(self, spark):
+        rows = [(0.1, 1), (0.2, 0)]
+        df = spark.createDataFrame(rows, "s double, y int")
+        from gc_spark.operators.classifier_eval import pr_at_thresholds
+
+        [r] = pr_at_thresholds(df, "s", "y", (0.9,)).collect()
+        assert r["n_pred_pos"] == 0
+        assert r["precision"] is None
+        assert r["recall"] == 0.0
+        assert r["f1"] == 0.0
