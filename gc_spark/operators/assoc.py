@@ -51,6 +51,9 @@ def pair_rules(
         bi.withColumn("_r", F.row_number().over(w))
         .where(F.col("_r") <= max_basket)
         .drop("_r")
+        # four consumers (marginals, basket count, both pair sides):
+        # lazy checkpoint materializes the distinct+cap once
+        .localCheckpoint(eager=False)
     )
     item_n = capped.groupBy(F.col("_i").alias("item")).agg(
         F.count("*").alias("n_item")

@@ -44,6 +44,9 @@ def roc_auc(
         )
         .withColumn("t", F.col("np") + F.col("nn"))
         .withColumn("_shard", F.floor(F.col("v") / F.lit(shard_width)))
+        # feeds both the local cumsum and the shard totals: lazy
+        # checkpoint = one corpus scan instead of two
+        .localCheckpoint(eager=False)
     )
     w_local = (
         Window.partitionBy("_shard")

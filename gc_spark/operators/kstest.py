@@ -53,6 +53,10 @@ def ks_two_sample(
             F.sum(F.when(g == group_b, 1).otherwise(0)).alias("cb"),
         )
         .withColumn("_shard", F.floor(F.col("v") / F.lit(shard_width)))
+        # the contraction feeds BOTH the local cumsum and the shard
+        # totals: materialize lazily so the corpus is scanned once,
+        # not once per consumer
+        .localCheckpoint(eager=False)
     )
     # two-phase INCLUSIVE prefix sums of both group counts in value order
     w_local = (

@@ -48,6 +48,9 @@ def mann_whitney_u(
         )
         .withColumn("t", F.col("na") + F.col("nb"))
         .withColumn("_shard", F.floor(F.col("v") / F.lit(shard_width)))
+        # feeds both the local cumsum and the shard totals: lazy
+        # checkpoint = one corpus scan instead of two
+        .localCheckpoint(eager=False)
     )
     # two-phase prefix sum of t in value order: local cumsum within each
     # range shard + broadcast cumulative offsets at shard grain

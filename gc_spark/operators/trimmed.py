@@ -40,9 +40,13 @@ def trimmed_mean(
     if not 0.0 <= trim_frac < 0.5:
         raise ValueError("trim_frac must be in [0, 0.5)")
     v = F.col(value_col).cast("double")
-    vals = df.groupBy(
-        F.col(group_col).alias("group"), v.alias("_v")
-    ).agg(F.count("*").alias("_c"))
+    vals = (
+        df.groupBy(F.col(group_col).alias("group"), v.alias("_v"))
+        .agg(F.count("*").alias("_c"))
+        # feeds both the cumulative window and the group totals: lazy
+        # checkpoint = one corpus scan instead of two
+        .localCheckpoint(eager=False)
+    )
     w = (
         Window.partitionBy("group")
         .orderBy("_v")
