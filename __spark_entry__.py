@@ -5887,6 +5887,25 @@ def q218_pr_sweep(spark, sf_dir):
     return pr_at_thresholds(_scored_events(spark, sf_dir), "score", "label")
 
 
+def q219_seasonal(spark, sf_dir):
+    """Additive seasonal decomposition (operators/seasonal): quantify
+    the weekly cycle ACF detects — an injected period-7 sawtooth over
+    per-host event series must surface in the phase means and a high
+    variance-explained share. Centered MA trend (full windows only),
+    phase-mean seasonal, key-grain variance audit."""
+    from gc_spark.operators.seasonal import seasonal_decompose_phase
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 8000)
+    series = ev.select(
+        (F.col("user_id") % 10).alias("host"),
+        F.col("event_id").alias("t"),
+        (
+            F.col("value").cast("double") + 4.0 * (F.col("event_id") % 7)
+        ).alias("y"),
+    )
+    return seasonal_decompose_phase(series, "host", "t", "y", period=7)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_rollup": q01_rollup,
@@ -6107,6 +6126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q216_trimmed_mean": q216_trimmed_mean,
         "q217_roc_auc": q217_roc_auc,
         "q218_pr_sweep": q218_pr_sweep,
+        "q219_seasonal": q219_seasonal,
     }
 
 
@@ -10003,6 +10023,33 @@ def oracle_sql() -> dict[str, str]:
         "q218_pr_sweep": _pr_sweep_oracle(
             (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
         ),
+        "q219_seasonal": """
+    WITH src AS (
+      SELECT user_id % 10 AS k, event_id AS t,
+             CAST(value AS DOUBLE) + 4.0 * (event_id % 7) AS y
+      FROM events WHERE event_id < 8000
+    ),
+    det AS (
+      SELECT k, t % 7 AS phase, y - trend AS d FROM (
+        SELECT k, t, y,
+               AVG(y) OVER w AS trend, COUNT(*) OVER w AS wn
+        FROM src WINDOW w AS (PARTITION BY k ORDER BY t
+          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+      ) WHERE wn = 7
+    ),
+    seas AS (
+      SELECT k, phase, AVG(d) AS s, COUNT(*) AS n FROM det GROUP BY k, phase
+    ),
+    resid AS (
+      SELECT det.k, det.d, det.d - seas.s AS r
+      FROM det JOIN seas ON det.k = seas.k AND det.phase = seas.phase
+    ),
+    v AS (SELECT k, VAR_POP(d) AS vd, VAR_POP(r) AS vr FROM resid GROUP BY k)
+    SELECT seas.k AS host, seas.phase, seas.n, ROUND(seas.s, 6) AS seasonal,
+           CASE WHEN v.vd > 0 THEN ROUND(1.0 - v.vr / v.vd, 6)
+           END AS var_explained
+    FROM seas JOIN v ON seas.k = v.k
+""",
     }
 
 

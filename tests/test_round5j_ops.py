@@ -250,3 +250,53 @@ class TestPrSweep:
         assert r["precision"] is None
         assert r["recall"] == 0.0
         assert r["f1"] == 0.0
+
+
+class TestSeasonalDecompose:
+    def test_pure_periodic_recovered(self, spark):
+        # y = phase pattern [0,3,6,0,-3,-6,0] repeated: trend MA is
+        # constant 0, seasonal means equal the pattern exactly,
+        # residual variance 0 -> var_explained = 1
+        pat = [0.0, 3.0, 6.0, 0.0, -3.0, -6.0, 0.0]
+        rows = [("h", t, pat[t % 7]) for t in range(35)]
+        df = spark.createDataFrame(rows, "key string, t long, y double")
+        from gc_spark.operators.seasonal import seasonal_decompose_phase
+
+        out = {
+            r["phase"]: r
+            for r in seasonal_decompose_phase(df, "key", "t", "y", 7).collect()
+        }
+        for p in range(7):
+            assert out[p]["seasonal"] == pytest.approx(pat[p], abs=1e-6)
+        assert out[0]["var_explained"] == pytest.approx(1.0)
+
+    def test_pure_noise_low_explained(self, spark):
+        # deterministic pseudo-noise with no period-7 structure
+        rows = [("h", t, float((t * 37) % 11)) for t in range(60)]
+        df = spark.createDataFrame(rows, "key string, t long, y double")
+        from gc_spark.operators.seasonal import seasonal_decompose_phase
+
+        out = seasonal_decompose_phase(df, "key", "t", "y", 7).collect()
+        assert all(r["var_explained"] < 0.6 for r in out)
+
+    def test_trend_removed(self, spark):
+        # linear trend + periodic: seasonal must ignore the trend
+        pat = [0.0, 5.0, 0.0, -5.0, 0.0, 0.0, 0.0]
+        rows = [("h", t, 2.0 * t + pat[t % 7]) for t in range(42)]
+        df = spark.createDataFrame(rows, "key string, t long, y double")
+        from gc_spark.operators.seasonal import seasonal_decompose_phase
+
+        out = {
+            r["phase"]: r["seasonal"]
+            for r in seasonal_decompose_phase(df, "key", "t", "y", 7).collect()
+        }
+        centered = [p - sum(pat) / 7 for p in pat]
+        for p in range(7):
+            assert out[p] == pytest.approx(centered[p], abs=1e-6)
+
+    def test_even_period_raises(self, spark):
+        df = spark.createDataFrame([("h", 0, 1.0)], "key string, t long, y double")
+        from gc_spark.operators.seasonal import seasonal_decompose_phase
+
+        with pytest.raises(ValueError):
+            seasonal_decompose_phase(df, "key", "t", "y", 6)
