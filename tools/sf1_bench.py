@@ -53,7 +53,11 @@ HEAVY = ["q16_minhash_bands", "q32_ivf_ann", "q33_jaccard_pairs",
          # span redact the coalesce+regex fold, embed decontam the
          # broadcast benchmark crossJoin, BPE encode the learn+apply loop
          "q137_cdc_delta", "q140_cms_estimates", "q142_span_redact",
-         "q145_embed_decontam", "q149_bpe_encode"]
+         "q145_embed_decontam", "q149_bpe_encode",
+         # round-5 closing-wave ops (documents inputs): maxscore is the
+         # pruned two-pass BM25, rm3 the two-corpus-pass feedback
+         # expansion, best_passage the match-position density window
+         "q202_maxscore_topk", "q209_rm3_topk", "q214_best_passage"]
 ITERATIVE = {"q32_ivf_ann", "q36_dup_clusters", "q39_connected_components",
              "q60_canonical_docs", "q149_bpe_encode"}
 ID_STRIDE = 10_000_000
