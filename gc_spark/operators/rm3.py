@@ -34,40 +34,23 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _contribs(
-    postings: DataFrame,
-    lengths: DataFrame,
-    stats: DataFrame,
-    id_col: str,
-    k1: float,
-    b: float,
-) -> DataFrame:
-    """(id, term, c): 6dp-rounded BM25 contribution per matched posting.
-    postings = (id, term, tf); df computed here over the given postings."""
-    docfreq = postings.groupBy("term").agg(
-        F.count("*").cast("double").alias("_df")
-    )
-    return (
-        postings.join(F.broadcast(docfreq), "term")
-        .join(lengths, id_col)
-        .crossJoin(F.broadcast(stats))
-        .select(
-            F.col(id_col),
-            F.col("term"),
-            F.round(
-                F.log(
-                    F.lit(1.0)
-                    + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
-                )
-                * F.col("tf")
-                * (k1 + 1.0)
-                / (
-                    F.col("tf")
-                    + k1 * (1.0 - b + b * F.col("dl") / F.col("_avgdl"))
-                ),
-                6,
-            ).alias("c"),
+def _contrib_col(k1: float, b: float) -> "F.Column":
+    """6dp-rounded BM25 contribution from in-row (_n, _df, tf, dl, _avgdl).
+
+    Expression-only twin of the round-5 `_contribs` helper: document
+    frequency now arrives as a window count over the postings themselves
+    (one pass) instead of a groupBy+join that instantiated the whole
+    postings subtree twice — the r6 plan-size fix (guide §7.2: duplicated
+    subtrees; the r5 plan printed ~9k lines for q209, the r6 one ~200)."""
+    return F.round(
+        F.log(
+            F.lit(1.0)
+            + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
         )
+        * F.col("tf")
+        * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("_avgdl"))),
+        6,
     )
 
 
@@ -85,87 +68,140 @@ def rm3_expand_topk(
 ) -> DataFrame:
     """(id, score, rank, n_terms) — top-k docs under the RM3-expanded
     weighted query; n_terms audits the expanded term-set size (|q| +
-    up to fb_terms new terms)."""
+    up to fb_terms new terms).
+
+    r6 restructure (same results, verified vs the frozen oracle): every
+    derived frame used to be re-joined, duplicating its whole upstream
+    subtree in the plan — `terms` alone was instantiated three times, each
+    copy containing the fb/c1/post1 pipelines, blowing the physical plan
+    to ~9k formatted lines and 5.9 s at sf0.1. Now document frequency is
+    a window count over the postings (no self-join), dl rides the posting
+    groupBy instead of re-joining `lengths`, the feedback-doc count `_f`
+    and the audit `n_terms` are window counts attached in-stream, and the
+    original+new term sets merge in ONE pipeline (query terms injected as
+    null-_sp rows, selected by a single partitioned row_number). Each
+    logical frame now appears exactly once; only the tiny broadcast
+    `stats` subtree is instantiated twice (ReusedExchange dedupes it)."""
     q = sorted(set(query_terms))
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     base = df.select(F.col(id_col), toks.alias("_toks"))
-    lengths = base.select(F.col(id_col), F.size("_toks").alias("dl"))
-    stats = lengths.agg(
-        F.avg("dl").alias("_avgdl"), F.count("*").cast("double").alias("_n")
+    stats = base.agg(
+        F.avg(F.size("_toks")).alias("_avgdl"),
+        F.count("*").cast("double").alias("_n"),
     )
+    w_df = Window.partitionBy("term")
 
     # pass 1: original-query BM25, top-f feedback docs
     post1 = (
-        base.select(F.col(id_col), F.explode("_toks").alias("term"))
+        base.select(
+            F.col(id_col), F.size("_toks").alias("dl"), F.explode("_toks").alias("term")
+        )
         .where(F.col("term").isin(q))
-        .groupBy(id_col, "term")
+        .groupBy(id_col, "dl", "term")
         .agg(F.count("*").cast("double").alias("tf"))
     )
-    c1 = _contribs(post1, lengths, stats, id_col, k1, b)
+    c1 = (
+        post1.withColumn("_df", F.count(F.lit(1)).over(w_df).cast("double"))
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), F.col("term"), _contrib_col(k1, b).alias("c"))
+    )
     s1 = c1.groupBy(id_col).agg(F.round(F.sum("c"), 6).alias("_s1"))
     w_fb = Window.orderBy(F.desc("_s1"), F.asc(id_col))
+    w_tot = w_fb.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    # _f = min(fb_docs, docs matching any query term) rides the fb rows —
+    # the r5 fb.agg(count) crossJoin re-ran the whole pass-1 subtree
     fb = (
         s1.withColumn("_r", F.row_number().over(w_fb))
+        .withColumn(
+            "_f",
+            F.least(
+                F.lit(float(fb_docs)), F.count(F.lit(1)).over(w_tot).cast("double")
+            ),
+        )
         .where(F.col("_r") <= fb_docs)
-        .select(id_col)
+        .select(id_col, "_f")
     )
 
     # relevance model over the feedback docs' own tokens
-    f_actual = fb.agg(F.count("*").cast("double").alias("_f"))
     fb_post = (
         base.join(F.broadcast(fb), id_col)
-        .select(F.col(id_col), F.explode("_toks").alias("term"))
-        .groupBy(id_col, "term")
+        .select(
+            F.col(id_col),
+            F.col("_f"),
+            F.size("_toks").alias("dl"),
+            F.explode("_toks").alias("term"),
+        )
+        .groupBy(id_col, "_f", "dl", "term")
         .agg(F.count("*").cast("double").alias("tf"))
-        .join(lengths, id_col)
     )
-    rm = (
-        fb_post.groupBy("term")
-        .agg(F.sum(F.col("tf") / F.col("dl")).alias("_sp"))
-        .crossJoin(F.broadcast(f_actual))
+    rm = fb_post.groupBy("term").agg(
+        F.sum(F.col("tf") / F.col("dl")).alias("_sp"), F.max("_f").alias("_f")
+    )
+    # query terms join the stream as null-_sp rows so present/absent terms
+    # are weighted in one select (absent query terms score orig_w alone)
+    orig_w = round((1.0 - lam) / len(q), 6)
+    q_zero = df.sparkSession.createDataFrame([(t,) for t in q], "term string").select(
+        "term",
+        F.lit(None).cast("double").alias("_sp"),
+        F.lit(None).cast("double").alias("_f"),
+    )
+    merged = (
+        rm.unionByName(q_zero)
+        .groupBy("term")
+        .agg(F.max("_sp").alias("_sp"), F.max("_f").alias("_f"))
+    )
+    isq = F.col("term").isin(q)
+    scored = merged.select(
+        "term",
+        isq.alias("_isq"),
+        F.when(
+            F.col("_sp").isNotNull(),
+            F.round(F.lit(lam) * F.col("_sp") / F.col("_f"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("_rm"),
+    )
+    w_new = Window.partitionBy("_isq").orderBy(F.desc("_rm"), F.asc("term"))
+    picked = (
+        scored.withColumn("_r", F.row_number().over(w_new))
+        .where(F.col("_isq") | (F.col("_r") <= fb_terms))
         .select(
             "term",
-            F.round(F.lit(lam) * F.col("_sp") / F.col("_f"), 6).alias("_rm"),
+            F.when(F.col("_isq"), F.round(F.col("_rm") + F.lit(orig_w), 6))
+            .otherwise(F.col("_rm"))
+            .alias("w"),
         )
     )
-    orig_w = round((1.0 - lam) / len(q), 6)
-    w_new = Window.orderBy(F.desc("_rm"), F.asc("term"))
-    new_terms = (
-        rm.where(~F.col("term").isin(q))
-        .withColumn("_r", F.row_number().over(w_new))
-        .where(F.col("_r") <= fb_terms)
-        .select("term", F.col("_rm").alias("w"))
+    w_cnt = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    orig_terms = (
-        rm.where(F.col("term").isin(q))
-        .select("term", F.round(F.col("_rm") + F.lit(orig_w), 6).alias("w"))
-        # query terms absent from every feedback doc still score
-        .unionByName(
-            df.sparkSession.createDataFrame(
-                [(t, float(orig_w)) for t in q], "term string, w double"
-            ).join(rm.select("term"), "term", "left_anti")
-        )
-    )
-    terms = orig_terms.unionByName(new_terms)
-    n_terms = terms.agg(F.count("*").alias("n_terms"))
+    terms = picked.withColumn("n_terms", F.count(F.lit(1)).over(w_cnt))
 
-    # pass 2: weighted BM25 over the expanded term set
+    # pass 2: weighted BM25 over the expanded term set (w and n_terms ride
+    # the posting groupBy; no second `terms` join, no n_terms crossJoin)
     post2 = (
-        base.select(F.col(id_col), F.explode("_toks").alias("term"))
+        base.select(
+            F.col(id_col), F.size("_toks").alias("dl"), F.explode("_toks").alias("term")
+        )
         .join(F.broadcast(terms), "term")
-        .groupBy(id_col, "term", "w")
+        .groupBy(id_col, "dl", "term", "w", "n_terms")
         .agg(F.count("*").cast("double").alias("tf"))
     )
-    c2 = _contribs(
-        post2.select(id_col, "term", "tf"), lengths, stats, id_col, k1, b
-    ).join(F.broadcast(terms), "term")
-    s2 = c2.groupBy(id_col).agg(
-        F.round(F.sum(F.col("w") * F.col("c")), 6).alias("score")
+    c2 = (
+        post2.withColumn("_df", F.count(F.lit(1)).over(w_df).cast("double"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            F.col("n_terms"),
+            (F.col("w") * _contrib_col(k1, b)).alias("_wc"),
+        )
+    )
+    s2 = c2.groupBy(id_col, "n_terms").agg(
+        F.round(F.sum("_wc"), 6).alias("score")
     )
     w_final = Window.orderBy(F.desc("score"), F.asc(id_col))
     return (
         s2.withColumn("rank", F.row_number().over(w_final))
         .where(F.col("rank") <= k)
-        .crossJoin(F.broadcast(n_terms))
         .select(id_col, "score", "rank", "n_terms")
     )
