@@ -317,16 +317,48 @@ def _set_checksum(df: DataFrame, *cols: str) -> tuple:
 EDGES_PER_PARTITION = 250_000
 
 
-def _right_size(df: DataFrame, n_rows: int) -> DataFrame:
+def _right_size(df: DataFrame, n_rows: int, key: str | None = None) -> DataFrame:
     """Shrink an iterative loop's working frame to ceil(n/EDGES_PER_
     PARTITION) partitions when the measured row count is far below the
     inherited parallelism — tiny edge sets stop paying 64-partition
-    scheduling per round; big ones are left alone (never grows)."""
+    scheduling per round; big ones are left alone (never grows).
+
+    With `key`, the repartition hashes on that column instead of
+    round-robin: the checkpointed LogicalRDD then carries hash
+    partitioning on the loop's join/groupBy key, so every round's
+    equi-operation on it reuses the layout instead of re-exchanging the
+    edge frame (guide §2.4 — two operations keyed the same way share one
+    exchange)."""
     cur = df.rdd.getNumPartitions() or 1
     want = min(int(n_rows // EDGES_PER_PARTITION) + 1, cur)
     if want < cur:
-        return df.repartition(want).localCheckpoint(eager=False)
+        rep = df.repartition(want, F.col(key)) if key else df.repartition(want)
+        return rep.localCheckpoint(eager=False)
     return df
+
+
+class _scoped_shuffle_partitions:
+    """Bound the loop's shuffle width to the MEASURED working-set size:
+    ceil(n_rows/EDGES_PER_PARTITION), never above the session setting.
+    Scale-adaptive, not local-tuned — at 10^10 edges the quotient exceeds
+    any configured width and this is a no-op; at bench scale it stops each
+    round paying a 64-reducer fan-out for a few hundred rows that AQE
+    cannot always coalesce (the loop materializes through localCheckpoint
+    RDDs). Restores the session value on exit."""
+
+    def __init__(self, spark, n_rows: int):
+        self.spark = spark
+        self.n_rows = max(int(n_rows), 1)
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        want = min(self.n_rows // EDGES_PER_PARTITION + 1, int(self.old))
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(want))
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+        return False
 
 
 def dup_clusters(
@@ -372,8 +404,11 @@ def dup_clusters(
     )
     # same adaptive right-sizing as connected_components: the count is a
     # cheap scan of the just-materialized checkpoint blocks, and the
-    # repartitioned frame re-checkpoints lazily on first use
-    edges = _right_size(edges, edges.count())
+    # repartitioned frame re-checkpoints lazily on first use. Hashing on
+    # src (not round-robin) lets every round's src==node join reuse the
+    # checkpointed layout instead of re-exchanging the edges (guide §2.4).
+    n_edges = edges.count()
+    edges = _right_size(edges, n_edges, key="src")
 
     def _round(lbls: DataFrame) -> DataFrame:
         prop = (
@@ -389,22 +424,24 @@ def dup_clusters(
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
-    for _ in range(iters):
-        labels = _round(labels)
-    if ensure_converged:
-        # keep going until the label set stops changing. Each round is ONE
-        # driver job: the lazy localCheckpoint is materialized by the
-        # checksum aggregate itself (eager=True would spend a separate job
-        # per round purely on materialization — at sf0.1 these iterative
-        # operators are driver-job-overhead-bound, not shuffle-bound)
-        labels = labels.localCheckpoint(eager=False)
-        prev = _set_checksum(labels, "node", "label")
-        for _ in range(max_rounds - iters):
-            labels = _round(labels).localCheckpoint(eager=False)
-            cur = _set_checksum(labels, "node", "label")
-            if cur == prev:
-                break
-            prev = cur
+    with _scoped_shuffle_partitions(pairs.sparkSession, n_edges):
+        for _ in range(iters):
+            labels = _round(labels)
+        if ensure_converged:
+            # keep going until the label set stops changing. Each round is
+            # ONE driver job: the lazy localCheckpoint is materialized by
+            # the checksum aggregate itself (eager=True would spend a
+            # separate job per round purely on materialization — at sf0.1
+            # these iterative operators are driver-job-overhead-bound, not
+            # shuffle-bound)
+            labels = labels.localCheckpoint(eager=False)
+            prev = _set_checksum(labels, "node", "label")
+            for _ in range(max_rounds - iters):
+                labels = _round(labels).localCheckpoint(eager=False)
+                cur = _set_checksum(labels, "node", "label")
+                if cur == prev:
+                    break
+                prev = cur
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
@@ -475,40 +512,64 @@ def connected_components(
     )
 
     def _star(edges: DataFrame, large: bool) -> DataFrame:
+        # single-window form (r6): the round-5 groupBy(min)+join needed two
+        # exchanges of `und` per star; one window over u delivers the
+        # closed-neighborhood minimum to every row in one exchange+sort,
+        # and the small-star's per-node self row (u -> m) is synthesized
+        # from the rank-1 row via array_compact+explode instead of a third
+        # union branch re-deriving the aggregate. The large-star's trailing
+        # distinct is dropped too: duplicate pairs only multiply rows
+        # WITHIN the round and the small-star's distinct restores set
+        # semantics before the convergence checksum sees them.
         und = edges.unionByName(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        m = und.groupBy("u").agg(
-            F.least(F.min("v"), F.first("u")).alias("m")
+        w = Window.partitionBy("u").orderBy("v")
+        wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        x = und.select(
+            "u",
+            "v",
+            F.least(F.min("v").over(wf), F.col("u")).alias("m"),
+            F.row_number().over(w).alias("_rn"),
         )
-        att = und.join(m, "u")
+        pair = F.struct(
+            F.least("v", "m").alias("u"), F.greatest("v", "m").alias("v")
+        )
         if large:
-            att = att.filter(F.col("v") > F.col("u"))
-        else:
-            att = att.filter(F.col("v") <= F.col("u")).unionByName(
-                m.select("u", F.col("u").alias("v"), "m")
+            out = x.filter((F.col("v") > F.col("u")) & (F.col("v") != F.col("m"))).select(
+                pair.alias("_p")
             )
-        return (
-            att.filter(F.col("v") != F.col("m"))
-            .select(F.least("v", "m").alias("u"), F.greatest("v", "m").alias("v"))
-            .distinct()
-        )
+        else:
+            keep = F.when(
+                (F.col("v") <= F.col("u")) & (F.col("v") != F.col("m")), pair
+            )
+            self_pair = F.when(
+                (F.col("_rn") == 1) & (F.col("u") != F.col("m")),
+                F.struct(F.col("m").alias("u"), F.col("u").alias("v")),
+            )
+            out = x.select(
+                F.explode(F.array_compact(F.array(keep, self_pair))).alias("_p")
+            )
+        res = out.select("_p.u", "_p.v")
+        return res if large else res.distinct()
 
     prev = _set_checksum(e, "u", "v")
     # right-size the iteration to the MEASURED edge count (the checksum
     # already paid for it): a few hundred LSH pairs at test scale would
-    # otherwise run every round's 4 stages over 64 inherited shuffle
+    # otherwise run every round's stages over 64 inherited shuffle
     # partitions of ~10 rows each — pure task-scheduling overhead. At
     # 10^10 edges the quotient keeps thousands of partitions, so the
     # repartition is a no-op in spirit (same grow-only behavior as AQE
-    # coalescing, decided once instead of per-stage).
-    e = _right_size(e, prev[0])
-    for _ in range(max_rounds):
-        e = _star(_star(e, large=True), large=False).localCheckpoint(eager=False)
-        cur = _set_checksum(e, "u", "v")
-        if cur == prev:
-            break
-        prev = cur
+    # coalescing, decided once instead of per-stage). The loop's shuffle
+    # width is bounded the same way (scoped, restored on exit).
+    e = _right_size(e, prev[0], key="u")
+    with _scoped_shuffle_partitions(pairs.sparkSession, prev[0]):
+        for _ in range(max_rounds):
+            e = _star(_star(e, large=True), large=False).localCheckpoint(eager=False)
+            cur = _set_checksum(e, "u", "v")
+            if cur == prev:
+                break
+            prev = cur
 
     nodes = e.select(F.col("v").alias("doc_id"), F.col("u").alias("cluster_id"))
     roots = e.select(F.col("u").alias("doc_id")).distinct().withColumn(

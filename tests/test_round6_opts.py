@@ -1,0 +1,119 @@
+"""Round-6 optimization guards: the rewritten single-window star rounds in
+connected_components, the keyed right-sizing, and the scoped shuffle-width
+helper must preserve exact component semantics (and restore session state)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _uf_components(edges):
+    """Brute-force union-find reference: {node: component_min}."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+class TestConnectedComponentsRewrite:
+    def _check(self, spark, edges):
+        from gc_spark.operators.text_dedup import connected_components
+
+        df = spark.createDataFrame(edges, "a long, b long")
+        got = {
+            (r["doc_id"], r["cluster_id"])
+            for r in connected_components(df).collect()
+        }
+        assert got == set(_uf_components(edges).items())
+
+    def test_random_graphs_match_union_find(self, spark):
+        rng = random.Random(6)
+        for trial in range(3):
+            n = 40 + trial * 30
+            edges = [
+                (rng.randrange(n), rng.randrange(n)) for _ in range(n * 2)
+            ]
+            edges = [(a, b) for a, b in edges if a != b]
+            self._check(spark, edges)
+
+    def test_long_chain_converges(self, spark):
+        # pathological diameter: the worst case for the star rounds
+        edges = [(i, i + 1) for i in range(60)]
+        self._check(spark, edges)
+
+    def test_duplicate_and_reversed_edges(self, spark):
+        edges = [(1, 2), (2, 1), (1, 2), (3, 2), (5, 4), (4, 5), (9, 9)]
+        # self-loop dropped by the operator; reference needs it filtered too
+        from gc_spark.operators.text_dedup import connected_components
+
+        df = spark.createDataFrame(edges, "a long, b long")
+        got = {
+            (r["doc_id"], r["cluster_id"])
+            for r in connected_components(df).collect()
+        }
+        assert got == {(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)}
+
+    def test_dup_clusters_matches_cc(self, spark):
+        from gc_spark.operators.text_dedup import dup_clusters
+
+        rng = random.Random(7)
+        edges = [(rng.randrange(50), rng.randrange(50)) for _ in range(80)]
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "a long, b long")
+        got = {
+            (r["doc_id"], r["cluster_id"]) for r in dup_clusters(df).collect()
+        }
+        assert got == set(_uf_components(edges).items())
+
+
+class TestScopedShufflePartitions:
+    def test_restores_conf_and_bounds_width(self, spark):
+        from gc_spark.operators.text_dedup import (
+            EDGES_PER_PARTITION,
+            _scoped_shuffle_partitions,
+        )
+
+        before = spark.conf.get("spark.sql.shuffle.partitions")
+        with _scoped_shuffle_partitions(spark, 10):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "1"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == before
+        # large inputs keep the session width (no-op at scale)
+        with _scoped_shuffle_partitions(spark, EDGES_PER_PARTITION * 10**6):
+            assert (
+                spark.conf.get("spark.sql.shuffle.partitions") == before
+            )
+        assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+    def test_restores_on_error(self, spark):
+        from gc_spark.operators.text_dedup import _scoped_shuffle_partitions
+
+        before = spark.conf.get("spark.sql.shuffle.partitions")
+        with pytest.raises(RuntimeError):
+            with _scoped_shuffle_partitions(spark, 5):
+                raise RuntimeError("boom")
+        assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+class TestRightSizeKeyed:
+    def test_keyed_repartition_preserves_rows(self, spark):
+        from gc_spark.operators.text_dedup import _right_size
+
+        df = spark.range(100).select(
+            F.col("id").alias("src"), (F.col("id") % 7).alias("dst")
+        )
+        out = _right_size(df.repartition(8), 100, key="src")
+        assert out.rdd.getNumPartitions() == 1
+        assert sorted(r["src"] for r in out.collect()) == list(range(100))
