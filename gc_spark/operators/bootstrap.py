@@ -69,6 +69,15 @@ def bootstrap_ci(
     """Per group: (mean, ci_lo, ci_hi, n) where ci bounds are the
     lo_rank-th / hi_rank-th smallest of B Poisson-bootstrap replica
     means (defaults approximate a 95% interval at B=200)."""
+    # The B-fold fan-out (and its per-replica sha256) happens map-side in
+    # whatever parallelism the input arrives with; a filtered single-file
+    # scan arrives as ONE task and serializes ~rows*B hash evaluations
+    # (guide §2.5 input skew / §1.2 per-task work). Spread it first when —
+    # and only when — the input is narrower than the cluster: at scale the
+    # scan already has more splits than cores and this is a no-op.
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
     rep = df.select(
         *group_cols,
         F.col(id_col).alias("_id"),

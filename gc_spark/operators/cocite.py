@@ -51,11 +51,33 @@ def common_neighbor_pairs(
     capped = adj.join(
         F.broadcast(deg.where(F.col("deg") <= max_degree)).select("z"), "z"
     )
-    left = capped.select("z", F.col("n").alias("a"))
-    right = capped.select("z", F.col("n").alias("b"))
+    # r6 shape: pairs are generated AT the shared neighbor from its
+    # sorted, df-capped neighbor array, so the (a,b) count can partially
+    # aggregate map-side BEFORE its exchange (guide §2.3) — the r5
+    # left×right self-join shuffled every wedge row instead. The explicit
+    # hash repartition on z keeps the O(deg²) explode WIDE: its input is
+    # only a few MB here and AQE would coalesce the stage to one task,
+    # serializing the 10M-row fan-out it cannot foresee. The cap still
+    # applies before any array materializes, so a 10^6-degree hub never
+    # builds a giant array.
+    grouped = (
+        capped.repartition(F.col("z"))
+        .groupBy("z")
+        .agg(F.sort_array(F.collect_list("n")).alias("_ns"))
+    )
+    ns = F.col("_ns")
+    pair_arr = F.flatten(
+        F.transform(
+            ns,
+            lambda x, i: F.transform(
+                F.slice(ns, i + F.lit(2), F.size(ns)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
     return (
-        left.join(right, "z")
-        .where(F.col("a") < F.col("b"))
+        grouped.select(F.explode(pair_arr).alias("_p"))
+        .select("_p.a", "_p.b")
         .groupBy("a", "b")
         .agg(F.count("*").alias("n_common"))
         .where(F.col("n_common") >= min_common)

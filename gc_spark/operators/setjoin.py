@@ -49,9 +49,16 @@ def allpairs_jaccard(
     Jaccard is >= threshold (doc_a < doc_b). Exact: the prefix filter is
     lossless for this threshold, and survivors are verified on the full
     sets."""
+    # r6: dedupe shingles map-side (array_distinct on the per-doc array)
+    # instead of a corpus-wide .distinct() — the (id, term) set is unique
+    # by construction afterwards, so the r5 plan's first exchange (~1M
+    # 25-char-string rows at sf0.1) disappears outright (guide §2.4).
     toks = df.select(
-        F.col(id_col), F.explode(shingle_col(F.col(text_col), shingle_n)).alias("term")
-    ).distinct()
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(shingle_col(F.col(text_col), shingle_n))
+        ).alias("term"),
+    )
     dfreq = toks.groupBy("term").agg(F.count("*").alias("_df"))
     per_doc = (
         toks.join(dfreq, "term")
@@ -93,7 +100,16 @@ def allpairs_jaccard(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sets = toks.groupBy(id_col).agg(F.collect_set("term").alias("_set"))
+    # r6: the verify sets are a projection of per_doc's already-sorted
+    # (df, term) structs — the r5 collect_set re-ran the whole
+    # tokenize+distinct pipeline a second time plus one more exchange;
+    # array_intersect/size are element-order-insensitive so the ordering
+    # difference cannot change any jaccard value. The shared per_doc
+    # aggregation dedupes at runtime via ReusedExchange.
+    sets = per_doc.select(
+        F.col(id_col),
+        F.transform("_ts", lambda s: s.getField("term")).alias("_set"),
+    )
     j = (
         cands.join(
             sets.select(F.col(id_col).alias("doc_a"), F.col("_set").alias("_sa")),
