@@ -18,6 +18,9 @@ from pyspark.sql import functions as F
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from gc_spark.conf import tune_runtime
+
+    tune_runtime(spark)  # idempotent per session (r6 join/AQE tuning)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -17,9 +17,47 @@ rationale:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession
 
+# Runtime-settable join/AQE tuning (r6, guide §3.1/§9): broadcast up to
+# 64 MB relations (the frontier seen-set — ~10 MB of hashed keys per 1.3M
+# URLs — must broadcast, not sort-merge; production executors at >=8 GB
+# hold this trivially), and let the planner/AQE pick shuffled-hash joins
+# so equi-joins skip the sort-merge sorts (partition sizes stay bounded by
+# AQE coalescing, so the build side fits). Parameterised via env so a
+# deployment can dial them; the values are size-based and hold at any
+# scale factor — they are NOT local[32] tuning.
+_BCAST = os.environ.get("GC_SPARK_BROADCAST_THRESHOLD", str(64 * 1024 * 1024))
+RUNTIME_TUNING = {
+    "spark.sql.autoBroadcastJoinThreshold": _BCAST,
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": _BCAST,
+    "spark.sql.join.preferSortMergeJoin": "false",
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": _BCAST,
+}
+
+_TUNED_SESSIONS: set[int] = set()
+
+
+def tune_runtime(spark: SparkSession) -> None:
+    """Apply RUNTIME_TUNING once per session — called from the hot entry
+    points (table scans, politeness top-k, the crawl engine) so sessions
+    built elsewhere (the frozen bench, notebooks) still get the join
+    tuning without owning session construction."""
+    key = id(spark._jsparkSession) if hasattr(spark, "_jsparkSession") else id(spark)
+    if key in _TUNED_SESSIONS:
+        return
+    for k, v in RUNTIME_TUNING.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover — read-only conf in odd envs
+            pass
+    _TUNED_SESSIONS.add(key)
+
+
 SCALE_DEFAULTS = {
+    **RUNTIME_TUNING,
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

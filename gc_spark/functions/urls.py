@@ -189,25 +189,45 @@ def canonicalize_url_col(col: Column) -> Column:
     Property-tested byte-equal to the scalar canonicalize_url on valid URLs
     (test_functions). Use on the frontier hot path; the pandas UDF twin
     handles arbitrary strings."""
+    # r6: pure byte-level string ops (substring_index / instr / substring)
+    # replace the previous 9-regex chain — each regexp re-scanned the URL
+    # through the Java regex engine per row on the 4M-row frontier hot path
+    # (guide §1.2 per-task work). Byte-parity with the scalar on valid
+    # ';'-free URLs is pinned by test_canonicalize_native_col_parity.
     u = F.regexp_replace(F.trim(col), " ", "%20")
-    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    netloc = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    scheme_raw = F.substring_index(u, "://", 1)
+    scheme = F.lower(scheme_raw)
+    after = F.substring(u, F.length(scheme_raw) + 4, F.length(u))
+
+    def _first_of(s, chars):
+        """1-based position of the first occurrence of any char, else null."""
+        pos = [F.nullif(F.instr(s, c), F.lit(0)) for c in chars]
+        return F.least(*pos) if len(pos) > 1 else pos[0]
+
+    cut = F.coalesce(_first_of(after, ["/", "?", "#"]), F.length(after) + 1)
+    netloc = F.lower(F.substring(after, 1, cut - 1))
+    rest = F.substring(after, cut, F.length(after))
     netloc_stripped = F.when(
-        (scheme == "http") & netloc.rlike(":80$"),
-        F.regexp_replace(netloc, ":80$", ""),
+        (scheme == "http") & netloc.endswith(":80"),
+        F.substring(netloc, 1, F.length(netloc) - 3),
     ).when(
-        (scheme == "https") & netloc.rlike(":443$"),
-        F.regexp_replace(netloc, ":443$", ""),
+        (scheme == "https") & netloc.endswith(":443"),
+        F.substring(netloc, 1, F.length(netloc) - 4),
     ).otherwise(netloc)
-    rest = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
-    path = F.regexp_extract(rest, r"^([^?#]*)", 1)
+    qcut = F.coalesce(_first_of(rest, ["?", "#"]), F.length(rest) + 1)
+    path = F.substring(rest, 1, qcut - 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    tail = F.regexp_extract(rest, r"^[^?#]*([?#].*)?$", 1)
-    # urlparse drops an empty query ('?' with nothing before '#'/end);
-    # ';' params are kept verbatim in the path (byte-parity with the scalar
-    # is guaranteed — and property-tested — for ';'-free URLs; legacy
-    # multi-';' params URLs route through the pandas UDF in the engine)
-    tail = F.regexp_replace(tail, r"\?(?=#|$)", "")
+    tail = F.substring(rest, qcut, F.length(rest))
+    # urlparse drops an empty query ('?' with nothing before '#'/end) —
+    # literal-replace '?#'->'#' plus a trailing-'?' strip is byte-equal to
+    # the old \?(?=#|$) regex on every input; ';' params are kept verbatim
+    # in the path (byte-parity with the scalar is guaranteed — and
+    # property-tested — for ';'-free URLs; legacy multi-';' params URLs
+    # route through the pandas UDF in the engine)
+    tail = F.replace(tail, F.lit("?#"), F.lit("#"))
+    tail = F.when(
+        tail.endswith("?"), F.substring(tail, 1, F.length(tail) - 1)
+    ).otherwise(tail)
     return F.concat(scheme, F.lit("://"), netloc_stripped, path, F.coalesce(tail, F.lit("")))
 
 

@@ -30,15 +30,25 @@ def kendall_tau(
     score_a: str,
     score_b: str,
     round_digits: int = 6,
+    max_points: int = 512,
 ) -> DataFrame:
     """One row: (n, n_pairs, concordant, discordant, ties_a, ties_b,
     tau_b). Pairs tied in BOTH scorers count toward both tie totals and
-    neither C nor D (the standard tau-b accounting)."""
+    neither C nor D (the standard tau-b accounting).
+
+    The bounded-input contract is ENFORCED (r6, API symmetry with
+    theilsen.theil_sen_trend's max_points df-cap): only the max_points
+    smallest ids enter the pairing — a TakeOrdered prune (per-partition
+    heaps, no global sort), so a careless corpus-sized caller gets a
+    bounded, documented answer instead of an O(n²) crossJoin. Pass
+    max_points=None to disable (caller takes the quadratic risk)."""
     pts = df.select(
         F.col(id_col).alias("i"),
         F.col(score_a).cast("double").alias("a"),
         F.col(score_b).cast("double").alias("b"),
     )
+    if max_points is not None:
+        pts = pts.orderBy("i").limit(int(max_points))
     l = pts.select(F.col("i").alias("i1"), F.col("a").alias("a1"), F.col("b").alias("b1"))
     r = pts.select(F.col("i").alias("i2"), F.col("a").alias("a2"), F.col("b").alias("b2"))
     pairs = l.crossJoin(r).where(F.col("i1") < F.col("i2"))
@@ -51,12 +61,16 @@ def kendall_tau(
         F.sum(F.when(da == 0, 1).otherwise(0)).alias("ties_a"),
         F.sum(F.when(db == 0, 1).otherwise(0)).alias("ties_b"),
     )
-    n = pts.count()
+    # n rides in as a 1-row broadcast instead of the r5 eager pts.count()
+    # mid-plan-build (ADVICE kendall.py:54): the operator stays fully lazy
+    # and the input is no longer scanned by an extra driver job. int cast
+    # keeps the r5 output schema (n <= max_points always fits).
+    n_frame = pts.agg(F.count("*").cast("int").alias("n"))
     c = F.col("concordant").cast("double")
     d = F.col("discordant").cast("double")
     n0 = F.col("n_pairs").cast("double")
-    return agg.select(
-        F.lit(n).alias("n"),
+    return agg.crossJoin(F.broadcast(n_frame)).select(
+        F.col("n"),
         "n_pairs",
         "concordant",
         "discordant",

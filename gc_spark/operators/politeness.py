@@ -38,6 +38,9 @@ def topk_per_host(
     host_budgets: optional small DataFrame (host, budget_per_batch) —
     broadcast-joined; hosts absent fall back to `k`.
     """
+    from gc_spark.conf import tune_runtime
+
+    tune_runtime(pending.sparkSession)
     order = [F.col(c).asc() for c in ORDER_COLS]
 
     if host_budgets is not None:

@@ -91,6 +91,9 @@ class CrawlEngine:
         scope: DataFrame | None = None,
         notifier=None,
     ):
+        from gc_spark.conf import tune_runtime
+
+        tune_runtime(spark)  # r6 join/AQE tuning (idempotent per session)
         self.spark = spark
         self.store = store
         self.fetcher = fetcher

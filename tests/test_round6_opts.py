@@ -107,6 +107,24 @@ class TestScopedShufflePartitions:
         assert spark.conf.get("spark.sql.shuffle.partitions") == before
 
 
+class TestKendallCap:
+    def test_cap_bounds_pairing_and_default_matches_uncapped(self, spark):
+        from gc_spark.operators.kendall import kendall_tau
+
+        rows = [(i, float(i % 7), float((i * 3) % 11)) for i in range(50)]
+        df = spark.createDataFrame(rows, "i long, a double, b double")
+        [full] = kendall_tau(df, "i", "a", "b").collect()
+        [unc] = kendall_tau(df, "i", "a", "b", max_points=None).collect()
+        assert full == unc  # under the cap: identical to uncapped
+        assert full["n"] == 50 and full["n_pairs"] == 50 * 49 // 2
+        # oversized input: only the max_points smallest ids pair up
+        [capped] = kendall_tau(df, "i", "a", "b", max_points=10).collect()
+        assert capped["n"] == 10 and capped["n_pairs"] == 45
+        sub = df.where(F.col("i") < 10)
+        [ref] = kendall_tau(sub, "i", "a", "b").collect()
+        assert capped == ref
+
+
 class TestRightSizeKeyed:
     def test_keyed_repartition_preserves_rows(self, spark):
         from gc_spark.operators.text_dedup import _right_size
