@@ -1842,7 +1842,9 @@ def q94_ngram_novelty(spark, sf_dir):
     syndicated content score ~0 — the recrawl/curation signal."""
     from gc_spark.operators.novelty import novelty_scores
 
-    d = _t(spark, sf_dir, "documents").select(
+    # r6: _t_wide — the 5-gram hash/explode is per-row compute that a
+    # single-row-group scan would otherwise run in ONE task (guide §1.2)
+    d = _t_wide(spark, sf_dir, "documents").select(
         "doc_id", F.col("doc_id").alias("seq"), "text"
     )
     return novelty_scores(d, n=5).orderBy("doc_id")
@@ -2010,7 +2012,12 @@ def q101_dsir_weights(spark, sf_dir):
 
     d = _t_wide(spark, sf_dir, "documents")
     target = d.filter(F.col("source").isin("src0", "src1", "src2"))
-    return importance_weights(d, target, buckets=4096)
+    # r6: the target is a slice of the raw corpus — its bucket counts roll
+    # up from the already-hashed features (target_ids), skipping a second
+    # tokenize+sha256 pass over the target texts (identical counts)
+    return importance_weights(
+        d, target, buckets=4096, target_ids=target.select("doc_id")
+    )
 
 
 def q102_link_farms(spark, sf_dir):

@@ -63,9 +63,18 @@ def importance_weights(
     text_col: str = "text",
     id_col: str = "doc_id",
     buckets: int = 4096,
+    target_ids: DataFrame | None = None,
 ) -> DataFrame:
     """(id, n_feats, weight) per raw document; higher weight = more
-    target-like."""
+    target-like.
+
+    `target_ids` (r6): when the target corpus is a SLICE of `raw` (the
+    common data-selection case), pass its (id_col) frame instead of
+    re-supplying the texts — the target bucket distribution then rolls up
+    from the already-hashed per-doc features via one broadcast semi-join,
+    skipping a second tokenize+sha256 pass over the target texts
+    (guide §1.2; the counts are identical by construction). `target` is
+    ignored when `target_ids` is given."""
     b = float(buckets)
     doc_feats = (
         _features(raw, text_col, buckets, F.col(id_col))
@@ -77,11 +86,18 @@ def importance_weights(
     r_counts = _with_total(
         doc_feats.groupBy("bucket").agg(F.sum("_c").cast("double").alias("c"))
     )
-    t_counts = _with_total(
-        _features(target, text_col, buckets)
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).cast("double").alias("c"))
-    )
+    if target_ids is not None:
+        t_counts = _with_total(
+            doc_feats.join(F.broadcast(target_ids.select(id_col)), id_col, "left_semi")
+            .groupBy("bucket")
+            .agg(F.sum("_c").cast("double").alias("c"))
+        )
+    else:
+        t_counts = _with_total(
+            _features(target, text_col, buckets)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        )
 
     # full outer join of the two B-sized tables; a bucket missing on one
     # side falls back to that side's add-1 floor (coalesce c to 0); the

@@ -107,6 +107,19 @@ class TestScopedShufflePartitions:
         assert spark.conf.get("spark.sql.shuffle.partitions") == before
 
 
+class TestDsirTargetIds:
+    def test_target_ids_rollup_equals_text_path(self, spark):
+        from gc_spark.operators.dsir import importance_weights
+
+        d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        target = d.filter(F.col("doc_id") % 3 == 0)
+        via_text = importance_weights(d, target, buckets=64).collect()
+        via_ids = importance_weights(
+            d, target, buckets=64, target_ids=target.select("doc_id")
+        ).collect()
+        assert sorted(map(tuple, via_text)) == sorted(map(tuple, via_ids))
+
+
 class TestKendallCap:
     def test_cap_bounds_pairing_and_default_matches_uncapped(self, spark):
         from gc_spark.operators.kendall import kendall_tau
