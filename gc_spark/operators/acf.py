@@ -38,8 +38,11 @@ def acf(
     round_digits: int = 6,
 ) -> DataFrame:
     """(key, lag, n_pairs, r) for each requested lag; r is NULL for a
-    constant series (zero variance) or when the series is shorter than
-    the lag (no pairs)."""
+    constant series (zero variance). A series SHORTER than the lag
+    produces no surviving pairs, so that (key, lag) row is OMITTED from
+    the output entirely (not emitted with NULL r) — callers wanting a
+    dense lag grid should left-join this result onto their lag list
+    (ADVICE r5: docstring previously claimed a NULL row)."""
     lags = sorted(set(int(k) for k in lags))
     if not lags or lags[0] < 1:
         raise ValueError("lags must be positive integers")

@@ -197,8 +197,15 @@ def cuckoo_maybe_contains(
     """Adds boolean `cuckoo_maybe`: False ⇒ definitely NOT in the seen set.
 
     broadcast=True (the fits-in-memory case the module docstring scopes):
-    the num_shards-row filter is collected ONCE into a SparkContext
-    broadcast and the probe is a pure map-side vectorized pandas UDF —
+    the num_shards-row filter is collected ONCE — EAGERLY, at
+    plan-construction time, a deliberate exception to lazy building — into
+    a SparkContext broadcast and the probe is a pure map-side vectorized
+    pandas UDF. The broadcast lives until the returned DataFrame is
+    garbage-collected (Spark's ContextCleaner reclaims it); callers
+    probing MANY filters in one long-lived session should reuse one
+    filter frame per logical seen-set rather than rebuilding per call, or
+    the stale broadcast copies accumulate until the next cleaner sweep
+    (ADVICE r5) —
     candidates never shuffle and each executor receives each shard table
     exactly once. (A shard-equi broadcast JOIN — the prior shape — is a
     trap here: the join REPLICATES the multi-hundred-KB table blob onto

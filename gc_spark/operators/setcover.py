@@ -57,6 +57,13 @@ def greedy_set_cover(df: DataFrame, set_col: str, elem_col: str, k: int = 3) -> 
         remaining = remaining.where(F.col("s") != s).join(
             F.broadcast(chosen), "e", "left_anti"
         )
+        # r6 (VERDICT r5 item 5): cut the replay chain every few rounds —
+        # beyond ~a dozen picks the chained anti-join lineage grows the
+        # plan (and re-derives rounds 1..t-1 each round); a lazy local
+        # checkpoint materializes at the next round's argmax for free and
+        # keeps plan depth bounded at any k (lineage test at k=50).
+        if (i + 1) % 8 == 0:
+            remaining = remaining.localCheckpoint(eager=False)
 
     out = spark.createDataFrame(
         picks, "pick int, chosen_set string, gain long, cum_covered long"

@@ -37,7 +37,10 @@ def theil_sen_trend(
     in the last float bits, and the intercept multiplies that noise by
     median(x)); intercept = median(y) - slope * median(x) with the same
     lower-median convention. Pairs with equal x are skipped (vertical
-    slopes)."""
+    slopes) — so a group whose kept points ALL share one x value yields
+    zero slope pairs and is OMITTED from the output entirely, exactly
+    like a group outside the [2, max_points] size window (ADVICE r5: the
+    n_points >= 2 contract alone doesn't guarantee a row)."""
     pts = df.select(
         F.col(group_col).alias("grp"),
         F.col(x_col).cast("double").alias("x"),

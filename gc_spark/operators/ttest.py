@@ -37,7 +37,10 @@ def welch_ttest(
 ) -> DataFrame:
     """One row: (n_a, n_b, mean_a, mean_b, t, df_welch, significant).
     significant compares |t| against t_crit (default: the z critical
-    value — with crawl-scale n the t and normal quantiles agree)."""
+    value — with crawl-scale n the t and normal quantiles agree).
+    ALWAYS exactly one row: a missing/empty group or a single-row group
+    (undefined variance) surfaces as NULLs on that side rather than an
+    empty frame a caller could mistake for a clean no-result."""
     g = F.col(group_col)
     v = F.col(value_col).cast("double")
     sub = df.where(g.isin([group_a, group_b])).select(
@@ -59,15 +62,30 @@ def welch_ttest(
         "_g",
         "_n",
         "_m",
-        (F.col("_ssd") / (F.col("_n") - 1).cast("double")).alias("_s2"),
+        # n==1 leaves variance undefined: NULL, not an ANSI 0/0 error
+        F.when(
+            F.col("_n") >= 2, F.col("_ssd") / (F.col("_n") - 1).cast("double")
+        ).alias("_s2"),
     )
     a = st.where(F.col("_g") == group_a).select(
+        F.lit(1).alias("_one"),
         F.col("_n").alias("n_a"), F.col("_m").alias("_ma"), F.col("_s2").alias("_va")
     )
     b = st.where(F.col("_g") == group_b).select(
+        F.lit(1).alias("_one"),
         F.col("_n").alias("n_b"), F.col("_m").alias("_mb"), F.col("_s2").alias("_vb")
     )
-    j = a.crossJoin(F.broadcast(b))
+    # r6 (ADVICE ttest.py:70): degenerate inputs SURFACE instead of
+    # vanishing — a missing/empty group (e.g. a misspelled label) or a
+    # single-row group (NULL _s2) now yields ONE row with NULL stats on
+    # the missing side, where the r5 crossJoin silently returned zero
+    # rows. With both groups present and n >= 2 the output is unchanged.
+    one = df.sparkSession.range(1).select(F.lit(1).alias("_one"))
+    j = (
+        one.join(F.broadcast(a), "_one", "left")
+        .join(F.broadcast(b), "_one", "left")
+        .drop("_one")
+    )
     sa = F.col("_va") / F.col("n_a").cast("double")
     sb = F.col("_vb") / F.col("n_b").cast("double")
     t = (F.col("_ma") - F.col("_mb")) / F.sqrt(sa + sb)

@@ -107,6 +107,52 @@ class TestScopedShufflePartitions:
         assert spark.conf.get("spark.sql.shuffle.partitions") == before
 
 
+class TestSetCoverLineage:
+    def test_k50_bounded_lineage_matches_python_greedy(self, spark):
+        # 60 sets over 120 elements; set s covers [s, s+20) mod 120
+        rows = [(f"s{s:02d}", (s * 2 + j) % 120) for s in range(60) for j in range(20)]
+        df = spark.createDataFrame(rows, "src string, e int")
+        from gc_spark.operators.setcover import greedy_set_cover
+
+        got = [
+            (r["pick"], r["chosen_set"], r["gain"], r["cum_covered"])
+            for r in greedy_set_cover(df, "src", "e", k=50).collect()
+        ]
+        # python greedy reference with identical tie-break (gain desc, set asc)
+        sets = {}
+        for s, e in rows:
+            sets.setdefault(s, set()).add(e)
+        covered, exp = set(), []
+        for i in range(50):
+            best = max(sets, key=lambda s: (len(sets[s] - covered), [-ord(c) for c in s]))
+            gain = len(sets[best] - covered)
+            if gain == 0:
+                break
+            covered |= sets[best]
+            exp.append((i + 1, best, gain, len(covered)))
+            del sets[best]
+        assert got == exp
+
+
+class TestWelchGuard:
+    def test_degenerate_groups_surface_as_null_row(self, spark):
+        from gc_spark.operators.ttest import welch_ttest
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 9.0)], "g string, v double"
+        )
+        # missing group label -> one row, NULL on the missing side
+        [r] = welch_ttest(df, "g", "v", "a", "nope").collect()
+        assert r["n_a"] == 3 and r["n_b"] is None and r["t"] is None
+        # single-row group -> NULL variance -> NULL stats, row still present
+        [r2] = welch_ttest(df, "g", "v", "a", "b").collect()
+        assert r2["n_b"] == 1 and r2["t"] is None
+        # healthy case still one row with values
+        df2 = df.union(spark.createDataFrame([("b", 8.0), ("b", 7.0)], "g string, v double"))
+        [r3] = welch_ttest(df2, "g", "v", "a", "b").collect()
+        assert r3["t"] is not None and r3["n_a"] == 3 and r3["n_b"] == 3
+
+
 class TestDsirTargetIds:
     def test_target_ids_rollup_equals_text_path(self, spark):
         from gc_spark.operators.dsir import importance_weights
