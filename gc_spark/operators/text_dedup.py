@@ -219,27 +219,9 @@ def jaccard_verify_pairs(df: DataFrame, candidates: DataFrame, text_col: str = "
     sh = df.select(
         F.col(id_col), F.array_distinct(_shingles(F.col(text_col))).alias("sh")
     )
-    # r6: ONE pass over the shingle frame. The r5 shape joined `sh` twice
-    # (once per pair side), instantiating the expensive shingle compute
-    # twice; instead the candidate pairs explode to (a, b, member) rows,
-    # broadcast onto a single sh probe, and each pair regroups its two
-    # arrays (first(..., ignorenulls) is deterministic here — exactly one
-    # non-null per side per pair). Pairs with a side missing from df drop
-    # out via the null jaccard, same as the old double inner join.
-    members = pairs.select(
-        "a", "b", F.explode(F.array("a", "b")).alias(id_col)
-    )
     j = (
-        sh.join(F.broadcast(members), id_col)
-        .groupBy("a", "b")
-        .agg(
-            F.first(
-                F.when(F.col(id_col) == F.col("a"), F.col("sh")), ignorenulls=True
-            ).alias("sh_a"),
-            F.first(
-                F.when(F.col(id_col) == F.col("b"), F.col("sh")), ignorenulls=True
-            ).alias("sh_b"),
-        )
+        pairs.join(sh.withColumnRenamed(id_col, "a").withColumnRenamed("sh", "sh_a"), "a")
+        .join(sh.withColumnRenamed(id_col, "b").withColumnRenamed("sh", "sh_b"), "b")
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("sh_a", "sh_b"))
