@@ -195,14 +195,21 @@ def ivf_cell_col(emb_col, centroids: list[list[float]]):
     is never computed. Argmax via array_max over (sim, cell) structs —
     lexicographic struct ordering, pure expressions."""
     e = _emb_double(emb_col)
-    scored = F.array(
-        *[
-            F.named_struct(
-                F.lit("s"), _dot(e, F.array([F.lit(x) for x in _normalize(c)])),
-                F.lit("c"), F.lit(i),
-            )
-            for i, c in enumerate(centroids)
-        ]
+    # r6: ONE nested-array literal instead of k*dim individual F.lit
+    # calls — the per-training-round expression build was thousands of
+    # py4j round-trips and a fresh codegen unit per centroid update (the
+    # literals change every round, defeating the codegen cache); as a
+    # transform over a matrix literal the expression SHAPE is stable and
+    # tiny. Arithmetic identical: same zip_with/aggregate fold order,
+    # same (s, c) struct argmax.
+    cm = F.lit([_normalize(list(c)) for c in centroids])
+    scored = F.transform(
+        cm,
+        # named_struct, not struct(alias) — aliases don't survive inside
+        # HOF lambdas (the lambda-variable name leaks as the field name)
+        lambda c, i: F.named_struct(
+            F.lit("s"), _dot(e, c), F.lit("c"), i
+        ),
     )
     return F.array_max(scored)["c"].alias("ivf_cell")
 
