@@ -38,6 +38,29 @@ def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _with_planted_docs(
+    d: DataFrame,
+    every: int = 25,
+    offset: int = 10_000_000,
+    suffix: str = " extraword",
+) -> DataFrame:
+    """Corpus + planted near-dup copies (every `every`-th doc re-appears
+    with `suffix` appended and id shifted by `offset`) built in ONE pass:
+    the original unionByName(planted) shape instantiated the scan +
+    _t_wide repartition subtree twice (guide §7.2 duplicated subtrees);
+    exploding one-or-two structs per row yields the identical row set from
+    a single scan. Row multiset is unchanged — only construction differs."""
+    base = F.struct(F.col("doc_id"), F.col("text"))
+    copy = F.struct(
+        (F.col("doc_id") + offset).alias("doc_id"),
+        F.concat("text", F.lit(suffix)).alias("text"),
+    )
+    rows = F.when(
+        F.col("doc_id") % every == 0, F.array(base, copy)
+    ).otherwise(F.array(base))
+    return d.select(F.explode(rows).alias("_r")).select("_r.doc_id", "_r.text")
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -540,11 +563,7 @@ def q33_jaccard_pairs(spark, sf_dir):
     from gc_spark.operators.text_dedup import jaccard_verify_pairs, minhash_lsh_candidates
 
     d = _t_wide(spark, sf_dir, "documents").select("doc_id", "text")
-    planted = d.filter(F.col("doc_id") % 25 == 0).select(
-        (F.col("doc_id") + 10_000_000).alias("doc_id"),
-        F.concat("text", F.lit(" extraword")).alias("text"),
-    )
-    un = d.unionByName(planted)
+    un = _with_planted_docs(d)
     cands = minhash_lsh_candidates(un, portable=True)
     return jaccard_verify_pairs(un, cands, threshold=0.5)
 
@@ -990,11 +1009,7 @@ def q60_canonical_docs(spark, sf_dir):
 
     clusters = dup_clusters(q33_jaccard_pairs(spark, sf_dir), iters=3)
     d = _t_wide(spark, sf_dir, "documents").select("doc_id", "text")
-    planted = d.filter(F.col("doc_id") % 25 == 0).select(
-        (F.col("doc_id") + 10_000_000).alias("doc_id"),
-        F.concat("text", F.lit(" extraword")).alias("text"),
-    )
-    quality = d.unionByName(planted).select(
+    quality = _with_planted_docs(d).select(
         "doc_id", F.length("text").alias("quality")
     )
     return select_canonical(clusters, quality)
@@ -3582,11 +3597,7 @@ def q172_allpairs_jaccard(spark, sf_dir):
     from gc_spark.operators.setjoin import allpairs_jaccard
 
     d = _t_wide(spark, sf_dir, "documents").select("doc_id", "text")
-    planted = d.filter(F.col("doc_id") % 25 == 0).select(
-        (F.col("doc_id") + 10_000_000).alias("doc_id"),
-        F.concat("text", F.lit(" extraword")).alias("text"),
-    )
-    return allpairs_jaccard(d.unionByName(planted), threshold=0.6)
+    return allpairs_jaccard(_with_planted_docs(d), threshold=0.6)
 
 
 def q173_bootstrap_ci(spark, sf_dir):
