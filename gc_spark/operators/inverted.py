@@ -48,6 +48,13 @@ def inverted_index(
     else:
         seg_cols = []
 
+    # One exchange for both aggregations (guide §2.4): hash-partitioning on
+    # term alone satisfies the clustering requirement of the (term, doc)
+    # groupBy AND the term-grain groupBy, so the second aggregate runs in
+    # the same stage instead of paying its own shuffle. Term-hash layout is
+    # what the final index needs anyway, so hot-term placement is unchanged
+    # — a stopword's postings always end up on one task either way.
+    toks = toks.repartition(*(seg_cols + ["term"]))
     per_doc = toks.groupBy(*seg_cols, "term", id_col).agg(
         F.sort_array(F.collect_list("pos")).alias("_plist")
     )
