@@ -50,7 +50,11 @@ def theil_sen_trend(
     keep = sizes.where(
         (F.col("n_points") >= 2) & (F.col("n_points") <= max_points)
     )
-    capped = pts.join(F.broadcast(keep), "grp")
+    # capped feeds four consumers (pair left/right sides, median-x,
+    # median-y); the planner does not collapse the copies (no
+    # ReusedExchange on self-join sides), so materialize once per
+    # invocation — the post-cap frame is <= max_points rows per group.
+    capped = pts.join(F.broadcast(keep), "grp").localCheckpoint(eager=False)
 
     left = capped.select("grp", "n_points", F.col("x").alias("x1"), F.col("y").alias("y1"))
     right = capped.select("grp", F.col("x").alias("x2"), F.col("y").alias("y2"))
@@ -63,24 +67,33 @@ def theil_sen_trend(
         ),
     )
 
-    def _lower_median(df: DataFrame, col: str, out: str) -> DataFrame:
+    def _lower_median(
+        df: DataFrame, col: str, out: str, extra: tuple = ()
+    ) -> DataFrame:
         w = Window.partitionBy("grp").orderBy(col)
         wc = Window.partitionBy("grp")
         return (
             df.withColumn("_rn", F.row_number().over(w))
             .withColumn("_ct", F.count("*").over(wc))
             .where(F.col("_rn") == F.floor((F.col("_ct") + 1) / 2))
-            .select("grp", F.col(col).alias(out), F.col("_ct"))
+            .select(
+                "grp",
+                F.col(col).alias(out),
+                F.col("_ct"),
+                *[F.col(c) for c in extra],
+            )
         )
 
-    med = _lower_median(slopes, "m", "_slope").withColumnRenamed(
-        "_ct", "n_pairs"
-    )
-    sizes2 = slopes.groupBy("grp").agg(F.max("n_points").alias("n_points"))
+    # n_points rides through the slope-median window (constant per group)
+    # instead of a separate groupBy over `slopes` — that groupBy was a
+    # SECOND full evaluation of the O(n^2) pair fan-out just to recover a
+    # number every surviving row already carries.
+    med = _lower_median(
+        slopes, "m", "_slope", extra=("n_points",)
+    ).withColumnRenamed("_ct", "n_pairs")
     mx = _lower_median(capped, "x", "_mx").drop("_ct")
     my = _lower_median(capped, "y", "_my").drop("_ct")
     centers = mx.join(my, "grp")
-    med = med.join(F.broadcast(sizes2), "grp")
     return (
         med.join(centers, "grp")
         .select(
