@@ -29,10 +29,15 @@ def unigram_lm(df: DataFrame, text_col: str = "text") -> DataFrame:
     terms = df.select(
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term")
     )
-    counts = terms.groupBy("term").agg(F.count("*").cast("double").alias("_c"))
-    # token total from the VOCAB-sized counts, not a second corpus scan:
-    # sum(per-term counts) == corpus token count, and the aggregate's input
-    # is the (reusable) groupBy output
+    # vocab-sized after the shuffle and consumed twice (probabilities +
+    # total): checkpoint so the corpus-sized token explode runs ONCE —
+    # the planner does not reuse the exchange across the two consumers
+    # (same contract as interpolated_bigram_xent's ucounts below)
+    counts = (
+        terms.groupBy("term")
+        .agg(F.count("*").cast("double").alias("_c"))
+        .localCheckpoint(eager=False)
+    )
     total = counts.agg(F.sum("_c").alias("_t"))
     return counts.crossJoin(F.broadcast(total)).select(
         "term", (F.col("_c") / F.col("_t")).alias("p")
