@@ -161,7 +161,13 @@ def incremental_lsh_candidates(
     increment-sized and typically broadcastable. Signatures depend only on
     the doc text, so the result equals exactly the pairs-involving-new-docs
     slice of a full recompute (asserted by the q85 oracle)."""
-    nb = lsh_band_rows(new_docs, text_col, id_col, portable)
+    # nb feeds three join sides (old×new plus both legs of new×new); the
+    # planner instantiates the increment's shingle+minhash pass once per
+    # copy (no exchange reuse), so materialize the increment-sized band
+    # rows once per invocation.
+    nb = lsh_band_rows(new_docs, text_col, id_col, portable).localCheckpoint(
+        eager=False
+    )
     old_new = (
         nb.alias("n")
         .join(index_bands.alias("o"), ["band", "band_hash"])
