@@ -18,11 +18,12 @@ scores with (feeding RM3 weights into a BM25 ranker is the standard
 practice). All weights are 6dp-rounded BEFORE expansion-term selection
 and scoring so Spark and the SQL oracle pick identical terms.
 
-Scale shape: both corpus passes are scan-side explodes filtered to a
-small term set (the query literals, then the feedback vocabulary via a
-broadcast semi-join — feedback vocab is f docs' distinct tokens, always
-tiny); df/avgdl/N are broadcast aggregates; the feedback-doc and final
-top-k picks are single row_number windows over candidate sets. The
+Scale shape: ONE corpus tokenize pass, contracted to (doc, dl, term, tf)
+postings and materialized per invocation (the qlm pattern); pass 1, the
+feedback model, pass 2 and the corpus stats all derive from it via
+broadcast-filtered reads; df/avgdl/N are broadcast aggregates; the
+feedback-doc and final top-k picks are single row_number windows over
+candidate sets. The
 relevance model itself is feedback-vocab-sized. No UDFs.
 """
 
@@ -85,21 +86,35 @@ def rm3_expand_topk(
     q = sorted(set(query_terms))
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     base = df.select(F.col(id_col), toks.alias("_toks"))
-    stats = base.agg(
-        F.avg(F.size("_toks")).alias("_avgdl"),
-        F.count("*").cast("double").alias("_n"),
+    # ONE corpus tokenize pass, contracted to (id, dl, term, tf) and
+    # materialized (the qlm single-scan-contraction pattern): pass 1, the
+    # feedback model, pass 2 AND the corpus stats previously each re-ran
+    # the tokenize from scratch (three full corpus passes; no exchange
+    # reuse). The trade is one postings-grain shuffle + store against two
+    # further tokenize passes — measured q209 3.55 -> 2.77 s at sf0.1.
+    post = (
+        base.select(
+            F.col(id_col), F.size("_toks").alias("dl"), F.explode("_toks").alias("term")
+        )
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    # avgdl/N from the contraction: every doc keeps >= 1 posting row
+    # (split of a trimmed empty string is [""]), so the doc set and each
+    # doc's dl survive intact
+    stats = (
+        post.groupBy(id_col)
+        .agg(F.first("dl").alias("_dl"))
+        .agg(
+            F.avg("_dl").alias("_avgdl"),
+            F.count("*").cast("double").alias("_n"),
+        )
     )
     w_df = Window.partitionBy("term")
 
     # pass 1: original-query BM25, top-f feedback docs
-    post1 = (
-        base.select(
-            F.col(id_col), F.size("_toks").alias("dl"), F.explode("_toks").alias("term")
-        )
-        .where(F.col("term").isin(q))
-        .groupBy(id_col, "dl", "term")
-        .agg(F.count("*").cast("double").alias("tf"))
-    )
+    post1 = post.where(F.col("term").isin(q))
     c1 = (
         post1.withColumn("_df", F.count(F.lit(1)).over(w_df).cast("double"))
         .crossJoin(F.broadcast(stats))
@@ -122,18 +137,8 @@ def rm3_expand_topk(
         .select(id_col, "_f")
     )
 
-    # relevance model over the feedback docs' own tokens
-    fb_post = (
-        base.join(F.broadcast(fb), id_col)
-        .select(
-            F.col(id_col),
-            F.col("_f"),
-            F.size("_toks").alias("dl"),
-            F.explode("_toks").alias("term"),
-        )
-        .groupBy(id_col, "_f", "dl", "term")
-        .agg(F.count("*").cast("double").alias("tf"))
-    )
+    # relevance model over the feedback docs' own postings
+    fb_post = post.join(F.broadcast(fb), id_col)
     rm = fb_post.groupBy("term").agg(
         F.sum(F.col("tf") / F.col("dl")).alias("_sp"), F.max("_f").alias("_f")
     )
@@ -178,15 +183,8 @@ def rm3_expand_topk(
     terms = picked.withColumn("n_terms", F.count(F.lit(1)).over(w_cnt))
 
     # pass 2: weighted BM25 over the expanded term set (w and n_terms ride
-    # the posting groupBy; no second `terms` join, no n_terms crossJoin)
-    post2 = (
-        base.select(
-            F.col(id_col), F.size("_toks").alias("dl"), F.explode("_toks").alias("term")
-        )
-        .join(F.broadcast(terms), "term")
-        .groupBy(id_col, "dl", "term", "w", "n_terms")
-        .agg(F.count("*").cast("double").alias("tf"))
-    )
+    # the broadcast join onto the materialized postings)
+    post2 = post.join(F.broadcast(terms), "term")
     c2 = (
         post2.withColumn("_df", F.count(F.lit(1)).over(w_df).cast("double"))
         .crossJoin(F.broadcast(stats))
