@@ -73,7 +73,12 @@ def learn_param_rules(
         F.explode("_params").alias("param", "value"),
         F.col("_params"),
     )
-    groups = (
+    # Contract to distinct (host, path, rest, param, value, fp) tuples
+    # BEFORE the two countDistincts: a multi-distinct aggregate plans as an
+    # Expand (x2 rows) over its input, so feeding it the contracted tuple
+    # set instead of the raw exploded stream bounds the expansion by true
+    # combination cardinality, not observation count (guide §2.3).
+    six = (
         long.select(
             "host",
             "param",
@@ -82,11 +87,12 @@ def learn_param_rules(
             _canonical_rest(F.col("_params"), F.col("param")).alias("rest"),
             "path",
         )
-        .groupBy("host", "path", "rest", "param")
-        .agg(
-            F.countDistinct("value").alias("_nv"),
-            F.countDistinct("fp").alias("_nf"),
-        )
+        .groupBy("host", "path", "rest", "param", "value", "fp")
+        .agg(F.lit(1).alias("_one"))
+    )
+    groups = six.groupBy("host", "path", "rest", "param").agg(
+        F.countDistinct("value").alias("_nv"),
+        F.countDistinct("fp").alias("_nf"),
     )
     return (
         groups.filter(F.col("_nv") >= 2)
