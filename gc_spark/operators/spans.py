@@ -375,6 +375,10 @@ def media_dedup_stats(df: DataFrame) -> DataFrame:
     computes document frequency, and the vocabulary-sized (ref, df) frame
     joins back onto the per-doc ref lists. The join is keyed on media_ref,
     so only (doc_id, media_ref) pairs shuffle — never span content."""
+    # (doc_id, media_ref) is the lightweight proxy of the span stream
+    # (guide §8) and feeds BOTH the docfreq aggregate and the join-back
+    # side; without materialization each consumer re-builds the upstream
+    # span arrays over the corpus, so checkpoint the proxy once.
     refs = df.select(
         "doc_id",
         F.explode(
@@ -383,7 +387,7 @@ def media_dedup_stats(df: DataFrame) -> DataFrame:
                 lambda s: s["media_ref"],
             )
         ).alias("media_ref"),
-    )
+    ).localCheckpoint(eager=False)
     docfreq = refs.groupBy("media_ref").agg(
         F.count_distinct("doc_id").alias("_df")
     )
