@@ -2882,12 +2882,18 @@ def q140_cms_estimates(spark, sf_dir):
     toks = d.select(
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
     )
-    sketch = cms_build(toks, depth=4, width=512)
-    truth = (
+    # r6: ONE tokenize pass — the checkpointed (term, cnt) contraction
+    # feeds both the sketch (weighted build: counters are sums of term
+    # counts, bit-identical to the occurrence build) and the exact-truth
+    # probe; the depth×4 fan-out now runs over the vocabulary, not every
+    # token occurrence (guide §2.3 aggregate before you shuffle)
+    counts = (
         toks.groupBy("term")
         .agg(F.count(F.lit(1)).alias("true_cnt"))
-        .filter(F.col("true_cnt") >= 30)
+        .localCheckpoint(eager=False)
     )
+    sketch = cms_build(counts, depth=4, width=512, weight_col="true_cnt")
+    truth = counts.filter(F.col("true_cnt") >= 30)
     return cms_estimate(sketch, truth, depth=4, width=512)
 
 
@@ -3406,6 +3412,8 @@ def q165_ir_metrics(spark, sf_dir):
     from gc_spark.operators.ir_eval import ir_metrics
 
     d = _t_wide(spark, sf_dir, "documents")
+    # r6: tf feeds both the run and the qrels — a lazy checkpoint of the
+    # tiny (3-term) filtered frame stops the corpus tokenize running twice
     tf = (
         d.select(
             "doc_id",
@@ -3414,6 +3422,7 @@ def q165_ir_metrics(spark, sf_dir):
         .filter(F.col("qid").isin("spark", "query", "merge"))
         .groupBy("qid", "doc_id")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
     )
     w = Window.partitionBy("qid").orderBy(F.desc("tf"), F.asc("doc_id"))
     run = (

@@ -37,11 +37,23 @@ def _bucket(term, row: int, width: int):
 
 
 def cms_build(
-    df: DataFrame, term_col: str = "term", depth: int = 4, width: int = 256
+    df: DataFrame,
+    term_col: str = "term",
+    depth: int = 4,
+    width: int = 256,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """(row, bucket, cnt): the sketch counters — at most depth×width rows.
     Input is one row per term OCCURRENCE (pre-tokenized); build sketches
-    per partition-disjoint slices and `cms_merge` them freely."""
+    per partition-disjoint slices and `cms_merge` them freely.
+
+    With `weight_col`, input is one row per DISTINCT term carrying its
+    occurrence count (or any long weight): counters are sum(weight)
+    instead of count(*) — bit-identical to the occurrence build over the
+    expanded stream (the bucket hash depends only on the term), but the
+    depth× fan-out runs over the vocabulary, not the corpus. Build the
+    (term, cnt) contraction once and feed sketch AND exact-truth consumers
+    from it."""
     t = F.col(term_col)
     rows = F.explode(
         F.transform(
@@ -54,10 +66,14 @@ def cms_build(
             ),
         )
     ).alias("rb")
+    cnt = (
+        F.sum(F.col(weight_col)) if weight_col else F.count(F.lit(1))
+    ).alias("cnt")
+    sel = [rows] if weight_col is None else [rows, F.col(weight_col)]
     return (
-        df.select(rows)
+        df.select(*sel)
         .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(cnt)
     )
 
 

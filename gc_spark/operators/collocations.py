@@ -36,11 +36,26 @@ def bigram_pmi(
     toks = df.select(
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w")
     )
-    uni = toks.groupBy("w").agg(F.count("*").cast("double").alias("_c"))
+    # `uni` feeds three consumers (t_u, u1, u2) and `big` two (t_b, cand);
+    # the planner reuses nothing across separate subtree instantiations
+    # (measured: zero ReusedExchange), so each consumer re-ran its corpus
+    # tokenize — five corpus passes for two tokenizations' worth of work.
+    # Lazy localCheckpoints materialize the two VOCABULARY-sized count
+    # tables once per invocation (computed fresh from the inputs every
+    # run, never reused across runs).
+    uni = (
+        toks.groupBy("w")
+        .agg(F.count("*").cast("double").alias("_c"))
+        .localCheckpoint(eager=False)
+    )
     t_u = uni.agg(F.sum("_c").alias("_tu"))
 
     grams = df.select(F.explode(word_ngrams_col(F.col(text_col), 2)).alias("g"))
-    big = grams.groupBy("g").agg(F.count("*").cast("double").alias("n"))
+    big = (
+        grams.groupBy("g")
+        .agg(F.count("*").cast("double").alias("n"))
+        .localCheckpoint(eager=False)
+    )
     t_b = big.agg(F.sum("n").alias("_tb"))
 
     cand = (

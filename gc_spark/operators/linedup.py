@@ -80,9 +80,18 @@ def dedup_lines(
     the grouping state is 8 bytes/line, not the line bytes — at corpus
     scale the count-distinct aggregate shuffles only (hash, doc_id)."""
     lines = lines_col if lines_col is not None else chunk_lines_col(F.col(text_col))
-    exploded = df.select(
-        F.col(id_col), F.posexplode(lines).alias("_pos", "_line")
-    ).withColumn("_lh", _sha60_local(F.col("_line")))
+    # `exploded` feeds two consumers (the common-line aggregate and the
+    # rebuild join side); without materialization each runs its own full
+    # chunk+sha parse of the corpus (the planner shares nothing across
+    # subtree instantiations). One lazy localCheckpoint trades a single
+    # local write of the exploded lines for the second parse pass —
+    # computed fresh from the inputs every invocation. The corpus-sized
+    # text shuffle count is unchanged (still exactly one, the rebuild).
+    exploded = (
+        df.select(F.col(id_col), F.posexplode(lines).alias("_pos", "_line"))
+        .withColumn("_lh", _sha60_local(F.col("_line")))
+        .localCheckpoint(eager=False)
+    )
 
     common = (
         exploded.groupBy("_lh")

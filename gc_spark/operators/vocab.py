@@ -41,18 +41,39 @@ def oov_rate(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """(id, n_tokens, oov, oov_rate) per document against the corpus's own
-    top-V vocabulary."""
-    vocab = top_vocabulary(df, v, text_col).select("term", F.lit(1).alias("_iv"))
-    toks = df.select(
-        F.col(id_col),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
+    top-V vocabulary.
+
+    Single-tokenize shape: the corpus explodes ONCE to a checkpointed
+    (id, term, tf) contraction; the vocabulary rolls up from it (sum of
+    per-doc tfs == the direct term count, ties identical) and the per-doc
+    OOV rollup weights by tf — the separate top_vocabulary() corpus pass
+    this ran before was a second full tokenize of identical work. The
+    contraction is also the two-level aggregation that keeps hot terms
+    skew-safe (partial agg on (id, term) first)."""
+    tf = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+        .localCheckpoint(eager=False)
+    )
+    vocab = (
+        tf.groupBy("term")
+        .agg(F.sum("_tf").alias("_n"))
+        .orderBy(F.col("_n").desc(), F.col("term").asc())
+        .limit(v)
+        .select("term", F.lit(1).alias("_iv"))
     )
     return (
-        toks.join(F.broadcast(vocab), "term", "left")
+        tf.join(F.broadcast(vocab), "term", "left")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum(F.when(F.col("_iv").isNull(), 1).otherwise(0)).alias("oov"),
+            F.sum("_tf").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_iv").isNull(), F.col("_tf")).otherwise(F.lit(0))
+            ).alias("oov"),
         )
         .select(
             id_col,

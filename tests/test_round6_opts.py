@@ -194,3 +194,31 @@ class TestRightSizeKeyed:
         out = _right_size(df.repartition(8), 100, key="src")
         assert out.rdd.getNumPartitions() == 1
         assert sorted(r["src"] for r in out.collect()) == list(range(100))
+
+
+class TestCmsWeightedBuild:
+    def test_weighted_equals_occurrence_build(self, spark):
+        from gc_spark.operators.cms import cms_build
+
+        words = ["alpha"] * 7 + ["beta"] * 3 + ["gamma"] * 1 + ["delta"] * 5
+        occ = spark.createDataFrame([(w,) for w in words], "term string")
+        counts = occ.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+        a = {
+            (r["row"], r["bucket"]): r["cnt"]
+            for r in cms_build(occ, depth=3, width=8).collect()
+        }
+        b = {
+            (r["row"], r["bucket"]): r["cnt"]
+            for r in cms_build(counts, depth=3, width=8, weight_col="cnt").collect()
+        }
+        assert a == b  # counters bit-identical: bucket hash is term-only
+
+    def test_weighted_build_long_counters(self, spark):
+        from gc_spark.operators.cms import cms_build
+
+        counts = spark.createDataFrame(
+            [("x", 2**33), ("y", 1)], "term string, cnt long"
+        )
+        out = cms_build(counts, depth=2, width=4, weight_col="cnt")
+        assert dict(out.dtypes)["cnt"] == "bigint"
+        assert sum(r["cnt"] for r in out.collect()) == 2 * (2**33 + 1)
