@@ -35,11 +35,25 @@ def novelty_scores(
 ) -> DataFrame:
     """(doc_id, seq, n_grams, novel_frac): novel_frac in [0,1] is the share
     of the doc's distinct word n-grams first seen (by seq order) in it."""
-    grams = docs.select(
-        F.col(id_col).alias("doc"),
-        F.col(seq_col).alias("seq"),
-        F.explode(F.array_distinct(word_ngrams_col(F.col(text_col), n))).alias("g"),
-    ).select("doc", "seq", sha60_col(F.col("g")).alias("gh"))
+    # the gram frame feeds both the first-seen aggregate and the join-back
+    # side; the planner shares nothing across the two subtree
+    # instantiations, so the tokenize+ngram+sha pass ran twice per corpus.
+    # One lazy localCheckpoint of the NARROW (doc, seq, gh) projection
+    # (8-byte hashes, no text) materializes it once per invocation. The
+    # groupBy+join shape is kept over a window-min: the join side stays
+    # AQE-skew-splittable when a boilerplate gram goes hot, a window
+    # partition does not.
+    grams = (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.col(seq_col).alias("seq"),
+            F.explode(
+                F.array_distinct(word_ngrams_col(F.col(text_col), n))
+            ).alias("g"),
+        )
+        .select("doc", "seq", sha60_col(F.col("g")).alias("gh"))
+        .localCheckpoint(eager=False)
+    )
     first = grams.groupBy("gh").agg(F.min("seq").alias("first_seq"))
     return (
         grams.join(first, "gh")
