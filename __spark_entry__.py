@@ -1410,7 +1410,12 @@ def q80_exact_substring_mask(spark, sf_dir):
     from gc_spark.operators.esdedup import exact_substring_mask_stats
 
     d = _t(spark, sf_dir, "documents")
-    return exact_substring_mask_stats(d, l=8).orderBy("doc_id")
+    # r6: hash_grams — the gram groupBy shuffles 8-byte xxhash64 keys
+    # instead of ~60-byte gram strings (guide §2.3 narrower types), the
+    # operator's documented 100 TB path. Collisions over-mask at ~2^-64
+    # per pair (none at any tested SF: oracle hash-exact at sf0.01/sf0.1;
+    # string==hash equality pinned in test_operators).
+    return exact_substring_mask_stats(d, l=8, hash_grams=True).orderBy("doc_id")
 
 
 _ESD_ORACLE = """

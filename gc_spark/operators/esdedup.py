@@ -95,7 +95,15 @@ def exact_substring_mask_stats(
         F.explode(_positioned_grams(F.col("_toks"), l)).alias("g"),
     ).select(id_col, F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
     if hash_grams:
-        occ = occ.withColumn("gram", F.xxhash64("gram"))
+        # hashed occ is a NARROW (id, pos, long) frame — cheap to
+        # materialize once instead of running the split+slice+hash gram
+        # construction for each of its two consumers (the dup aggregate
+        # and the flag join). The string path keeps recompute: its occ
+        # carries ~60-byte gram strings, where a second map-side pass is
+        # cheaper than materializing the fat frame.
+        occ = occ.withColumn("gram", F.xxhash64("gram")).localCheckpoint(
+            eager=False
+        )
 
     # dup grams only — partial agg absorbs hot boilerplate grams map-side
     dup = (
