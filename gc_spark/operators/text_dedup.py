@@ -245,31 +245,46 @@ def simhash_col(text_col) -> "F.Column":
     per-bit ±1 counts into an array → bit b set iff ones outnumber zeros.
     Deterministic across engines (sha256-based), so DuckDB can oracle it.
     """
+    from gc_spark.functions.text import bind_once
+
     toks = F.filter(F.split(F.trim(text_col), r"\s+"), lambda t: t != "")
     hvs = F.transform(toks, sha60_col)
-    counts = F.aggregate(
-        hvs,
-        F.array_repeat(F.lit(0), SIMHASH_BITS),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(
-                *[
-                    F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("int")
-                    for b in range(SIMHASH_BITS)
-                ]
-            ),
-            lambda a, x: a + x,
-        ),
-    )
-    n = F.size(hvs)
-    # pack bits by folding the REVERSED counts (bit 59 first): acc*2 + bit —
-    # exact long arithmetic, and `counts` appears once in the expression tree
-    # instead of 60 element_at copies.
-    return F.aggregate(
-        F.reverse(counts),
-        F.lit(0).cast("long"),
-        lambda acc, c: acc * 2 + F.when(c * 2 > n, F.lit(1)).otherwise(F.lit(0)),
-    ).cast("long")
+
+    # r6 kernel: one scalar integer accumulator per bit instead of a
+    # zip_with fold that allocated TWO 60-int arrays per token (HOFs are
+    # interpreted — CodegenFallback — so those allocations dominated).
+    # 60 array passes of plain int adds beat 1 pass with per-token array
+    # churn by ~3.4x measured on the sf0.1 corpus; bit math, fold order
+    # and the majority test are unchanged (exact integer arithmetic), so
+    # the output is bit-identical. `hvs` is bound once (bind_once) — the
+    # 60 aggregates share the evaluated token-hash array.
+    def _bit_step(b: int):
+        # closure factory, NOT a default-arg lambda (see _minhash_fn)
+        return lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(
+            F.lit(1)
+        ).cast("int")
+
+    def _pack(h):
+        n = F.size(h)
+        # a FLAT 60-element array of independent aggregates, then the
+        # original reverse-fold packing (bit 59 first: acc*2 + bit): a
+        # 60-deep nested sum resolves one type-coercion level per analyzer
+        # iteration and blows the 100-iteration cap / costs ~0.7 s of
+        # analysis; the flat array resolves in one pass
+        counts = F.array(
+            *[
+                F.aggregate(h, F.lit(0), _bit_step(b))
+                for b in range(SIMHASH_BITS)
+            ]
+        )
+        return F.aggregate(
+            F.reverse(counts),
+            F.lit(0).cast("long"),
+            lambda acc, c: acc * 2
+            + F.when(c * 2 > n, F.lit(1)).otherwise(F.lit(0)),
+        )
+
+    return bind_once(hvs, _pack).cast("long")
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -222,3 +222,34 @@ class TestCmsWeightedBuild:
         out = cms_build(counts, depth=2, width=4, weight_col="cnt")
         assert dict(out.dtypes)["cnt"] == "bigint"
         assert sum(r["cnt"] for r in out.collect()) == 2 * (2**33 + 1)
+
+
+class TestSimhashKernelRewrite:
+    def test_pinned_value_unchanged(self, spark):
+        # value produced by the round-5 zip_with kernel AND verified
+        # cross-engine by the q17 DuckDB oracle — pins the r6 flat
+        # per-bit-aggregate kernel to identical bit math
+        from gc_spark.operators.text_dedup import simhash
+
+        df = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string",
+        )
+        assert simhash(df).collect()[0]["simhash"] == 1150518487231265224
+
+    def test_empty_and_single_token(self, spark):
+        from gc_spark.operators.text_dedup import SIMHASH_BITS, simhash, sha60_col
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(1, ""), (2, "word")], "doc_id long, text string"
+        )
+        got = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+        assert got[1] == 0  # no tokens -> no majority bits
+        # single token: simhash == the token's own 60-bit hash
+        [h] = (
+            df.where("doc_id = 2")
+            .select(sha60_col(F.lit("word")).alias("h"))
+            .collect()
+        )
+        assert got[2] == h["h"]
