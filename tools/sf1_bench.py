@@ -57,7 +57,16 @@ HEAVY = ["q16_minhash_bands", "q32_ivf_ann", "q33_jaccard_pairs",
          # round-5 closing-wave ops (documents inputs): maxscore is the
          # pruned two-pass BM25, rm3 the two-corpus-pass feedback
          # expansion, best_passage the match-position density window
-         "q202_maxscore_topk", "q209_rm3_topk", "q214_best_passage"]
+         "q202_maxscore_topk", "q209_rm3_topk", "q214_best_passage",
+         # round-6 second-wave ops (documents inputs): the lazy-checkpoint
+         # contraction pattern (q65/q94/q105/q162/q165/q172), the hashed-
+         # gram ESD path (q80), and the rewritten simhash/winnow kernels
+         # (q17/q49) — their 10x behavior is the scale question the
+         # checkpoints raise (materialization grows with data)
+         "q17_simhash", "q49_winnow_fingerprints", "q65_bigram_pmi",
+         "q80_exact_substring_mask", "q94_ngram_novelty", "q105_oov_rate",
+         "q162_incremental_index", "q165_ir_metrics",
+         "q172_allpairs_jaccard"]
 ITERATIVE = {"q32_ivf_ann", "q36_dup_clusters", "q39_connected_components",
              "q60_canonical_docs", "q149_bpe_encode"}
 ID_STRIDE = 10_000_000
