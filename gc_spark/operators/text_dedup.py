@@ -222,6 +222,12 @@ def jaccard_verify_pairs(df: DataFrame, candidates: DataFrame, text_col: str = "
         .filter(F.col("a") < F.col("b"))
         .distinct()
     )
+    # both probe legs instantiate `sh` and re-run the shingle pass —
+    # MEASURED CHEAPER than materializing it (r6: a lazy localCheckpoint
+    # of the fat shingle arrays read q33 1.34 -> 2.04 s A/B — the two
+    # passes are fused map-side work that overlaps, while the checkpoint
+    # serializes ~2-3x the corpus bytes through the block store; same
+    # verdict as the r6 single-probe regroup revert)
     sh = df.select(
         F.col(id_col), F.array_distinct(_shingles(F.col(text_col))).alias("sh")
     )
